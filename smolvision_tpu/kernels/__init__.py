@@ -1,0 +1,23 @@
+"""Compute kernels: jnp reference implementations + Pallas TPU kernels.
+
+`use_pallas()` controls dispatch: on TPU the Pallas flash kernels are used
+for the hot attention paths; everywhere else (CPU tests, debugging) the jnp
+reference implementations run.  Every Pallas kernel is unit-tested against
+its jnp reference (tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_FORCE = os.environ.get("SMOLVISION_PALLAS", "").strip()
+
+
+def use_pallas() -> bool:
+    if _FORCE == "0":
+        return False
+    if _FORCE == "1":
+        return True
+    return jax.default_backend() == "tpu"

@@ -1,0 +1,180 @@
+"""Weight loading: mmap'd safetensors -> stacked device pytrees.
+
+Design (TPU-first, inverting qwen_asr_{encoder,decoder}.c):
+  * weights stay bf16 end-to-end (no host f32 copies — the MXU consumes bf16
+    natively); norms/biases are tiny and kept f32,
+  * per-layer weights are STACKED along a leading layer axis so the whole
+    transformer runs as one `lax.scan` — one compiled layer body instead of
+    N unrolled layers (fast compiles, identical math),
+  * tied lm_head reuses the embedding array (no duplicate HBM).
+
+Tensor names follow MODEL.md:285-330 (prefix thinker.audio_tower /
+thinker.model) and qwen25_omni_{encoder,decoder}.c for the Q25 family.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from smolvision_tpu.config import ModelConfig
+
+ENC_PREFIX = "thinker.audio_tower"
+DEC_PREFIX = "thinker.model"
+
+
+def _put(arr: np.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(arr).astype(dtype)
+
+
+def _stack(reader, template: str, n: int, dtype) -> jnp.ndarray:
+    return _put(np.stack([np.asarray(reader.get(template.format(i=i))) for i in range(n)]), dtype)
+
+
+def load_qwen3_encoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str, Any]:
+    p = ENC_PREFIX
+    f32 = jnp.float32
+    L = cfg.enc_layers
+    layers = {
+        "attn_ln_w": _stack(reader, p + ".layers.{i}.self_attn_layer_norm.weight", L, f32),
+        "attn_ln_b": _stack(reader, p + ".layers.{i}.self_attn_layer_norm.bias", L, f32),
+        "wq": _stack(reader, p + ".layers.{i}.self_attn.q_proj.weight", L, param_dtype),
+        "bq": _stack(reader, p + ".layers.{i}.self_attn.q_proj.bias", L, f32),
+        "wk": _stack(reader, p + ".layers.{i}.self_attn.k_proj.weight", L, param_dtype),
+        "bk": _stack(reader, p + ".layers.{i}.self_attn.k_proj.bias", L, f32),
+        "wv": _stack(reader, p + ".layers.{i}.self_attn.v_proj.weight", L, param_dtype),
+        "bv": _stack(reader, p + ".layers.{i}.self_attn.v_proj.bias", L, f32),
+        "wo": _stack(reader, p + ".layers.{i}.self_attn.out_proj.weight", L, param_dtype),
+        "bo": _stack(reader, p + ".layers.{i}.self_attn.out_proj.bias", L, f32),
+        "ffn_ln_w": _stack(reader, p + ".layers.{i}.final_layer_norm.weight", L, f32),
+        "ffn_ln_b": _stack(reader, p + ".layers.{i}.final_layer_norm.bias", L, f32),
+        "fc1": _stack(reader, p + ".layers.{i}.fc1.weight", L, param_dtype),
+        "fc1_b": _stack(reader, p + ".layers.{i}.fc1.bias", L, f32),
+        "fc2": _stack(reader, p + ".layers.{i}.fc2.weight", L, param_dtype),
+        "fc2_b": _stack(reader, p + ".layers.{i}.fc2.bias", L, f32),
+    }
+    return {
+        "conv1_w": _put(np.asarray(reader.get(p + ".conv2d1.weight")), f32),
+        "conv1_b": _put(np.asarray(reader.get(p + ".conv2d1.bias")), f32),
+        "conv2_w": _put(np.asarray(reader.get(p + ".conv2d2.weight")), f32),
+        "conv2_b": _put(np.asarray(reader.get(p + ".conv2d2.bias")), f32),
+        "conv3_w": _put(np.asarray(reader.get(p + ".conv2d3.weight")), f32),
+        "conv3_b": _put(np.asarray(reader.get(p + ".conv2d3.bias")), f32),
+        "conv_out_w": _put(np.asarray(reader.get(p + ".conv_out.weight")), param_dtype),
+        "layers": layers,
+        "ln_post_w": _put(np.asarray(reader.get(p + ".ln_post.weight")), f32),
+        "ln_post_b": _put(np.asarray(reader.get(p + ".ln_post.bias")), f32),
+        "proj1_w": _put(np.asarray(reader.get(p + ".proj1.weight")), param_dtype),
+        "proj1_b": _put(np.asarray(reader.get(p + ".proj1.bias")), f32),
+        "proj2_w": _put(np.asarray(reader.get(p + ".proj2.weight")), param_dtype),
+        "proj2_b": _put(np.asarray(reader.get(p + ".proj2.bias")), f32),
+    }
+
+
+def load_q25_encoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Qwen2.5-Omni audio tower: Conv1D stem, K has no bias, single proj,
+    learned audio_bos_eos rows (qwen25_omni_encoder.c)."""
+    p = ENC_PREFIX
+    f32 = jnp.float32
+    L = cfg.enc_layers
+    d = cfg.enc_d_model
+    layers = {
+        "attn_ln_w": _stack(reader, p + ".layers.{i}.self_attn_layer_norm.weight", L, f32),
+        "attn_ln_b": _stack(reader, p + ".layers.{i}.self_attn_layer_norm.bias", L, f32),
+        "wq": _stack(reader, p + ".layers.{i}.self_attn.q_proj.weight", L, param_dtype),
+        "bq": _stack(reader, p + ".layers.{i}.self_attn.q_proj.bias", L, f32),
+        "wk": _stack(reader, p + ".layers.{i}.self_attn.k_proj.weight", L, param_dtype),
+        "bk": jnp.zeros((L, d), dtype=f32),  # K projection has NO bias
+        "wv": _stack(reader, p + ".layers.{i}.self_attn.v_proj.weight", L, param_dtype),
+        "bv": _stack(reader, p + ".layers.{i}.self_attn.v_proj.bias", L, f32),
+        "wo": _stack(reader, p + ".layers.{i}.self_attn.out_proj.weight", L, param_dtype),
+        "bo": _stack(reader, p + ".layers.{i}.self_attn.out_proj.bias", L, f32),
+        "ffn_ln_w": _stack(reader, p + ".layers.{i}.final_layer_norm.weight", L, f32),
+        "ffn_ln_b": _stack(reader, p + ".layers.{i}.final_layer_norm.bias", L, f32),
+        "fc1": _stack(reader, p + ".layers.{i}.fc1.weight", L, param_dtype),
+        "fc1_b": _stack(reader, p + ".layers.{i}.fc1.bias", L, f32),
+        "fc2": _stack(reader, p + ".layers.{i}.fc2.weight", L, param_dtype),
+        "fc2_b": _stack(reader, p + ".layers.{i}.fc2.bias", L, f32),
+    }
+    return {
+        "conv1_w": _put(np.asarray(reader.get(p + ".conv1.weight")), f32),
+        "conv1_b": _put(np.asarray(reader.get(p + ".conv1.bias")), f32),
+        "conv2_w": _put(np.asarray(reader.get(p + ".conv2.weight")), f32),
+        "conv2_b": _put(np.asarray(reader.get(p + ".conv2.bias")), f32),
+        "layers": layers,
+        "ln_post_w": _put(np.asarray(reader.get(p + ".ln_post.weight")), f32),
+        "ln_post_b": _put(np.asarray(reader.get(p + ".ln_post.bias")), f32),
+        "proj_w": _put(np.asarray(reader.get(p + ".proj.weight")), param_dtype),
+        "proj_b": _put(np.asarray(reader.get(p + ".proj.bias")), f32),
+        "audio_bos_eos": _put(np.asarray(reader.get(p + ".audio_bos_eos_token.weight")), f32),
+    }
+
+
+def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Qwen3 / Q25 decoder weights (shared layout; optional biases / qk norms
+    are None when the family lacks them)."""
+    p = DEC_PREFIX
+    f32 = jnp.float32
+    L = cfg.dec_layers
+
+    layers: Dict[str, Any] = {
+        "input_ln": _stack(reader, p + ".layers.{i}.input_layernorm.weight", L, f32),
+        "post_ln": _stack(reader, p + ".layers.{i}.post_attention_layernorm.weight", L, f32),
+        "wq": _stack(reader, p + ".layers.{i}.self_attn.q_proj.weight", L, param_dtype),
+        "wk": _stack(reader, p + ".layers.{i}.self_attn.k_proj.weight", L, param_dtype),
+        "wv": _stack(reader, p + ".layers.{i}.self_attn.v_proj.weight", L, param_dtype),
+        "wo": _stack(reader, p + ".layers.{i}.self_attn.o_proj.weight", L, param_dtype),
+    }
+    if cfg.dec_qkv_bias:
+        layers["bq"] = _stack(reader, p + ".layers.{i}.self_attn.q_proj.bias", L, f32)
+        layers["bk"] = _stack(reader, p + ".layers.{i}.self_attn.k_proj.bias", L, f32)
+        layers["bv"] = _stack(reader, p + ".layers.{i}.self_attn.v_proj.bias", L, f32)
+    else:
+        layers["bq"] = layers["bk"] = layers["bv"] = None
+    if cfg.dec_qk_norm:
+        layers["q_norm"] = _stack(reader, p + ".layers.{i}.self_attn.q_norm.weight", L, f32)
+        layers["k_norm"] = _stack(reader, p + ".layers.{i}.self_attn.k_norm.weight", L, f32)
+    else:
+        layers["q_norm"] = layers["k_norm"] = None
+
+    if cfg.is_moe:
+        if cfg.decoder_sparse_step != 1:
+            raise NotImplementedError("mixed dense/MoE layers (sparse_step > 1)")
+        E = cfg.num_experts
+        layers["router"] = _stack(reader, p + ".layers.{i}.mlp.gate.weight", L, f32)
+        layers["e_gate"] = _put(
+            np.stack([
+                np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.gate_proj.weight")) for e in range(E)])
+                for i in range(L)
+            ]), param_dtype)
+        layers["e_up"] = _put(
+            np.stack([
+                np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.up_proj.weight")) for e in range(E)])
+                for i in range(L)
+            ]), param_dtype)
+        layers["e_down"] = _put(
+            np.stack([
+                np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.down_proj.weight")) for e in range(E)])
+                for i in range(L)
+            ]), param_dtype)
+        layers["w_gate"] = layers["w_up"] = layers["w_down"] = None
+    else:
+        layers["w_gate"] = _stack(reader, p + ".layers.{i}.mlp.gate_proj.weight", L, param_dtype)
+        layers["w_up"] = _stack(reader, p + ".layers.{i}.mlp.up_proj.weight", L, param_dtype)
+        layers["w_down"] = _stack(reader, p + ".layers.{i}.mlp.down_proj.weight", L, param_dtype)
+        layers["router"] = layers["e_gate"] = layers["e_up"] = layers["e_down"] = None
+
+    embed = _put(np.asarray(reader.get(p + ".embed_tokens.weight")), param_dtype)
+    if cfg.tied_embeddings:
+        lm_head = embed  # same device buffer
+    else:
+        lm_head = _put(np.asarray(reader.get("thinker.lm_head.weight")), param_dtype)
+
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": _put(np.asarray(reader.get(p + ".norm.weight")), f32),
+        "lm_head": lm_head,
+    }

@@ -1,0 +1,198 @@
+"""Qwen3 / Qwen2.5-Omni LLM decoder — static-shape prefill + decode step.
+
+Reference semantics: qwen_asr_decoder.c (dense + MoE), qwen25_omni_decoder.c
+(biased QKV, no Q/K norm, separate lm_head), MODEL.md:156-227.
+
+TPU design (inverting the CPU design):
+  * ONE static KV cache [L, 2, Kcap, KH, D] in bf16, updated in place with
+    `dynamic_update_slice` (donated by the jitted callers — no copies),
+  * prefill processes a whole padded bucket [Tcap, H] and returns the logits
+    of the LAST VALID row, so "prefill all-but-last + 1 decode step"
+    (qwen_asr.c:761-769) collapses into one fused graph,
+  * decode step is a single jitted graph: embed gather -> 28-layer scan ->
+    final norm -> lm_head -> (argmax | logits); only an int32 crosses the
+    host boundary per token in greedy mode,
+  * the layer stack is a `lax.scan` over stacked weights,
+  * activations: residual stream f32, matmul inputs cast to the bf16 weight
+    dtype, MXU accumulation f32 (matches the C engine's bf16-weights /
+    f32-activations numerics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smolvision_tpu.config import ModelConfig
+from smolvision_tpu.ops.common import apply_rope_neox, rms_norm, rope_tables, silu
+
+
+def make_kv_cache(cfg: ModelConfig, kv_cap: int, dtype=jnp.bfloat16):
+    return jnp.zeros((cfg.dec_layers, 2, kv_cap, cfg.dec_kv_heads, cfg.dec_head_dim), dtype=dtype)
+
+
+def build_embeds(params, ids, audio, audio_start, audio_len):
+    """Token embeddings with audio rows spliced in.
+
+    ids: [Tcap] int32 (prompt token ids, padded arbitrarily beyond valid_len).
+    audio: [Acap, H] f32 encoder output (rows >= audio_len are garbage).
+    Row i takes audio[i - audio_start] when audio_start <= i <
+    audio_start+audio_len, else embed[ids[i]].  This is the "replacement"
+    splice of MODEL.md:336-349 as one gather + select.
+    """
+    emb = params["embed"][ids].astype(jnp.float32)  # [Tcap, H]
+    Tcap = ids.shape[0]
+    pos = jnp.arange(Tcap)
+    rel = pos - audio_start
+    in_audio = (rel >= 0) & (rel < audio_len)
+    audio_rows = audio[jnp.clip(rel, 0, audio.shape[0] - 1)].astype(jnp.float32)
+    return jnp.where(in_audio[:, None], audio_rows, emb)
+
+
+def _moe_ffn(x, lp, cfg: ModelConfig):
+    """MoE FFN: dense router -> top-k -> softmax -> expert SwiGLU mix.
+
+    Matches moe_forward_single (qwen_asr_decoder.c:362-451) / the python spec
+    (_moe_forward): softmax over the top-k router logits, optional
+    norm_topk_prob renormalization.  Computed with a dense one-hot routing
+    einsum (exact; efficient gather-based dispatch is a planned optimization
+    for the 30B path).
+    x: [T, H] f32.
+    """
+    T = x.shape[0]
+    E = cfg.num_experts
+    K = cfg.num_experts_per_tok
+    scores = jnp.einsum("th,eh->te", x, lp["router"], preferred_element_type=jnp.float32)
+    top_vals, top_idx = jax.lax.top_k(scores, K)                 # [T, K]
+    top_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)
+    if cfg.norm_topk_prob:
+        top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
+    route = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1)  # [T, E]
+
+    wdt = lp["e_gate"].dtype
+    xc = x.astype(wdt)
+    gate = jnp.einsum("th,eih->tei", xc, lp["e_gate"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("th,eih->tei", xc, lp["e_up"], preferred_element_type=jnp.float32)
+    act = (silu(gate) * up).astype(wdt)
+    down = jnp.einsum("tei,ehi->teh", act, lp["e_down"], preferred_element_type=jnp.float32)
+    return jnp.einsum("te,teh->th", route, down)
+
+
+def _attention(q, k_cache, v_cache, q_positions, kv_valid_len, cfg: ModelConfig):
+    """Causal GQA attention over the full KV cache buffer (f32 math)."""
+    T, H, D = q.shape
+    KH = cfg.dec_kv_heads
+    G = H // KH
+    Kcap = k_cache.shape[0]
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    qf = q.astype(jnp.float32).reshape(T, KH, G, D)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("tkgd,skd->kgts", qf, kf) * scale        # [KH, G, T, Kcap]
+    kv_pos = jnp.arange(Kcap)
+    mask = (kv_pos[None, :] <= q_positions[:, None]) & (kv_pos[None, :] < kv_valid_len)
+    scores = jnp.where(mask[None, None, :, :], scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.where(mask[None, None, :, :], jnp.exp(scores - m), 0.0)
+    probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    out = jnp.einsum("kgts,skd->tkgd", probs, vf)
+    return out.reshape(T, H, D)
+
+
+def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
+    """Run the layer stack over `embeds` [Tcap, H] at absolute positions
+    start_pos..start_pos+Tcap-1, writing K/V into the cache.
+
+    Returns (hidden [Tcap, H] f32 pre-final-norm, kv').
+    Rows >= valid_len are junk; their KV rows are progressively overwritten
+    by later steps and are never visible through the causal mask.
+    """
+    Tcap, Hdim = embeds.shape
+    H = cfg.dec_heads
+    KH = cfg.dec_kv_heads
+    D = cfg.dec_head_dim
+    eps = cfg.rms_norm_eps
+    positions = start_pos + jnp.arange(Tcap)
+    kv_valid_len = start_pos + valid_len
+    cos, sin = rope_tables(positions, D, cfg.rope_theta)
+    wdt = params["layers"]["wq"].dtype
+    kv_dt = kv.dtype
+
+    def layer(h, xs):
+        lp, kv_layer = xs
+        xn = rms_norm(h, lp["input_ln"], eps)
+        xc = xn.astype(wdt)
+        q = jnp.einsum("th,oh->to", xc, lp["wq"], preferred_element_type=jnp.float32)
+        k = jnp.einsum("th,oh->to", xc, lp["wk"], preferred_element_type=jnp.float32)
+        v = jnp.einsum("th,oh->to", xc, lp["wv"], preferred_element_type=jnp.float32)
+        if lp.get("bq") is not None:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = q.reshape(Tcap, H, D)
+        k = k.reshape(Tcap, KH, D)
+        v = v.reshape(Tcap, KH, D)
+        if lp.get("q_norm") is not None:
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
+        q = apply_rope_neox(q, cos, sin)
+        k = apply_rope_neox(k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(
+            kv_layer[0], k.astype(kv_dt), (start_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            kv_layer[1], v.astype(kv_dt), (start_pos, 0, 0))
+
+        attn = _attention(q, k_cache, v_cache, positions, kv_valid_len, cfg)
+        attn = attn.reshape(Tcap, H * D)
+        h = h + jnp.einsum("ta,oa->to", attn.astype(wdt), lp["wo"],
+                           preferred_element_type=jnp.float32)
+
+        xn = rms_norm(h, lp["post_ln"], eps)
+        if lp.get("router") is not None:
+            ffn = _moe_ffn(xn, lp, cfg)
+        else:
+            xc2 = xn.astype(wdt)
+            gate = jnp.einsum("th,ih->ti", xc2, lp["w_gate"], preferred_element_type=jnp.float32)
+            up = jnp.einsum("th,ih->ti", xc2, lp["w_up"], preferred_element_type=jnp.float32)
+            act = (silu(gate) * up).astype(wdt)
+            ffn = jnp.einsum("ti,hi->th", act, lp["w_down"], preferred_element_type=jnp.float32)
+        h = h + ffn
+        return h, jnp.stack([k_cache, v_cache])
+
+    h, kv_new = jax.lax.scan(layer, embeds.astype(jnp.float32),
+                             (params["layers"], kv))
+    return h, kv_new
+
+
+def logits_at(params, cfg: ModelConfig, hidden, row):
+    """Final RMSNorm + lm_head logits for one row of the hidden states."""
+    h = jax.lax.dynamic_index_in_dim(hidden, row, axis=0, keepdims=False)
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    wdt = params["lm_head"].dtype
+    return jnp.einsum("h,vh->v", h.astype(wdt), params["lm_head"],
+                      preferred_element_type=jnp.float32)
+
+
+def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
+            greedy: bool = True) -> Tuple[Any, Any]:
+    """Prefill the bucket; return (first_token | logits, kv')."""
+    hidden, kv = decoder_forward(params, cfg, embeds, start_pos, valid_len, kv)
+    logits = logits_at(params, cfg, hidden, valid_len - 1)
+    if greedy:
+        return jnp.argmax(logits).astype(jnp.int32), kv
+    return logits, kv
+
+
+def decode_step(params, cfg: ModelConfig, token, pos, kv,
+                greedy: bool = True) -> Tuple[Any, Any]:
+    """One autoregressive step at absolute position `pos` (scalar int32)."""
+    embed = params["embed"][token][None].astype(jnp.float32)  # [1, H]
+    hidden, kv = decoder_forward(params, cfg, embed, pos, jnp.int32(1), kv)
+    logits = logits_at(params, cfg, hidden, jnp.int32(0))
+    if greedy:
+        return jnp.argmax(logits).astype(jnp.int32), kv
+    return logits, kv

@@ -1,0 +1,517 @@
+"""Engine: model loading, jit caches, encode / prefill / decode primitives.
+
+This is the TPU equivalent of qwen_ctx_t + the qwen_load / transcribe entry
+points (qwen_asr.c).  The engine owns:
+  * device-resident weight pytrees (bf16),
+  * the static KV cache (grow-by-rebucket),
+  * one jitted callable per phase; JAX's shape cache provides the per-bucket
+    specialization,
+  * host-side text logic (prompt tokens, <asr_text> gating, callbacks),
+  * perf counters matching the reference's stderr contract (main.c:378-394).
+
+Decode runs in device-side chunks (`lax.while_loop`, up to DECODE_CHUNK
+tokens per dispatch with on-device EOS early-exit) so the host syncs ~once
+per 32 tokens instead of every token.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smolvision_tpu.config import (
+    EOS_TOKEN_IDS,
+    SUPPORTED_LANGUAGES,
+    TOKEN_ASR_TEXT,
+    ModelConfig,
+    detect_config,
+)
+from smolvision_tpu.io.safetensors import MultiSafetensors
+from smolvision_tpu.models import params as params_mod
+from smolvision_tpu.models import q25_encoder as q25e
+from smolvision_tpu.models import qwen3_decoder as dec_mod
+from smolvision_tpu.models import qwen3_encoder as enc_mod
+from smolvision_tpu.ops.mel import log_mel
+from smolvision_tpu.runtime import prompt as prompt_mod
+from smolvision_tpu.runtime.buckets import bucket, window_bucket
+from smolvision_tpu.runtime.sampling import Sampler
+from smolvision_tpu.text.tokenizer import Tokenizer, load_tokenizer
+
+DECODE_CHUNK = 32  # tokens per device decode dispatch
+KV_HEADROOM = 256
+
+TokenCallback = Callable[[bytes], None]
+
+
+class PerfStats:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.total_ms = 0.0
+        self.text_tokens = 0
+        self.audio_ms = 0.0
+        self.encode_ms = 0.0
+        self.decode_ms = 0.0
+
+
+def _now_ms() -> float:
+    return time.monotonic() * 1000.0
+
+
+class Engine:
+    """One loaded checkpoint + its jitted programs + generation settings."""
+
+    def __init__(self, model_dir: str, param_dtype=jnp.bfloat16,
+                 kv_dtype=jnp.bfloat16, enc_window_sec: Optional[float] = None,
+                 verbose: int = 0):
+        self.model_dir = model_dir
+        self.verbose = verbose
+        self.reader = MultiSafetensors(model_dir)
+        cfg = detect_config(model_dir, self.reader)
+        if enc_window_sec is not None:
+            frames = int(enc_window_sec * 100.0 + 0.5)
+            frames = min(max(frames, 100), 800)
+            cfg = ModelConfig(**{**cfg.__dict__, "enc_n_window_infer": frames})
+        self.cfg = cfg
+        self.param_dtype = param_dtype
+        self.kv_dtype = kv_dtype
+
+        if verbose >= 1:
+            print(f"Detected: {cfg.name} ({cfg.family})", flush=True)
+
+        if cfg.family == "q25":
+            self.enc_params = params_mod.load_q25_encoder(self.reader, cfg, param_dtype)
+        else:
+            self.enc_params = params_mod.load_qwen3_encoder(self.reader, cfg, param_dtype)
+        self.dec_params = params_mod.load_decoder(self.reader, cfg, param_dtype)
+
+        # ---- generation settings (defaults mirror qwen_asr.c:257-272) ----
+        self.segment_sec = 0.0
+        self.search_sec = 3.0
+        self.stream_chunk_sec = 2.0
+        self.stream_rollback = 5
+        self.stream_unfixed_chunks = 2
+        self.stream_max_new_tokens = 32
+        self.past_text_conditioning = False
+        self.skip_silence = False
+        self.thinker_max_tokens = 2048
+        self.temperature = 0.7
+        self.repetition_penalty = 1.1
+        self.top_k = 40
+        self.seed = 0
+        self.max_tokens = 2048
+
+        self.prompt_text: Optional[str] = None
+        self.force_language: Optional[str] = None
+        self._prompt_tokens: List[int] = []
+        self._force_tokens: List[int] = []
+        self._prompt_ready = False
+
+        self.token_cb: Optional[TokenCallback] = None
+        self.monitor = False
+        self.perf = PerfStats()
+        self._tokenizer: Optional[Tokenizer] = None
+
+        self._kv = None
+        self._kv_cap = 0
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+
+    def _build_jits(self):
+        cfg = self.cfg
+        wts = cfg.window_token_size()
+
+        self._conv_stem = jax.jit(lambda p, chunks: enc_mod.conv_stem(p, chunks, cfg))
+        self._enc_tf = jax.jit(
+            lambda p, x, vlen: enc_mod.encoder_transformer(p, x, vlen, cfg, wts))
+        if cfg.family == "q25":
+            self._q25_conv = jax.jit(lambda p, mel: q25e.q25_conv_stem(p, mel, cfg))
+            self._q25_tf = jax.jit(
+                lambda p, x, vlen: q25e.q25_encoder_transformer(p, x, vlen, cfg))
+
+        self._build_embeds = jax.jit(dec_mod.build_embeds)
+
+        self._prefill_greedy = jax.jit(
+            lambda p, e, s, v, kv: dec_mod.prefill(p, cfg, e, s, v, kv, greedy=True),
+            donate_argnums=(4,))
+        self._prefill_logits = jax.jit(
+            lambda p, e, s, v, kv: dec_mod.prefill(p, cfg, e, s, v, kv, greedy=False),
+            donate_argnums=(4,))
+        self._step_logits = jax.jit(
+            lambda p, t, pos, kv: dec_mod.decode_step(p, cfg, t, pos, kv, greedy=False),
+            donate_argnums=(3,))
+
+        eos = jnp.asarray(list(EOS_TOKEN_IDS), dtype=jnp.int32)
+
+        def decode_chunk(p, token, pos, kv, n_steps):
+            """Up to n_steps greedy tokens on device; early-exits on EOS."""
+            buf = jnp.zeros((n_steps,), dtype=jnp.int32)
+
+            def cond(c):
+                i, _, _, _, _, done = c
+                return jnp.logical_and(~done, i < n_steps)
+
+            def body(c):
+                i, tok, pos_, kv_, buf_, _ = c
+                nxt, kv_ = dec_mod.decode_step(p, cfg, tok, pos_, kv_, greedy=True)
+                buf_ = buf_.at[i].set(nxt)
+                done = jnp.any(nxt == eos)
+                return (i + 1, nxt, pos_ + 1, kv_, buf_, done)
+
+            i, tok, pos, kv, buf, done = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), token, pos, kv, buf, jnp.bool_(False)))
+            return buf, i, tok, pos, kv
+
+        self._decode_chunk = jax.jit(
+            decode_chunk, static_argnums=(4,), donate_argnums=(3,))
+
+    # ------------------------------------------------------------------
+    # tokenizer / prompt settings
+    # ------------------------------------------------------------------
+
+    @property
+    def tokenizer(self) -> Tokenizer:
+        if self._tokenizer is None:
+            self._tokenizer = load_tokenizer(self.model_dir)
+        return self._tokenizer
+
+    def set_prompt(self, text: Optional[str]):
+        self.prompt_text = text or None
+        self._prompt_ready = False
+
+    def set_force_language(self, language: Optional[str]) -> bool:
+        """Normalize + validate like qwen_set_force_language (qwen_asr.c:98-120)."""
+        if not language:
+            self.force_language = None
+            self._prompt_ready = False
+            return True
+        norm = language.strip()
+        if not norm:
+            return False
+        norm = norm[0].upper() + norm[1:].lower()
+        if norm not in SUPPORTED_LANGUAGES:
+            return False
+        self.force_language = norm
+        self._prompt_ready = False
+        return True
+
+    def prepare_prompt(self):
+        """Tokenize --prompt / --language once (qwen_asr.c:563-607)."""
+        if self._prompt_ready:
+            return
+        tok = self.tokenizer
+        self._prompt_tokens = tok.encode(self.prompt_text) if self.prompt_text else []
+        if self.force_language:
+            self._force_tokens = tok.encode(f"language {self.force_language}") + [TOKEN_ASR_TEXT]
+        else:
+            self._force_tokens = []
+        self._prompt_ready = True
+
+    # ------------------------------------------------------------------
+    # KV cache management
+    # ------------------------------------------------------------------
+
+    def reset_kv(self):
+        self._kv = None
+        self._kv_cap = 0
+
+    def _ensure_kv(self, needed: int):
+        """Static cache sized to a pow2 bucket; grows by copy when exceeded."""
+        cap = bucket(needed, 256)
+        if self._kv is None:
+            self._kv = dec_mod.make_kv_cache(self.cfg, cap, self.kv_dtype)
+            self._kv_cap = cap
+        elif cap > self._kv_cap:
+            new = dec_mod.make_kv_cache(self.cfg, cap, self.kv_dtype)
+            new = new.at[:, :, : self._kv_cap].set(self._kv)
+            self._kv = new
+            self._kv_cap = cap
+        return self._kv
+
+    # ------------------------------------------------------------------
+    # encoder
+    # ------------------------------------------------------------------
+
+    def encode(self, samples: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        """Audio samples -> (audio embeddings [Acap, dec_hidden], n_tokens)."""
+        mel = log_mel(samples)
+        return self.encode_mel(mel)
+
+    def encode_mel(self, mel: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        if self.cfg.family == "q25":
+            return self._encode_mel_q25(mel)
+        return self._encode_mel_qwen3(mel)
+
+    def _encode_mel_qwen3(self, mel: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        cfg = self.cfg
+        chunk = cfg.enc_chunk_size
+        frames = mel.shape[1]
+        n_full = frames // chunk
+        rem = frames % chunk
+
+        parts = []
+        if n_full:
+            chunks = np.stack(
+                [mel[:, c * chunk : (c + 1) * chunk] for c in range(n_full)]
+            ).astype(np.float32)
+            ncap = bucket(n_full, 4)
+            if ncap > n_full:
+                chunks = np.concatenate(
+                    [chunks, np.zeros((ncap - n_full, *chunks.shape[1:]), np.float32)])
+            full_tok = self._conv_stem(self.enc_params, jnp.asarray(chunks))
+            d = full_tok.shape[-1]
+            parts.append(full_tok[:n_full].reshape(n_full * cfg.tokens_per_chunk, d))
+        if rem:
+            partial = mel[:, n_full * chunk :].astype(np.float32)[None]
+            parts.append(self._conv_stem(self.enc_params, jnp.asarray(partial))[0])
+
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        n_tokens = x.shape[0]
+        wts = cfg.window_token_size()
+        tcap = window_bucket(n_tokens, wts)
+        if tcap > n_tokens:
+            x = jnp.pad(x, ((0, tcap - n_tokens), (0, 0)))
+        enc = self._enc_tf(self.enc_params, x, jnp.int32(n_tokens))
+        return enc, n_tokens
+
+    def _encode_mel_q25(self, mel: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        cfg = self.cfg
+        x = self._q25_conv(self.enc_params, jnp.asarray(mel, dtype=jnp.float32))
+        n_tokens = x.shape[0]
+        tcap = window_bucket(n_tokens, cfg.q25_token_window)
+        if tcap > n_tokens:
+            x = jnp.pad(x, ((0, tcap - n_tokens), (0, 0)))
+        proj = self._q25_tf(self.enc_params, x, jnp.int32(n_tokens))
+        bos_eos = self.enc_params["audio_bos_eos"].astype(jnp.float32)
+        out = jnp.concatenate([bos_eos[0:1], proj[:n_tokens], bos_eos[1:2]], axis=0)
+        n_audio = n_tokens + 2
+        acap = bucket(n_audio, 16)
+        if acap > n_audio:
+            out = jnp.pad(out, ((0, acap - n_audio), (0, 0)))
+        return out, n_audio
+
+    # ------------------------------------------------------------------
+    # decoder primitives
+    # ------------------------------------------------------------------
+
+    def prefill_ids(self, ids: Sequence[int], audio: Optional[jnp.ndarray],
+                    audio_start: int, n_audio: int, start_pos: int = 0,
+                    greedy: bool = True):
+        """Embed + splice + prefill.  Returns (token_or_logits, total_pos).
+
+        ids are the FULL prompt ids; when start_pos > 0 (streaming KV reuse)
+        only ids[start_pos:] are recomputed — callers pass the delta ids and
+        absolute start_pos."""
+        total = len(ids)
+        tcap = bucket(total, 64)
+        ids_arr = np.zeros(tcap, dtype=np.int32)
+        ids_arr[:total] = np.asarray(ids, dtype=np.int32)
+        kv = self._ensure_kv(start_pos + tcap + KV_HEADROOM)
+        if audio is None:
+            audio = jnp.zeros((16, self.cfg.dec_hidden), dtype=jnp.float32)
+            audio_start, n_audio = -1_000_000, 0
+        embeds = self._build_embeds(self.dec_params, jnp.asarray(ids_arr), audio,
+                                    jnp.int32(audio_start), jnp.int32(n_audio))
+        fn = self._prefill_greedy if greedy else self._prefill_logits
+        out, self._kv = fn(self.dec_params, embeds, jnp.int32(start_pos),
+                           jnp.int32(total), kv)
+        return out, start_pos + total
+
+    def decode_greedy(self, first_token, start_pos: int, max_tokens: int,
+                      on_token: Callable[[int], bool]) -> int:
+        """Greedy loop in device chunks of DECODE_CHUNK tokens.
+
+        `on_token(tid) -> keep_going` sees every token in order (the prefill
+        token first); EOS tokens terminate the loop before the callback, like
+        the C loop (qwen_asr.c:788-818).  Gating never alters the generated
+        sequence, so running the model a chunk ahead of the host is exact.
+        Returns the iteration count (C's n_generated)."""
+        from collections import deque
+
+        pos = start_pos
+        cur = int(first_token)
+        pending = deque([cur])
+        n = 0
+        while n < max_tokens:
+            if not pending:
+                steps = min(DECODE_CHUNK, max_tokens - n)
+                if steps <= 0:
+                    break
+                kv = self._ensure_kv(pos + steps + 1)
+                buf, count, _, _, kv = self._decode_chunk(
+                    self.dec_params, jnp.asarray(cur, dtype=jnp.int32),
+                    jnp.int32(pos), kv, steps)
+                self._kv = kv
+                count = int(count)
+                if count == 0:
+                    break
+                pos += count
+                pending.extend(int(t) for t in np.asarray(buf)[:count])
+            tid = pending.popleft()
+            n += 1
+            if tid in EOS_TOKEN_IDS:
+                break
+            if not on_token(tid):
+                break
+            cur = tid
+        return n
+
+    # ------------------------------------------------------------------
+    # segment transcription (the core ASR path)
+    # ------------------------------------------------------------------
+
+    def transcribe_segment(self, samples: np.ndarray,
+                           past_tokens: Optional[Sequence[int]] = None,
+                           ) -> Tuple[str, int]:
+        """One segment: mel -> encode -> prompt -> prefill -> greedy decode.
+        Mirrors transcribe_segment (qwen_asr.c:649-842).  Returns
+        (text, n_text_tokens); streams pieces via self.token_cb."""
+        cfg = self.cfg
+        seg_t0 = _now_ms()
+        self.prepare_prompt()
+        tok = self.tokenizer
+
+        t0 = _now_ms()
+        mel = log_mel(samples)
+        mel_ms = _now_ms() - t0
+
+        t0 = _now_ms()
+        audio, n_audio = self.encode_mel(mel)
+        audio.block_until_ready()
+        enc_ms = _now_ms() - t0
+
+        ids, audio_start = prompt_mod.build_asr_prompt(
+            cfg, n_audio, self._prompt_tokens, self._force_tokens, past_tokens)
+
+        t0 = _now_ms()
+        self.reset_kv()
+        first, pos = self.prefill_ids(ids, audio, audio_start, n_audio)
+        prefill_ms = _now_ms() - t0
+
+        t0 = _now_ms()
+        state = {
+            "past_asr_text": bool(self._force_tokens) or bool(past_tokens),
+            "pieces": [],
+            "n_text": 0,
+        }
+
+        def on_token(tid: int) -> bool:
+            if tid == TOKEN_ASR_TEXT:
+                state["past_asr_text"] = True
+            elif state["past_asr_text"]:
+                piece = tok.decode_piece(tid)
+                state["pieces"].append(piece)
+                state["n_text"] += 1
+                if self.token_cb:
+                    self.token_cb(piece)
+            return True
+
+        self.decode_greedy(first, pos, self.max_tokens, on_token)
+        decode_ms = _now_ms() - t0
+
+        text = b"".join(state["pieces"]).decode("utf-8", errors="replace").strip()
+        self.perf.total_ms += _now_ms() - seg_t0
+        self.perf.text_tokens += state["n_text"]
+        self.perf.encode_ms += mel_ms + enc_ms
+        self.perf.decode_ms += prefill_ms + decode_ms
+        if self.verbose >= 2:
+            print(f"  Mel: {mel.shape[1]} frames ({mel_ms:.0f} ms); "
+                  f"Encoder: {n_audio} tokens ({enc_ms:.0f} ms); "
+                  f"Prefill: {len(ids)} tokens ({prefill_ms:.0f} ms); "
+                  f"Decode: {state['n_text']} text tokens ({decode_ms:.0f} ms)",
+                  flush=True)
+        return text, state["n_text"]
+
+    # ------------------------------------------------------------------
+    # thinker mode
+    # ------------------------------------------------------------------
+
+    def thinker_generate(self, samples: Optional[np.ndarray],
+                         user_text: Optional[str]) -> Optional[str]:
+        """Free-form generation (qwen_asr.c:2319-2612): audio or text prompt,
+        temperature/top-k/repetition-penalty sampling, no <asr_text> gate."""
+        if samples is None and not user_text:
+            return None
+        cfg = self.cfg
+        self.perf.reset()
+        total_t0 = _now_ms()
+        self.prepare_prompt()
+        tok = self.tokenizer
+        self.perf.audio_ms = (len(samples) / 16.0) if samples is not None else 0.0
+
+        enc_ms = 0.0
+        if samples is not None and len(samples) > 0:
+            t0 = _now_ms()
+            audio, n_audio = self.encode(samples)
+            audio.block_until_ready()
+            enc_ms = _now_ms() - t0
+            ids, audio_start = prompt_mod.build_thinker_audio_prompt(
+                cfg, n_audio, self._prompt_tokens)
+        else:
+            audio, n_audio, audio_start = None, 0, -1
+            user_tokens = tok.encode(user_text or "")
+            ids = prompt_mod.build_thinker_text_prompt(cfg, user_tokens,
+                                                       self._prompt_tokens)
+
+        sampler = Sampler(self.temperature, self.repetition_penalty,
+                          self.top_k, self.seed)
+        use_sampling = not sampler.greedy
+
+        t0 = _now_ms()
+        self.reset_kv()
+        out, pos = self.prefill_ids(ids, audio, audio_start, n_audio,
+                                    greedy=not use_sampling)
+        prefill_ms = _now_ms() - t0
+
+        pieces: List[bytes] = []
+        n_text = 0
+        t0 = _now_ms()
+        max_tokens = self.thinker_max_tokens
+
+        if use_sampling:
+            token = sampler.sample(np.asarray(out))
+            for _ in range(max_tokens):
+                if token in EOS_TOKEN_IDS:
+                    break
+                sampler.observe(token)
+                piece = tok.decode_piece(token)
+                if piece:
+                    pieces.append(piece)
+                    n_text += 1
+                    if self.token_cb:
+                        self.token_cb(piece)
+                kv = self._ensure_kv(pos + 2)
+                logits, kv = self._step_logits(
+                    self.dec_params, jnp.asarray(token, dtype=jnp.int32),
+                    jnp.int32(pos), kv)
+                self._kv = kv
+                pos += 1
+                token = sampler.sample(np.asarray(logits))
+        else:
+            def on_token(tid: int) -> bool:
+                nonlocal n_text
+                piece = tok.decode_piece(tid)
+                if piece:
+                    pieces.append(piece)
+                    n_text += 1
+                    if self.token_cb:
+                        self.token_cb(piece)
+                return True
+
+            self.decode_greedy(out, pos, max_tokens, on_token)
+
+        decode_ms = _now_ms() - t0
+        self.perf.total_ms = _now_ms() - total_t0
+        self.perf.text_tokens = n_text
+        self.perf.encode_ms = enc_ms
+        self.perf.decode_ms = prefill_ms + decode_ms
+        return b"".join(pieces).decode("utf-8", errors="replace")

@@ -1,0 +1,58 @@
+"""Token sampling for thinker mode (host side).
+
+Matches sample_token (qwen_asr.c:2250-2313): repetition penalty over a
+64-token window (divide positive / multiply negative logits), temperature,
+top-k partial selection, softmax, multinomial draw.  Unlike the reference
+(which seeds from wall clock, qwen_asr.c:2510) the RNG is seeded
+deterministically by default so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+REP_WINDOW = 64
+
+
+class Sampler:
+    def __init__(self, temperature: float = 0.7, repetition_penalty: float = 1.1,
+                 top_k: int = 40, seed: int = 0):
+        self.temperature = float(temperature)
+        self.repetition_penalty = float(repetition_penalty)
+        self.top_k = int(top_k)
+        self.rng = np.random.default_rng(seed)
+        self.recent: list = []
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+    def observe(self, token: int) -> None:
+        self.recent.append(token)
+        if len(self.recent) > REP_WINDOW:
+            self.recent = self.recent[-REP_WINDOW:]
+
+    def sample(self, logits: np.ndarray) -> int:
+        logits = np.asarray(logits, dtype=np.float32).copy()
+        vocab = logits.shape[0]
+
+        if self.repetition_penalty != 1.0 and self.recent:
+            ids = np.asarray([t for t in self.recent if 0 <= t < vocab], dtype=np.int64)
+            if ids.size:
+                vals = logits[ids]
+                logits[ids] = np.where(vals > 0.0, vals / self.repetition_penalty,
+                                       vals * self.repetition_penalty)
+
+        if self.temperature > 0.0 and self.temperature != 1.0:
+            logits /= self.temperature
+
+        if 0 < self.top_k < vocab:
+            kth = np.partition(logits, -self.top_k)[-self.top_k]
+            logits[logits < kth] = -1e30
+
+        logits -= logits.max()
+        probs = np.exp(logits)
+        probs /= probs.sum()
+        r = self.rng.random()
+        cum = np.cumsum(probs)
+        return int(np.searchsorted(cum, r, side="left"))
