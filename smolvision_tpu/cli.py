@@ -1,0 +1,202 @@
+"""CLI — flag-compatible with the reference binary (main.c:50-83).
+
+Hard I/O contract (relied on by asr_regression.py): the transcript goes to
+STDOUT (tokens streamed as decoded in normal mode; one final line in
+--silent); all status/perf lines go to STDERR, including:
+  Inference: ... ms, N text tokens (X tok/s, encoding: ...ms, decoding: ...ms)
+  Audio: X s processed in Y s (Zx realtime)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="smolvision",
+        description="smolvision_tpu — Qwen3-ASR speech-to-text (TPU-native JAX)")
+    p.add_argument("-d", dest="model_dir", required=True, help="model directory")
+    p.add_argument("-i", dest="input_wav", help="input WAV file")
+    p.add_argument("--stdin", action="store_true", help="read audio from stdin")
+    p.add_argument("-t", dest="threads", type=int, default=0,
+                   help="host threads (accepted for compatibility; XLA owns parallelism)")
+    p.add_argument("-S", dest="segment_sec", type=float, default=-1,
+                   help="segment target seconds (0 = full-audio decode)")
+    p.add_argument("-W", dest="search_sec", type=float, default=-1,
+                   help="segment-cut silence search window +/- seconds")
+    p.add_argument("--stream", action="store_true", help="streaming mode")
+    p.add_argument("--stream-max-new-tokens", type=int, default=-1)
+    p.add_argument("--enc-window-sec", type=float, default=-1)
+    p.add_argument("--past-text", choices=["yes", "no", "auto"], default="auto")
+    p.add_argument("--skip-silence", action="store_true")
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--language", default=None)
+    p.add_argument("--thinker", action="store_true")
+    p.add_argument("--text", dest="thinker_text", default=None)
+    p.add_argument("--max-tokens", type=int, default=-1)
+    p.add_argument("--temperature", "--temp", dest="temperature", type=float, default=-1.0)
+    p.add_argument("--repeat-penalty", type=float, default=-1.0)
+    p.add_argument("--top-k", type=int, default=-1)
+    p.add_argument("--seed", type=int, default=0, help="sampling seed (thinker)")
+    p.add_argument("--moe-preload", action="store_true",
+                   help="accepted for compatibility (weights are device-resident)")
+    p.add_argument("--monitor", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--silent", action="store_true")
+    p.add_argument("--f32", action="store_true",
+                   help="load weights in float32 (parity debugging; slower)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if not args.thinker and not args.input_wav and not args.stdin:
+        print("Error: need -i, --stdin, or --thinker --text", file=sys.stderr)
+        return 1
+    if args.thinker and not args.input_wav and not args.stdin and not args.thinker_text:
+        print("Error: --thinker requires -i, --stdin, or --text", file=sys.stderr)
+        return 1
+    if args.input_wav and args.stdin:
+        print("Error: -i and --stdin are mutually exclusive", file=sys.stderr)
+        return 1
+    if args.enc_window_sec >= 0 and not (1.0 <= args.enc_window_sec <= 8.0):
+        print(f"Error: --enc-window-sec must be in [1, 8], got {args.enc_window_sec}",
+              file=sys.stderr)
+        return 1
+
+    verbosity = 0 if args.silent else (2 if args.debug else 1)
+
+    import os
+
+    import jax
+
+    # This jax build ignores the JAX_PLATFORMS env var (the TPU plugin wins);
+    # honor our own override so tests/tools can force the CPU backend.
+    platform = os.environ.get("SMOLVISION_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    import jax.numpy as jnp
+
+    from smolvision_tpu.io.wav import load_wav, read_pcm_stdin
+    from smolvision_tpu.runtime.engine import Engine
+    from smolvision_tpu.runtime import segment as segment_mod
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    eng = Engine(
+        args.model_dir,
+        param_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        enc_window_sec=args.enc_window_sec if args.enc_window_sec >= 0 else None,
+        verbose=verbosity,
+    )
+    eng.monitor = args.monitor
+
+    if args.segment_sec >= 0:
+        eng.segment_sec = args.segment_sec
+    if args.search_sec >= 0:
+        eng.search_sec = args.search_sec
+    if args.stream_max_new_tokens > 0:
+        eng.stream_max_new_tokens = args.stream_max_new_tokens
+    if args.past_text == "yes":
+        eng.past_text_conditioning = True
+    elif args.past_text == "no":
+        eng.past_text_conditioning = False
+    elif args.stream:
+        # auto: streaming defaults to prefix conditioning (main.c:316-320)
+        eng.past_text_conditioning = True
+    if args.skip_silence:
+        eng.skip_silence = True
+    if args.max_tokens > 0:
+        eng.thinker_max_tokens = args.max_tokens
+        eng.max_tokens = args.max_tokens
+    if args.temperature >= 0:
+        eng.temperature = args.temperature
+    if args.repeat_penalty >= 0:
+        eng.repetition_penalty = args.repeat_penalty
+    if args.top_k >= 0:
+        eng.top_k = args.top_k
+    eng.seed = args.seed
+    if args.prompt:
+        eng.set_prompt(args.prompt)
+    if args.language:
+        if not eng.set_force_language(args.language):
+            from smolvision_tpu.config import SUPPORTED_LANGUAGES
+
+            print(f"Unsupported language for --language: {args.language}", file=sys.stderr)
+            print("Supported languages: " + ",".join(SUPPORTED_LANGUAGES), file=sys.stderr)
+            return 1
+
+    emit_tokens = verbosity > 0
+
+    def stream_token(piece: bytes):
+        sys.stdout.buffer.write(piece)
+        sys.stdout.flush()
+
+    eng.token_cb = stream_token if emit_tokens else None
+
+    def load_input():
+        try:
+            return load_wav(args.input_wav) if args.input_wav else read_pcm_stdin()
+        except (OSError, ValueError) as e:
+            print(f"smolvision: cannot load audio: {e}", file=sys.stderr)
+            return None
+
+    text = None
+    try:
+        if args.thinker:
+            samples = None
+            if args.input_wav or args.stdin:
+                samples = load_input()
+                if samples is None:
+                    return 1
+            text = eng.thinker_generate(samples, args.thinker_text)
+        elif args.stream and args.stdin:
+            from smolvision_tpu.io.live import LiveAudio
+
+            live = LiveAudio.start_stdin()
+            text = stream_mod.transcribe_stream_live(eng, live)
+        elif args.stream:
+            samples = load_input()
+            if samples is None:
+                return 1
+            text = stream_mod.transcribe_stream(eng, samples)
+        else:
+            samples = load_input()
+            if samples is None:
+                return 1
+            text = segment_mod.transcribe_audio(eng, samples)
+    except ValueError as e:
+        print(f"smolvision: {e}", file=sys.stderr)
+        return 1
+
+    if text is None:
+        print("Transcription failed", file=sys.stderr)
+        return 1
+
+    if emit_tokens:
+        sys.stdout.write("\n")
+    else:
+        sys.stdout.write(text + "\n")
+    sys.stdout.flush()
+
+    if verbosity >= 1:
+        perf = eng.perf
+        tok_s = (1000.0 * perf.text_tokens / perf.total_ms) if perf.total_ms > 0 else 0.0
+        print(f"Inference: {perf.total_ms:.0f} ms, {perf.text_tokens} text tokens "
+              f"({tok_s:.2f} tok/s, encoding: {perf.encode_ms:.0f}ms, "
+              f"decoding: {perf.decode_ms:.0f}ms)", file=sys.stderr)
+        if perf.audio_ms > 0 and perf.total_ms > 0:
+            audio_s = perf.audio_ms / 1000.0
+            infer_s = perf.total_ms / 1000.0
+            print(f"Audio: {audio_s:.1f} s processed in {infer_s:.1f} s "
+                  f"({audio_s / infer_s:.2f}x realtime)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

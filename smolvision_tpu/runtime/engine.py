@@ -17,6 +17,7 @@ per 32 tokens instead of every token.
 from __future__ import annotations
 
 import functools
+import sys
 import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -83,7 +84,7 @@ class Engine:
         self.kv_dtype = kv_dtype
 
         if verbose >= 1:
-            print(f"Detected: {cfg.name} ({cfg.family})", flush=True)
+            print(f"Detected: {cfg.name} ({cfg.family})", file=sys.stderr, flush=True)
 
         if cfg.family == "q25":
             self.enc_params = params_mod.load_q25_encoder(self.reader, cfg, param_dtype)
@@ -173,6 +174,10 @@ class Engine:
 
         self._decode_chunk = jax.jit(
             decode_chunk, static_argnums=(4,), donate_argnums=(3,))
+
+        self._slice_rows = jax.jit(
+            lambda x, start, n: jax.lax.dynamic_slice(x, (start, 0), (n, x.shape[1])),
+            static_argnums=(2,))
 
     # ------------------------------------------------------------------
     # tokenizer / prompt settings
@@ -326,6 +331,34 @@ class Engine:
                            jnp.int32(total), kv)
         return out, start_pos + total
 
+    def prefill_with_reuse(self, ids: Sequence[int], audio: Optional[jnp.ndarray],
+                           audio_start: int, n_audio: int, reused: int,
+                           greedy: bool = True):
+        """Prefill only the delta past `reused` already-cached KV positions
+        (streaming KV reuse, qwen_asr.c:1807-1831; we key reuse on a host-side
+        prompt signature instead of the reference's embedding-row memcmp).
+        Returns (token_or_logits, total_len)."""
+        total = len(ids)
+        reused = max(0, min(reused, total - 1))
+        delta_len = total - reused
+        delta_cap = bucket(delta_len, 64)
+        # embeds must cover [reused, reused+delta_cap) or dynamic_slice would
+        # clamp the start and misalign the delta rows
+        tcap = bucket(max(total, reused + delta_cap), 64)
+        ids_arr = np.zeros(tcap, dtype=np.int32)
+        ids_arr[:total] = np.asarray(ids, dtype=np.int32)
+        if audio is None:
+            audio = jnp.zeros((16, self.cfg.dec_hidden), dtype=jnp.float32)
+            audio_start, n_audio = -1_000_000, 0
+        embeds = self._build_embeds(self.dec_params, jnp.asarray(ids_arr), audio,
+                                    jnp.int32(audio_start), jnp.int32(n_audio))
+        delta = self._slice_rows(embeds, jnp.int32(reused), delta_cap)
+        kv = self._ensure_kv(reused + delta_cap + KV_HEADROOM)
+        fn = self._prefill_greedy if greedy else self._prefill_logits
+        out, self._kv = fn(self.dec_params, delta, jnp.int32(reused),
+                           jnp.int32(delta_len), kv)
+        return out, total
+
     def decode_greedy(self, first_token, start_pos: int, max_tokens: int,
                       on_token: Callable[[int], bool]) -> int:
         """Greedy loop in device chunks of DECODE_CHUNK tokens.
@@ -428,7 +461,7 @@ class Engine:
                   f"Encoder: {n_audio} tokens ({enc_ms:.0f} ms); "
                   f"Prefill: {len(ids)} tokens ({prefill_ms:.0f} ms); "
                   f"Decode: {state['n_text']} text tokens ({decode_ms:.0f} ms)",
-                  flush=True)
+                  file=sys.stderr, flush=True)
         return text, state["n_text"]
 
     # ------------------------------------------------------------------

@@ -1,0 +1,277 @@
+"""Segmented transcription driver + silence compaction (host logic).
+
+Ports the *behavior* of qwen_asr.c's segmented mode:
+  * energy-based split search: lowest-energy 100 ms window within +/-
+    search_sec of each target boundary (find_split_point, qwen_asr.c:617-643),
+  * <=128 segments, 0.5 s zero-pad minimum (qwen_asr.c:1003-1011),
+  * optional past-text conditioning with collapse detection & retry
+    (should_retry_unconditioned_segment, qwen_asr.c:844-867) and fail-open
+    disable after 2 collapses (qwen_asr.c:1062-1068),
+  * boundary space insertion heuristics (qwen_asr.c:869-898),
+  * adaptive RMS silence compaction (--skip-silence, qwen_asr.c:437-565).
+
+Pure numpy/host Python: segments are natural data-parallel units (see
+parallel/batch.py for the multi-chip path).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import sys
+
+import numpy as np
+
+from smolvision_tpu.config import SAMPLE_RATE
+
+ENERGY_WINDOW_MS = 100
+MAX_SEGMENTS = 128
+
+
+def compact_silence(samples: np.ndarray, verbose: int = 0) -> np.ndarray:
+    """Drop long silent spans while keeping short pauses.
+
+    Adaptive RMS gate: 10 ms windows, EMA smoothing (alpha 0.2), threshold =
+    25th-percentile noise floor x1.8 clamped to [-54 dBFS, 0.025], <50 ms
+    voice spikes rejected, 30 ms speech-edge padding, first 600 ms of each
+    silence kept."""
+    n = len(samples)
+    if n <= 0:
+        return samples
+    win = 160  # 10 ms
+    base_thresh = 0.002
+    max_thresh = 0.025
+    alpha = 0.2
+    min_voice_windows = 5
+    pad_voice_windows = 3
+    pass_windows = 60
+
+    n_win = (n + win - 1) // win
+    padded_len = n_win * win
+    buf = np.zeros(padded_len, dtype=np.float64)
+    buf[:n] = samples
+    sq = buf.reshape(n_win, win) ** 2
+    lens = np.full(n_win, win, dtype=np.float64)
+    lens[-1] = n - (n_win - 1) * win or win
+    rms = np.sqrt(sq.sum(axis=1) / lens)
+
+    # EMA smoothing (sequential; n_win is small)
+    smooth = np.empty_like(rms)
+    s = rms[0]
+    for i, r in enumerate(rms):
+        s = (1 - alpha) * s + alpha * r
+        smooth[i] = s
+
+    noise_floor = np.sort(smooth)[int((n_win - 1) * 0.25)]
+    thresh = float(np.clip(noise_floor * 1.8, base_thresh, max_thresh))
+    is_voice = smooth > thresh
+
+    # Reject short voice bursts
+    i = 0
+    while i < n_win:
+        if not is_voice[i]:
+            i += 1
+            continue
+        j = i
+        while j < n_win and is_voice[j]:
+            j += 1
+        if j - i < min_voice_windows:
+            is_voice[i:j] = False
+        i = j
+
+    # Edge padding
+    padded = np.zeros(n_win, dtype=bool)
+    idx = np.nonzero(is_voice)[0]
+    for w in idx:
+        padded[max(0, w - pad_voice_windows) : min(n_win, w + pad_voice_windows + 1)] = True
+
+    keep = np.zeros(n_win, dtype=bool)
+    silence_count = 0
+    for w in range(n_win):
+        if padded[w]:
+            keep[w] = True
+            silence_count = 0
+        else:
+            silence_count += 1
+            if silence_count <= pass_windows:
+                keep[w] = True
+
+    mask = np.repeat(keep, win)[:n]
+    out = samples[mask]
+    if len(out) == 0:
+        out = samples[: min(n, SAMPLE_RATE // 2)]
+    return np.ascontiguousarray(out, dtype=np.float32)
+
+
+def find_split_point(samples: np.ndarray, target: int, search_sec: float) -> int:
+    """Lowest-energy 100 ms window (half-overlapping scan) near `target`."""
+    n = len(samples)
+    half = int(search_sec * SAMPLE_RATE)
+    lo = max(0, target - half)
+    hi = min(n, target + half)
+    win = (ENERGY_WINDOW_MS * SAMPLE_RATE) // 1000  # 1600
+    best_energy = np.inf
+    best_center = target
+    pos = lo
+    sq = samples.astype(np.float64) ** 2
+    csum = np.concatenate([[0.0], np.cumsum(sq)])
+    while pos + win <= hi:
+        end = min(pos + win, n)
+        energy = (csum[end] - csum[pos]) / (end - pos)
+        if energy < best_energy:
+            best_energy = energy
+            best_center = pos + (end - pos) // 2
+        pos += win // 2
+    return best_center
+
+
+def split_points(samples: np.ndarray, segment_sec: float, search_sec: float) -> List[int]:
+    """Segment boundaries incl. 0 and len(samples); empty if no splitting."""
+    n = len(samples)
+    search = min(search_sec, segment_sec / 2.0)
+    target = int(segment_sec * SAMPLE_RATE)
+    margin = int(search * SAMPLE_RATE)
+    if segment_sec <= 0 or n <= target + margin:
+        return [0, n]
+    splits = [0]
+    pos = 0
+    while pos + target + margin < n and len(splits) < MAX_SEGMENTS - 1:
+        split = find_split_point(samples, pos + target, search)
+        splits.append(split)
+        pos = split
+    splits.append(n)
+    return splits
+
+
+def should_retry_unconditioned(full_result: str, seg_text: Optional[str],
+                               core_samples: int, n_text_tokens: int) -> bool:
+    """Conditioning-collapse heuristics (qwen_asr.c:844-867)."""
+    if not seg_text:
+        return True
+    core_sec = core_samples / SAMPLE_RATE
+    if core_sec >= 8.0:
+        min_tokens = max(int(core_sec * 1.75), 12)
+        if n_text_tokens < min_tokens:
+            return True
+    if full_result and len(seg_text) >= 48 and seg_text in full_result:
+        return True
+    return False
+
+
+def _should_insert_boundary_space(prev_ch: str, next_ch: str) -> bool:
+    if not prev_ch or not next_ch:
+        return False
+    if prev_ch.isspace() or next_ch.isspace():
+        return False
+    import string
+
+    if next_ch in string.punctuation:
+        return False
+    return True
+
+
+def transcribe_audio(engine, samples: np.ndarray) -> Optional[str]:
+    """Full offline transcription with optional segmentation.
+
+    Mirrors qwen_transcribe_audio (qwen_asr.c:900-1112): silence skip, split
+    search, per-segment fresh KV, past-text conditioning with retry/disable,
+    boundary stitching, callback routing."""
+    engine.perf.reset()
+    engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
+
+    if engine.skip_silence:
+        compacted = compact_silence(samples, engine.verbose)
+        if engine.verbose >= 1:
+            used = 100.0 * len(compacted) / max(len(samples), 1)
+            print(f"Silence skip: used {used:.1f}%, skipped {100 - used:.1f}% "
+                  f"({len(samples)} -> {len(compacted)} samples)", file=sys.stderr, flush=True)
+        samples = compacted
+
+    engine.prepare_prompt()
+    splits = split_points(samples, engine.segment_sec, engine.search_sec)
+
+    if len(splits) == 2:
+        text, _ = engine.transcribe_segment(samples)
+        return text
+
+    if engine.verbose >= 2:
+        print(f"Splitting into {len(splits) - 1} segments", file=sys.stderr, flush=True)
+
+    min_samples = SAMPLE_RATE // 2
+    result_parts: List[str] = []
+    result = ""
+    use_past = engine.past_text_conditioning
+    do_cleanup = engine.past_text_conditioning
+    collapses = 0
+    saved_cb = engine.token_cb
+    tok = engine.tokenizer
+
+    for s in range(len(splits) - 1):
+        core_start, core_end = splits[s], splits[s + 1]
+        seg = samples[core_start:core_end]
+        if len(seg) < min_samples:
+            seg = np.concatenate([seg, np.zeros(min_samples - len(seg), np.float32)])
+
+        past_tokens = None
+        if use_past and result:
+            past_tokens = tok.encode(result)
+
+        emitted_space = False
+        if do_cleanup:
+            engine.token_cb = None  # buffer; emit finalized text below
+        elif saved_cb:
+            # fast path: stream tokens immediately, maybe with one separator
+            state = {"first": True}
+            prepend_space = bool(result) and not result[-1].isspace()
+
+            def _cb(piece: bytes, _state=state, _prepend=prepend_space):
+                if _state["first"]:
+                    _state["first"] = False
+                    if _prepend and piece:
+                        c0 = chr(piece[0]) if piece[0] < 128 else "x"
+                        if not c0.isspace() and not _is_punct(c0):
+                            saved_cb(b" ")
+                saved_cb(piece)
+
+            engine.token_cb = _cb
+
+        seg_text, seg_tokens = engine.transcribe_segment(seg, past_tokens)
+
+        if (do_cleanup and use_past and past_tokens
+                and should_retry_unconditioned(result, seg_text,
+                                               core_end - core_start, seg_tokens)):
+            collapses += 1
+            if engine.verbose >= 2:
+                print(f"Segment {s + 1}: retrying without past-text conditioning",
+                      file=sys.stderr, flush=True)
+            seg_text, seg_tokens = engine.transcribe_segment(seg, None)
+            if collapses >= 2:
+                use_past = False
+                if engine.verbose >= 2:
+                    print("Segment mode: disabling past text conditioning", file=sys.stderr, flush=True)
+
+        engine.token_cb = saved_cb
+        if not seg_text:
+            continue
+        seg_text = seg_text.lstrip() if do_cleanup else seg_text
+        if not seg_text:
+            continue
+
+        need_space = _should_insert_boundary_space(
+            result[-1] if result else "", seg_text[0])
+        if need_space:
+            result += " "
+            if do_cleanup and saved_cb:
+                saved_cb(b" ")
+        result += seg_text
+        if do_cleanup and saved_cb:
+            saved_cb(seg_text.encode("utf-8"))
+
+    engine.token_cb = saved_cb
+    return result
+
+
+def _is_punct(c: str) -> bool:
+    import string
+
+    return c in string.punctuation

@@ -25,6 +25,9 @@ import pytest  # noqa: E402
 # right production default but breaks exact comparisons.
 import jax  # noqa: E402
 
+# This jax build ignores the JAX_PLATFORMS env var (the axon plugin wins);
+# only the config flag reliably forces the CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache makes repeat test runs much faster.

@@ -1,0 +1,72 @@
+"""CLI end-to-end smoke tests (subprocess; the regression-harness contract)."""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _wav_bytes(samples, rate=16000):
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory, speech_like_audio):
+    # speech_like_audio is session-scoped but function-signature compatible
+    p = tmp_path_factory.mktemp("wavs") / "test.wav"
+    p.write_bytes(_wav_bytes(speech_like_audio))
+    return str(p)
+
+
+def _run_cli(args, stdin_bytes=None, timeout=600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    # Tests must not grab the TPU; the CLI respects SMOLVISION_PLATFORM.
+    env["SMOLVISION_PLATFORM"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "smolvision_tpu.cli"] + args,
+        input=stdin_bytes, capture_output=True, timeout=timeout, env=env, cwd=REPO)
+
+
+def test_cli_offline_silent(tiny_model_dir, wav_path):
+    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, "--silent",
+                  "--max-tokens", "8"])
+    assert r.returncode == 0, r.stderr.decode()
+    # stdout = transcript line only (may be empty text with random weights)
+    assert r.stdout.decode().count("\n") == 1
+    assert b"Inference:" not in r.stdout
+
+
+def test_cli_streaming_perf_contract(tiny_model_dir, wav_path):
+    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, "--max-tokens", "8"])
+    assert r.returncode == 0, r.stderr.decode()
+    err = r.stderr.decode()
+    assert "Inference:" in err and "text tokens" in err
+    assert "realtime)" in err
+
+
+def test_cli_stdin(tiny_model_dir, speech_like_audio):
+    r = _run_cli(["-d", tiny_model_dir, "--stdin", "--silent", "--max-tokens", "4"],
+                 stdin_bytes=_wav_bytes(speech_like_audio))
+    assert r.returncode == 0, r.stderr.decode()
+
+
+def test_cli_thinker_text(tiny_model_dir):
+    r = _run_cli(["-d", tiny_model_dir, "--thinker", "--text", "hello",
+                  "--silent", "--max-tokens", "4", "--temperature", "0"])
+    assert r.returncode == 0, r.stderr.decode()
+
+
+def test_cli_bad_language(tiny_model_dir, wav_path):
+    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, "--language", "klingon"])
+    assert r.returncode == 1
+    assert b"Supported languages" in r.stderr
