@@ -119,20 +119,33 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str
     f32 = jnp.float32
     L = cfg.dec_layers
 
+    # Q/K/V are fused into ONE output-stacked weight per layer (the TPU
+    # analog of the reference's single fused qkv dispatch,
+    # qwen_asr_kernels.c:434-460): one big matvec beats three small ones on
+    # HBM utilization and per-op overhead.
+    def _qkv(i):
+        return np.concatenate([
+            np.asarray(reader.get(f"{p}.layers.{i}.self_attn.q_proj.weight")),
+            np.asarray(reader.get(f"{p}.layers.{i}.self_attn.k_proj.weight")),
+            np.asarray(reader.get(f"{p}.layers.{i}.self_attn.v_proj.weight")),
+        ], axis=0)
+
     layers: Dict[str, Any] = {
         "input_ln": _stack(reader, p + ".layers.{i}.input_layernorm.weight", L, f32),
         "post_ln": _stack(reader, p + ".layers.{i}.post_attention_layernorm.weight", L, f32),
-        "wq": _stack(reader, p + ".layers.{i}.self_attn.q_proj.weight", L, param_dtype),
-        "wk": _stack(reader, p + ".layers.{i}.self_attn.k_proj.weight", L, param_dtype),
-        "wv": _stack(reader, p + ".layers.{i}.self_attn.v_proj.weight", L, param_dtype),
+        "wqkv": _put(np.stack([_qkv(i) for i in range(L)]), param_dtype),
         "wo": _stack(reader, p + ".layers.{i}.self_attn.o_proj.weight", L, param_dtype),
     }
     if cfg.dec_qkv_bias:
-        layers["bq"] = _stack(reader, p + ".layers.{i}.self_attn.q_proj.bias", L, f32)
-        layers["bk"] = _stack(reader, p + ".layers.{i}.self_attn.k_proj.bias", L, f32)
-        layers["bv"] = _stack(reader, p + ".layers.{i}.self_attn.v_proj.bias", L, f32)
+        layers["bqkv"] = _put(np.stack([
+            np.concatenate([
+                np.asarray(reader.get(f"{p}.layers.{i}.self_attn.q_proj.bias")),
+                np.asarray(reader.get(f"{p}.layers.{i}.self_attn.k_proj.bias")),
+                np.asarray(reader.get(f"{p}.layers.{i}.self_attn.v_proj.bias")),
+            ]) for i in range(L)
+        ]), f32)
     else:
-        layers["bq"] = layers["bk"] = layers["bv"] = None
+        layers["bqkv"] = None
     if cfg.dec_qk_norm:
         layers["q_norm"] = _stack(reader, p + ".layers.{i}.self_attn.q_norm.weight", L, f32)
         layers["k_norm"] = _stack(reader, p + ".layers.{i}.self_attn.k_norm.weight", L, f32)
@@ -159,10 +172,16 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str
                 np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.down_proj.weight")) for e in range(E)])
                 for i in range(L)
             ]), param_dtype)
-        layers["w_gate"] = layers["w_up"] = layers["w_down"] = None
+        layers["w_gate_up"] = layers["w_down"] = None
     else:
-        layers["w_gate"] = _stack(reader, p + ".layers.{i}.mlp.gate_proj.weight", L, param_dtype)
-        layers["w_up"] = _stack(reader, p + ".layers.{i}.mlp.up_proj.weight", L, param_dtype)
+        # gate+up fused the same way (reference fuses them interleaved at
+        # load, qwen_asr_decoder.c:140-152; we stack [gate; up] blocks).
+        layers["w_gate_up"] = _put(np.stack([
+            np.concatenate([
+                np.asarray(reader.get(f"{p}.layers.{i}.mlp.gate_proj.weight")),
+                np.asarray(reader.get(f"{p}.layers.{i}.mlp.up_proj.weight")),
+            ], axis=0) for i in range(L)
+        ]), param_dtype)
         layers["w_down"] = _stack(reader, p + ".layers.{i}.mlp.down_proj.weight", L, param_dtype)
         layers["router"] = layers["e_gate"] = layers["e_up"] = layers["e_down"] = None
 

@@ -80,25 +80,53 @@ def _moe_ffn(x, lp, cfg: ModelConfig):
     return jnp.einsum("te,teh->th", route, down)
 
 
-def _attention(q, k_cache, v_cache, q_positions, kv_valid_len, cfg: ModelConfig):
-    """Causal GQA attention over the full KV cache buffer (f32 math)."""
+def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
+                        cfg: ModelConfig):
+    """Causal GQA attention, split into (a) the immutable cache prefix
+    [0, start_pos) and (b) the fresh in-block rows, merged by online softmax.
+
+    This keeps the KV cache READ-ONLY inside the layer scan: the fresh rows
+    are emitted as tiny scan outputs and written back with ONE
+    dynamic_update_slice per forward call, instead of rewriting the whole
+    cache every layer (the flash-decode formulation).  MXU consumes bf16
+    directly; softmax math is f32.
+
+    q: [T, H, D] f32 at absolute positions start_pos + arange(T).
+    k_new/v_new: [T, KH, D] f32 (post-rope, this block).
+    k_cache/v_cache: [K, KH, D] stored dtype; rows >= start_pos are stale.
+    """
     T, H, D = q.shape
     KH = cfg.dec_kv_heads
     G = H // KH
     Kcap = k_cache.shape[0]
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    qf = q.astype(jnp.float32).reshape(T, KH, G, D)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
-    scores = jnp.einsum("tkgd,skd->kgts", qf, kf) * scale        # [KH, G, T, Kcap]
-    kv_pos = jnp.arange(Kcap)
-    mask = (kv_pos[None, :] <= q_positions[:, None]) & (kv_pos[None, :] < kv_valid_len)
-    scores = jnp.where(mask[None, None, :, :], scores, -jnp.inf)
-    m = jnp.max(scores, axis=-1, keepdims=True)
+    cdt = k_cache.dtype
+    qc = (q * scale).astype(cdt).reshape(T, KH, G, D)
+
+    # part (a): frozen cache prefix
+    sa = jnp.einsum("tkgd,skd->kgts", qc, k_cache,
+                    preferred_element_type=jnp.float32)          # [KH,G,T,K]
+    mask_a = (jnp.arange(Kcap) < start_pos)[None, None, None, :]
+    sa = jnp.where(mask_a, sa, -jnp.inf)
+
+    # part (b): fresh rows, causal within the block
+    sb = jnp.einsum("tkgd,skd->kgts", qc, k_new.astype(cdt),
+                    preferred_element_type=jnp.float32)          # [KH,G,T,T]
+    mask_b = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])[None, None, :, :]
+    sb = jnp.where(mask_b, sb, -jnp.inf)
+
+    ma = jnp.max(sa, axis=-1, keepdims=True)
+    mb = jnp.max(sb, axis=-1, keepdims=True)
+    m = jnp.maximum(ma, mb)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
-    e = jnp.where(mask[None, None, :, :], jnp.exp(scores - m), 0.0)
-    probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-    out = jnp.einsum("kgts,skd->tkgd", probs, vf)
+    ea = jnp.where(mask_a, jnp.exp(sa - m), 0.0)
+    eb = jnp.where(mask_b, jnp.exp(sb - m), 0.0)
+    denom = jnp.maximum(ea.sum(-1, keepdims=True) + eb.sum(-1, keepdims=True), 1e-30)
+    oa = jnp.einsum("kgts,skd->tkgd", ea.astype(cdt), v_cache,
+                    preferred_element_type=jnp.float32)
+    ob = jnp.einsum("kgts,skd->tkgd", eb.astype(cdt), v_new.astype(cdt),
+                    preferred_element_type=jnp.float32)
+    out = (oa + ob) / jnp.transpose(denom, (2, 0, 1, 3))
     return out.reshape(T, H, D)
 
 
@@ -118,35 +146,34 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
     positions = start_pos + jnp.arange(Tcap)
     kv_valid_len = start_pos + valid_len
     cos, sin = rope_tables(positions, D, cfg.rope_theta)
-    wdt = params["layers"]["wq"].dtype
+    wdt = params["layers"]["wqkv"].dtype
     kv_dt = kv.dtype
+
+    # The cache is READ-ONLY inside the scan; each layer emits only its fresh
+    # [T, KH, D] rows as scan outputs, and ONE dynamic_update_slice after the
+    # scan writes all layers' new rows (flash-decode structure — no
+    # full-cache rewrite per step, no traced-index update inside the loop).
+    q_dim = H * D
+    kv_dim = KH * D
 
     def layer(h, xs):
         lp, kv_layer = xs
         xn = rms_norm(h, lp["input_ln"], eps)
         xc = xn.astype(wdt)
-        q = jnp.einsum("th,oh->to", xc, lp["wq"], preferred_element_type=jnp.float32)
-        k = jnp.einsum("th,oh->to", xc, lp["wk"], preferred_element_type=jnp.float32)
-        v = jnp.einsum("th,oh->to", xc, lp["wv"], preferred_element_type=jnp.float32)
-        if lp.get("bq") is not None:
-            q = q + lp["bq"]
-            k = k + lp["bk"]
-            v = v + lp["bv"]
-        q = q.reshape(Tcap, H, D)
-        k = k.reshape(Tcap, KH, D)
-        v = v.reshape(Tcap, KH, D)
+        qkv = jnp.einsum("th,oh->to", xc, lp["wqkv"], preferred_element_type=jnp.float32)
+        if lp.get("bqkv") is not None:
+            qkv = qkv + lp["bqkv"]
+        q = qkv[:, :q_dim].reshape(Tcap, H, D)
+        k = qkv[:, q_dim : q_dim + kv_dim].reshape(Tcap, KH, D)
+        v = qkv[:, q_dim + kv_dim :].reshape(Tcap, KH, D)
         if lp.get("q_norm") is not None:
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
         q = apply_rope_neox(q, cos, sin)
         k = apply_rope_neox(k, cos, sin)
 
-        k_cache = jax.lax.dynamic_update_slice(
-            kv_layer[0], k.astype(kv_dt), (start_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            kv_layer[1], v.astype(kv_dt), (start_pos, 0, 0))
-
-        attn = _attention(q, k_cache, v_cache, positions, kv_valid_len, cfg)
+        attn = _attention_two_part(q, k, v, kv_layer[0], kv_layer[1],
+                                   start_pos, cfg)
         attn = attn.reshape(Tcap, H * D)
         h = h + jnp.einsum("ta,oa->to", attn.astype(wdt), lp["wo"],
                            preferred_element_type=jnp.float32)
@@ -156,15 +183,19 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
             ffn = _moe_ffn(xn, lp, cfg)
         else:
             xc2 = xn.astype(wdt)
-            gate = jnp.einsum("th,ih->ti", xc2, lp["w_gate"], preferred_element_type=jnp.float32)
-            up = jnp.einsum("th,ih->ti", xc2, lp["w_up"], preferred_element_type=jnp.float32)
-            act = (silu(gate) * up).astype(wdt)
+            gate_up = jnp.einsum("th,ih->ti", xc2, lp["w_gate_up"],
+                                 preferred_element_type=jnp.float32)
+            I = gate_up.shape[-1] // 2
+            act = (silu(gate_up[:, :I]) * gate_up[:, I:]).astype(wdt)
             ffn = jnp.einsum("ti,hi->th", act, lp["w_down"], preferred_element_type=jnp.float32)
         h = h + ffn
-        return h, jnp.stack([k_cache, v_cache])
+        return h, (k.astype(kv_dt), v.astype(kv_dt))
 
-    h, kv_new = jax.lax.scan(layer, embeds.astype(jnp.float32),
-                             (params["layers"], kv))
+    h, (k_rows, v_rows) = jax.lax.scan(layer, embeds.astype(jnp.float32),
+                                       (params["layers"], kv))
+    # k_rows/v_rows: [L, T, KH, D] -> one write of the new block
+    new_block = jnp.stack([k_rows, v_rows], axis=1)  # [L, 2, T, KH, D]
+    kv_new = jax.lax.dynamic_update_slice(kv, new_block, (0, 0, start_pos, 0, 0))
     return h, kv_new
 
 

@@ -66,13 +66,9 @@ def synthetic_decoder(cfg: ModelConfig, param_dtype=jnp.bfloat16, seed=None):
     layers = {
         "input_ln": _ones((L, H)),
         "post_ln": _ones((L, H)),
-        "wq": _mk(rng, (L, Hq, H), param_dtype),
-        "wk": _mk(rng, (L, Hkv, H), param_dtype),
-        "wv": _mk(rng, (L, Hkv, H), param_dtype),
+        "wqkv": _mk(rng, (L, Hq + 2 * Hkv, H), param_dtype),
         "wo": _mk(rng, (L, H, Hq), param_dtype),
-        "bq": _mk(rng, (L, Hq), f32) if cfg.dec_qkv_bias else None,
-        "bk": _mk(rng, (L, Hkv), f32) if cfg.dec_qkv_bias else None,
-        "bv": _mk(rng, (L, Hkv), f32) if cfg.dec_qkv_bias else None,
+        "bqkv": _mk(rng, (L, Hq + 2 * Hkv), f32) if cfg.dec_qkv_bias else None,
         "q_norm": _ones((L, cfg.dec_head_dim)) if cfg.dec_qk_norm else None,
         "k_norm": _ones((L, cfg.dec_head_dim)) if cfg.dec_qk_norm else None,
     }
@@ -83,10 +79,9 @@ def synthetic_decoder(cfg: ModelConfig, param_dtype=jnp.bfloat16, seed=None):
         layers["e_gate"] = _mk(rng, (L, E, MI, H), param_dtype)
         layers["e_up"] = _mk(rng, (L, E, MI, H), param_dtype)
         layers["e_down"] = _mk(rng, (L, E, H, MI), param_dtype)
-        layers["w_gate"] = layers["w_up"] = layers["w_down"] = None
+        layers["w_gate_up"] = layers["w_down"] = None
     else:
-        layers["w_gate"] = _mk(rng, (L, I, H), param_dtype)
-        layers["w_up"] = _mk(rng, (L, I, H), param_dtype)
+        layers["w_gate_up"] = _mk(rng, (L, 2 * I, H), param_dtype)
         layers["w_down"] = _mk(rng, (L, H, I), param_dtype)
         layers["router"] = layers["e_gate"] = layers["e_up"] = layers["e_down"] = None
 

@@ -62,11 +62,13 @@ def decoder_shardings(cfg: ModelConfig, mesh: Mesh):
     col = _ns(mesh, None, None, MODEL_AXIS)   # [L, out, in] -> shard in
     layers = {
         "input_ln": rep, "post_ln": rep,
-        "wq": row, "wk": row, "wv": row, "wo": col,
-        "bq": _ns(mesh, None, MODEL_AXIS), "bk": _ns(mesh, None, MODEL_AXIS),
-        "bv": _ns(mesh, None, MODEL_AXIS),
+        # wqkv/w_gate_up are output-fused: replicate rather than row-shard
+        # (sharding the concatenated axis would split q/kv blocks unevenly;
+        # a TP-aware interleaved fusion is a planned refinement)
+        "wqkv": rep, "wo": col,
+        "bqkv": rep,
         "q_norm": rep, "k_norm": rep,
-        "w_gate": row, "w_up": row, "w_down": col,
+        "w_gate_up": rep, "w_down": col,
         "router": rep,
         "e_gate": _ns(mesh, None, MODEL_AXIS, None, None),
         "e_up": _ns(mesh, None, MODEL_AXIS, None, None),

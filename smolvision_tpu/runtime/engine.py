@@ -43,7 +43,10 @@ from smolvision_tpu.runtime.buckets import bucket, window_bucket
 from smolvision_tpu.runtime.sampling import Sampler
 from smolvision_tpu.text.tokenizer import Tokenizer, load_tokenizer
 
-DECODE_CHUNK = 32  # tokens per device decode dispatch
+# Tokens per device decode dispatch.  Each chunk costs one host<->device
+# round trip (~27 ms over the axon tunnel); typical ASR outputs are ~40
+# tokens, so 64 usually means a single sync per segment.
+DECODE_CHUNK = 64
 KV_HEADROOM = 256
 
 TokenCallback = Callable[[bytes], None]
@@ -154,12 +157,14 @@ class Engine:
         eos = jnp.asarray(list(EOS_TOKEN_IDS), dtype=jnp.int32)
 
         def decode_chunk(p, token, pos, kv, n_steps):
-            """Up to n_steps greedy tokens on device; early-exits on EOS."""
-            buf = jnp.zeros((n_steps,), dtype=jnp.int32)
+            """Up to n_steps (traced, <= DECODE_CHUNK) greedy tokens on
+            device; early-exits on EOS.  token/pos stay device scalars across
+            chunks — the only host traffic per chunk is the buf download."""
+            buf = jnp.zeros((DECODE_CHUNK,), dtype=jnp.int32)
 
             def cond(c):
                 i, _, _, _, _, done = c
-                return jnp.logical_and(~done, i < n_steps)
+                return (~done) & (i < n_steps) & (i < DECODE_CHUNK)
 
             def body(c):
                 i, tok, pos_, kv_, buf_, _ = c
@@ -172,8 +177,7 @@ class Engine:
                 cond, body, (jnp.int32(0), token, pos, kv, buf, jnp.bool_(False)))
             return buf, i, tok, pos, kv
 
-        self._decode_chunk = jax.jit(
-            decode_chunk, static_argnums=(4,), donate_argnums=(3,))
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(3,))
 
         self._slice_rows = jax.jit(
             lambda x, start, n: jax.lax.dynamic_slice(x, (start, 0), (n, x.shape[1])),
@@ -371,31 +375,58 @@ class Engine:
         from collections import deque
 
         pos = start_pos
-        cur = int(first_token)
-        pending = deque([cur])
+        first_dev = jnp.asarray(first_token, dtype=jnp.int32)
+        cur_dev = first_dev
+        pos_dev = jnp.int32(pos)
+        pending = deque()
         n = 0
+        got_first = False
+
+        def dispatch_and_fetch(steps, with_first):
+            """One chunk dispatch + ONE host round trip (buf/count, and the
+            first token's value piggybacked on the same fetch)."""
+            nonlocal cur_dev, pos_dev, pos
+            kv = self._ensure_kv(pos + steps + 1)
+            buf, count, cur_dev, pos_dev, kv = self._decode_chunk(
+                self.dec_params, cur_dev, pos_dev, kv, jnp.int32(steps))
+            self._kv = kv
+            if with_first:
+                fv, buf_host, count = jax.device_get((first_dev, buf, count))
+            else:
+                fv = None
+                buf_host, count = jax.device_get((buf, count))
+            count = int(count)
+            pos += count
+            pending.extend(int(t) for t in buf_host[:count])
+            return (int(fv) if fv is not None else None), count
+
         while n < max_tokens:
-            if not pending:
+            if not got_first:
+                # Dispatch the first chunk BEFORE fetching the first token:
+                # its value rides back on the same round trip.  (If the first
+                # token turns out to be EOS the chunk was wasted work — rare,
+                # harmless: KV rows past EOS are overwritten/masked later.)
+                steps = min(DECODE_CHUNK, max_tokens - n - 1)
+                if steps > 0:
+                    tid, _ = dispatch_and_fetch(steps, with_first=True)
+                else:
+                    tid = int(jax.device_get(first_dev))
+                got_first = True
+            elif pending:
+                tid = pending.popleft()
+            else:
                 steps = min(DECODE_CHUNK, max_tokens - n)
                 if steps <= 0:
                     break
-                kv = self._ensure_kv(pos + steps + 1)
-                buf, count, _, _, kv = self._decode_chunk(
-                    self.dec_params, jnp.asarray(cur, dtype=jnp.int32),
-                    jnp.int32(pos), kv, steps)
-                self._kv = kv
-                count = int(count)
+                _, count = dispatch_and_fetch(steps, with_first=False)
                 if count == 0:
                     break
-                pos += count
-                pending.extend(int(t) for t in np.asarray(buf)[:count])
-            tid = pending.popleft()
+                tid = pending.popleft()
             n += 1
             if tid in EOS_TOKEN_IDS:
                 break
             if not on_token(tid):
                 break
-            cur = tid
         return n
 
     # ------------------------------------------------------------------
@@ -413,13 +444,20 @@ class Engine:
         self.prepare_prompt()
         tok = self.tokenizer
 
+        # NOTE: phases are NOT synced in production mode — every
+        # block_until_ready is a ~27 ms tunnel round trip, so mel/enc/prefill
+        # chain asynchronously into the decode loop and per-phase attribution
+        # is only exact under --debug (verbose >= 2).
+        sync = self.verbose >= 2
+
         t0 = _now_ms()
         mel = log_mel(samples)
         mel_ms = _now_ms() - t0
 
         t0 = _now_ms()
         audio, n_audio = self.encode_mel(mel)
-        audio.block_until_ready()
+        if sync:
+            audio.block_until_ready()
         enc_ms = _now_ms() - t0
 
         ids, audio_start = prompt_mod.build_asr_prompt(
@@ -428,6 +466,8 @@ class Engine:
         t0 = _now_ms()
         self.reset_kv()
         first, pos = self.prefill_ids(ids, audio, audio_start, n_audio)
+        if sync:
+            first.block_until_ready()
         prefill_ms = _now_ms() - t0
 
         t0 = _now_ms()
