@@ -1,0 +1,177 @@
+"""MoE decoder + Qwen2.5-Omni family vs the torch oracle (tiny checkpoints)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from smolvision_tpu.config import detect_config
+from smolvision_tpu.io.safetensors import MultiSafetensors
+from smolvision_tpu.ops.mel import log_mel
+from smolvision_tpu.runtime import prompt as prompt_mod
+
+from tests.oracle import OracleDecoder, sinusoidal_pe
+
+
+@pytest.fixture(scope="module")
+def moe_engine(tiny_moe_model_dir):
+    import jax.numpy as jnp
+    from smolvision_tpu.runtime.engine import Engine
+
+    return Engine(tiny_moe_model_dir, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def q25_engine(tiny_q25_model_dir):
+    import jax.numpy as jnp
+    from smolvision_tpu.runtime.engine import Engine
+
+    return Engine(tiny_q25_model_dir, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+
+
+def test_moe_config(tiny_moe_model_dir):
+    cfg = detect_config(tiny_moe_model_dir)
+    assert cfg.is_moe and cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+    assert cfg.norm_topk_prob
+
+
+def test_moe_decoder_matches_oracle(moe_engine, tiny_moe_model_dir):
+    eng = moe_engine
+    reader = MultiSafetensors(tiny_moe_model_dir)
+    dec = OracleDecoder(reader, eng.cfg)
+    ids = [151644, 8948, 198, 151645, 30, 40, 50]
+    embeds = dec.embed[torch.tensor(ids)]
+    with torch.no_grad():
+        ref_logits = dec.forward(embeds, 0)[-1].numpy()
+    eng.reset_kv()
+    logits, pos = eng.prefill_ids(ids, None, -1, 0, greedy=False)
+    got = np.asarray(logits)
+    reader.close()
+    np.testing.assert_allclose(got, ref_logits, rtol=3e-3, atol=3e-3)
+    assert int(np.argmax(got)) == int(np.argmax(ref_logits))
+
+
+def test_moe_greedy_decode_deterministic(moe_engine):
+    eng = moe_engine
+    ids = list(range(200, 230))
+    toks = []
+    for _ in range(2):
+        eng.reset_kv()
+        first, pos = eng.prefill_ids(ids, None, -1, 0)
+        out = []
+        eng.decode_greedy(first, pos, 8, lambda t: (out.append(t) or True))
+        toks.append(out)
+    assert toks[0] == toks[1]
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-Omni
+# ---------------------------------------------------------------------------
+
+def oracle_q25_encoder(reader, cfg, mel: np.ndarray) -> torch.Tensor:
+    """Conv1D stem + global PE + 100-token windows + single proj + bos/eos
+    (independent torch implementation of qwen25_omni_encoder.c:174-310)."""
+    import math
+
+    p = "thinker.audio_tower"
+
+    def g(name):
+        return torch.tensor(np.asarray(reader.get(name)).astype(np.float32))
+
+    x = torch.tensor(mel.astype(np.float32))[None]          # [1, 128, T]
+    x = F.gelu(F.conv1d(x, g(f"{p}.conv1.weight"), g(f"{p}.conv1.bias"),
+                        stride=1, padding=1), approximate="tanh")
+    x = F.gelu(F.conv1d(x, g(f"{p}.conv2.weight"), g(f"{p}.conv2.bias"),
+                        stride=2, padding=1), approximate="tanh")
+    x = x[0].T.contiguous()                                  # [T2, d]
+    T2, d = x.shape
+    x = x + sinusoidal_pe(T2, d)
+
+    n_heads = cfg.enc_heads
+    hd = cfg.enc_head_dim
+    win = cfg.q25_token_window
+    for i in range(cfg.enc_layers):
+        lp = f"{p}.layers.{i}"
+        xn = F.layer_norm(x, (d,), g(f"{lp}.self_attn_layer_norm.weight"),
+                          g(f"{lp}.self_attn_layer_norm.bias"), eps=1e-5)
+        q = xn @ g(f"{lp}.self_attn.q_proj.weight").T + g(f"{lp}.self_attn.q_proj.bias")
+        k = xn @ g(f"{lp}.self_attn.k_proj.weight").T  # K has NO bias
+        v = xn @ g(f"{lp}.self_attn.v_proj.weight").T + g(f"{lp}.self_attn.v_proj.bias")
+        attn = torch.zeros_like(q)
+        for ws in range(0, T2, win):
+            we = min(ws + win, T2)
+            qw = q[ws:we].view(-1, n_heads, hd).transpose(0, 1)
+            kw = k[ws:we].view(-1, n_heads, hd).transpose(0, 1)
+            vw = v[ws:we].view(-1, n_heads, hd).transpose(0, 1)
+            probs = torch.softmax(qw @ kw.transpose(-1, -2) / math.sqrt(hd), dim=-1)
+            attn[ws:we] = (probs @ vw).transpose(0, 1).reshape(we - ws, -1)
+        x = x + attn @ g(f"{lp}.self_attn.out_proj.weight").T + g(f"{lp}.self_attn.out_proj.bias")
+        xn = F.layer_norm(x, (d,), g(f"{lp}.final_layer_norm.weight"),
+                          g(f"{lp}.final_layer_norm.bias"), eps=1e-5)
+        mid = F.gelu(xn @ g(f"{lp}.fc1.weight").T + g(f"{lp}.fc1.bias"), approximate="tanh")
+        x = x + mid @ g(f"{lp}.fc2.weight").T + g(f"{lp}.fc2.bias")
+
+    x = F.layer_norm(x, (d,), g(f"{p}.ln_post.weight"), g(f"{p}.ln_post.bias"), eps=1e-5)
+    x = x @ g(f"{p}.proj.weight").T + g(f"{p}.proj.bias")
+    bos_eos = g(f"{p}.audio_bos_eos_token.weight")
+    return torch.cat([bos_eos[0:1], x, bos_eos[1:2]], dim=0)
+
+
+def test_q25_config(tiny_q25_model_dir):
+    cfg = detect_config(tiny_q25_model_dir)
+    assert cfg.family == "q25"
+    assert cfg.dec_qkv_bias and not cfg.dec_qk_norm and not cfg.tied_embeddings
+    assert cfg.vocab_size == 152064
+
+
+def test_q25_encoder_matches_oracle(q25_engine, tiny_q25_model_dir, speech_like_audio):
+    eng = q25_engine
+    mel = log_mel(speech_like_audio)
+    enc, n_audio = eng.encode_mel(mel)
+    reader = MultiSafetensors(tiny_q25_model_dir)
+    ref = oracle_q25_encoder(reader, eng.cfg, mel).numpy()
+    reader.close()
+    assert n_audio == ref.shape[0]  # includes bos/eos rows
+    got = np.asarray(enc)[:n_audio]
+    assert np.max(np.abs(got - ref)) < 5e-3, np.max(np.abs(got - ref))
+
+
+def test_q25_thinker_tokens_match_oracle(q25_engine, tiny_q25_model_dir, speech_like_audio):
+    """Full Q25 audio-thinker path: greedy tokens vs oracle."""
+    eng = q25_engine
+    mel = log_mel(speech_like_audio)
+    reader = MultiSafetensors(tiny_q25_model_dir)
+
+    enc_ref = oracle_q25_encoder(reader, eng.cfg, mel)
+    n_audio = enc_ref.shape[0]
+    ids, audio_start = prompt_mod.build_thinker_audio_prompt(eng.cfg, n_audio)
+    dec = OracleDecoder(reader, eng.cfg)
+    embeds = dec.embed[torch.tensor(ids)]
+    embeds[audio_start : audio_start + n_audio] = enc_ref
+    with torch.no_grad():
+        logits = dec.forward(embeds, 0)
+    token = int(logits[-1].argmax())
+    ref = [token]
+    pos = len(ids)
+    with torch.no_grad():
+        for _ in range(7):
+            if token in (151643, 151645):
+                break
+            logits = dec.forward(dec.embed[token][None], pos)
+            token = int(logits[0].argmax())
+            ref.append(token)
+            pos += 1
+    reader.close()
+
+    audio, n_audio2 = eng.encode_mel(mel)
+    assert n_audio2 == n_audio
+    eng.reset_kv()
+    first, pos = eng.prefill_ids(ids, audio, audio_start, n_audio)
+    got = []
+    eng.decode_greedy(first, pos, 8, lambda t: (got.append(t) or True))
+    ref_trim = []
+    for t in ref[:8]:
+        if t in (151643, 151645):
+            break
+        ref_trim.append(t)
+    assert got == ref_trim, (got, ref_trim)
