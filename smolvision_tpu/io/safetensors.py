@@ -77,6 +77,11 @@ class SafetensorsFile:
     def close(self):
         try:
             self._mm.close()
+        except BufferError:
+            # zero-copy views of this map are still alive (e.g. the CPU jax
+            # backend aliases host buffers); leave the mapping open — the OS
+            # reclaims it when the views die.
+            return
         finally:
             self._f.close()
 

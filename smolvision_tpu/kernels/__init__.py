@@ -12,12 +12,10 @@ import os
 
 import jax
 
-_FORCE = os.environ.get("SMOLVISION_PALLAS", "").strip()
-
-
 def use_pallas() -> bool:
-    if _FORCE == "0":
+    force = os.environ.get("SMOLVISION_PALLAS", "").strip()
+    if force == "0":
         return False
-    if _FORCE == "1":
+    if force == "1":
         return True
     return jax.default_backend() == "tpu"

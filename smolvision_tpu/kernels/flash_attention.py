@@ -1,0 +1,184 @@
+"""Pallas TPU flash-attention kernels.
+
+TPU-native replacements for the reference's hand-vectorized attention loops
+(qwen_asr_kernels.c:1054-1192; AVX/NEON kernels qwen_asr_kernels_avx.c):
+
+  * `window_flash_attention` — bidirectional attention within hard windows
+    (encoder).  One grid program per (window, head); the whole window fits
+    VMEM (<= 104 tokens), so scores never touch HBM.
+  * `causal_cache_flash_attention` — causal GQA attention of a query block
+    against the KV cache (decoder prefill).  Online-softmax accumulation
+    over KV blocks with a revisited output block; the [T, K] score matrix is
+    never materialized in HBM (XLA's einsum formulation writes ~134 MB of
+    f32 scores for a 1k x 2k prefill).
+
+Both kernels run in interpret mode off-TPU and are unit-tested against
+kernels/jnp_reference.py (tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Encoder: windowed bidirectional attention
+# ---------------------------------------------------------------------------
+
+def _window_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    # blocks: q/k/v/o [1, 1, S, D] (head-major so the trailing block dims are
+    # TPU-tileable); kv_len_ref in SMEM [W]
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale      # [S, D]
+    k = k_ref[0, 0, :, :].astype(jnp.float32)
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [S, S]
+    S = s.shape[1]
+    w = pl.program_id(0)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) < kv_len_ref[w]
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = jnp.where(valid, p, 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0, :, :] = (o / denom).astype(o_ref.dtype)
+
+
+def window_flash_attention(q, k, v, kv_valid_lens):
+    """q,k,v: [W, S, H, D]; kv_valid_lens: [W] int32 (valid keys per window).
+    Returns [W, S, H, D] f32.  Fully-masked query rows yield zeros... rows
+    beyond the valid length attend the valid prefix like any other row; the
+    caller slices them away (identical contract to the jnp reference except
+    pad rows are garbage-but-finite)."""
+    W, S, H, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    grid = (W, H)
+    # head-major layout: trailing block dims (S, D) satisfy TPU tiling
+    qT = jnp.transpose(q, (0, 2, 1, 3))
+    kT = jnp.transpose(k, (0, 2, 1, 3))
+    vT = jnp.transpose(v, (0, 2, 1, 3))
+    spec = pl.BlockSpec((1, 1, S, D), lambda w, h, *refs: (w, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((W, H, S, D), jnp.float32),
+        interpret=_interpret(),
+    )(kv_valid_lens, qT, kT, vT)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Decoder prefill: causal GQA flash over the KV cache
+# ---------------------------------------------------------------------------
+
+def _causal_kernel(start_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_ref, l_ref, acc_ref, *, scale, bq, bk, n_kb):
+    kb = pl.program_id(2)
+    tb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, :, :].astype(jnp.float32) * scale          # [BQ, D]
+    k = k_ref[0, :, :].astype(jnp.float32)                  # [BK, D]
+    v = v_ref[0, :, :].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [BQ, BK]
+
+    start = start_ref[0]
+    kv_len = kvlen_ref[0]
+    rows = start + tb * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    cols = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    mask = (cols <= rows) & (cols < kv_len)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(mask, p, 0.0)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        o_ref[0, :, :] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
+                                 *, gqa_groups: int, block_q: int = 128,
+                                 block_k: int = 256):
+    """Causal GQA attention of a fresh query block against the cache.
+
+    q: [T, H, D] at absolute positions start_pos + arange(T); the cache
+    ALREADY CONTAINS this block's K/V rows (written before the call).
+    k_cache/v_cache: [K, KH, D]; rows >= kv_valid_len are masked.
+    Returns [T, H, D] f32.
+    """
+    T, H, D = q.shape
+    K, KH, _ = k_cache.shape
+    G = gqa_groups
+    assert H == KH * G
+    bq = min(block_q, T)
+    bk = min(block_k, K)
+    assert T % bq == 0 and K % bk == 0, (T, bq, K, bk)
+    n_tb = T // bq
+    n_kb = K // bk
+    scale = 1.0 / (D ** 0.5)
+
+    grid = (H, n_tb, n_kb)
+    # head-major layout for TPU tiling of the trailing (rows, D) block dims
+    qT = jnp.transpose(q, (1, 0, 2))            # [H, T, D]
+    kT = jnp.transpose(k_cache, (1, 0, 2))      # [KH, K, D]
+    vT = jnp.transpose(v_cache, (1, 0, 2))
+    q_spec = pl.BlockSpec((1, bq, D), lambda h, tb, kb, *refs: (h, tb, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bk, D), lambda h, tb, kb, *refs: (h // G, kb, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, bq, D), lambda h, tb, kb, *refs: (h, tb, 0),
+                          memory_space=pltpu.VMEM)
+
+    start_arr = jnp.reshape(start_pos.astype(jnp.int32), (1,))
+    kvlen_arr = jnp.reshape(kv_valid_len.astype(jnp.int32), (1,))
+
+    out = pl.pallas_call(
+        functools.partial(_causal_kernel, scale=scale, bq=bq, bk=bk, n_kb=n_kb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=o_spec,
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, T, D), jnp.float32),
+        interpret=_interpret(),
+    )(start_arr, kvlen_arr, qT, kT, vT)
+    return jnp.transpose(out, (1, 0, 2))

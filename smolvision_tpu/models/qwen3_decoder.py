@@ -149,10 +149,19 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
     wdt = params["layers"]["wqkv"].dtype
     kv_dt = kv.dtype
 
-    # The cache is READ-ONLY inside the scan; each layer emits only its fresh
-    # [T, KH, D] rows as scan outputs, and ONE dynamic_update_slice after the
-    # scan writes all layers' new rows (flash-decode structure — no
-    # full-cache rewrite per step, no traced-index update inside the loop).
+    # Attention strategy (both write the cache without traced-index updates):
+    #  * decode (T==1) / fallback: cache READ-ONLY in the scan, fresh rows as
+    #    tiny scan outputs, ONE post-scan dynamic_update_slice (flash-decode
+    #    structure — no full-cache rewrite per step),
+    #  * prefill on TPU: per-layer cache update + Pallas causal flash kernel
+    #    (the [T, K] score matrix never hits HBM).
+    from smolvision_tpu.kernels import use_pallas
+    from smolvision_tpu.kernels.flash_attention import causal_cache_flash_attention
+
+    Kcap = kv.shape[2]
+    flash = (use_pallas() and Tcap > 1
+             and Tcap % min(128, Tcap) == 0 and Kcap % min(256, Kcap) == 0)
+
     q_dim = H * D
     kv_dim = KH * D
 
@@ -172,8 +181,19 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
         q = apply_rope_neox(q, cos, sin)
         k = apply_rope_neox(k, cos, sin)
 
-        attn = _attention_two_part(q, k, v, kv_layer[0], kv_layer[1],
-                                   start_pos, cfg)
+        if flash:
+            k_cache = jax.lax.dynamic_update_slice(
+                kv_layer[0], k.astype(kv_dt), (start_pos, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                kv_layer[1], v.astype(kv_dt), (start_pos, 0, 0))
+            attn = causal_cache_flash_attention(
+                q, k_cache, v_cache, start_pos, start_pos + valid_len,
+                gqa_groups=H // KH)
+            out_kv = jnp.stack([k_cache, v_cache])
+        else:
+            attn = _attention_two_part(q, k, v, kv_layer[0], kv_layer[1],
+                                       start_pos, cfg)
+            out_kv = (k.astype(kv_dt), v.astype(kv_dt))
         attn = attn.reshape(Tcap, H * D)
         h = h + jnp.einsum("ta,oa->to", attn.astype(wdt), lp["wo"],
                            preferred_element_type=jnp.float32)
@@ -189,13 +209,16 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
             act = (silu(gate_up[:, :I]) * gate_up[:, I:]).astype(wdt)
             ffn = jnp.einsum("ti,hi->th", act, lp["w_down"], preferred_element_type=jnp.float32)
         h = h + ffn
-        return h, (k.astype(kv_dt), v.astype(kv_dt))
+        return h, out_kv
 
-    h, (k_rows, v_rows) = jax.lax.scan(layer, embeds.astype(jnp.float32),
-                                       (params["layers"], kv))
-    # k_rows/v_rows: [L, T, KH, D] -> one write of the new block
-    new_block = jnp.stack([k_rows, v_rows], axis=1)  # [L, 2, T, KH, D]
-    kv_new = jax.lax.dynamic_update_slice(kv, new_block, (0, 0, start_pos, 0, 0))
+    h, kv_out = jax.lax.scan(layer, embeds.astype(jnp.float32),
+                             (params["layers"], kv))
+    if flash:
+        kv_new = kv_out  # [L, 2, K, KH, D] already updated per layer
+    else:
+        k_rows, v_rows = kv_out  # [L, T, KH, D] each -> one write of the block
+        new_block = jnp.stack([k_rows, v_rows], axis=1)
+        kv_new = jax.lax.dynamic_update_slice(kv, new_block, (0, 0, start_pos, 0, 0))
     return h, kv_new
 
 

@@ -91,6 +91,12 @@ def transformer_stack(layers_params, x, valid_len, window_tokens: int,
     wdt = layers_params["wq"].dtype
 
     kv_valid = (jnp.arange(Tcap) < valid_len).reshape(W, S)
+    window_lens = jnp.clip(valid_len - jnp.arange(W) * S, 0, S).astype(jnp.int32)
+
+    from smolvision_tpu.kernels import use_pallas
+    from smolvision_tpu.kernels.flash_attention import window_flash_attention
+
+    flash = use_pallas()
 
     def layer(h, lp):
         xn = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"], eps=1e-5)
@@ -101,7 +107,10 @@ def transformer_stack(layers_params, x, valid_len, window_tokens: int,
         q = q.reshape(W, S, H, D)
         k = k.reshape(W, S, H, D)
         v = v.reshape(W, S, H, D)
-        attn = _windowed_attention_batched(q, k, v, kv_valid).reshape(Tcap, H * D)
+        if flash:
+            attn = window_flash_attention(q, k, v, window_lens).reshape(Tcap, H * D)
+        else:
+            attn = _windowed_attention_batched(q, k, v, kv_valid).reshape(Tcap, H * D)
         h = h + (jnp.einsum("td,od->to", attn.astype(wdt), lp["wo"],
                             preferred_element_type=jnp.float32) + lp["bo"])
         xn = layer_norm(h, lp["ffn_ln_w"], lp["ffn_ln_b"], eps=1e-5)

@@ -1,0 +1,95 @@
+"""Pallas kernels vs jnp reference implementations (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smolvision_tpu.kernels import jnp_reference as ref
+from smolvision_tpu.kernels.flash_attention import (
+    causal_cache_flash_attention,
+    window_flash_attention,
+)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("W,S,H,D,valid", [
+    (2, 104, 4, 64, [104, 40]),
+    (1, 16, 2, 32, [16]),
+    (3, 8, 1, 8, [8, 5, 1]),
+])
+def test_window_flash_matches_reference(W, S, H, D, valid):
+    rng = np.random.default_rng(0)
+    q = _rand(rng, W, S, H, D)
+    k = _rand(rng, W, S, H, D)
+    v = _rand(rng, W, S, H, D)
+    kv_lens = jnp.asarray(valid, dtype=jnp.int32)
+
+    got = window_flash_attention(q, k, v, kv_lens)
+
+    # reference: per-window equal ids, pad keys excluded via unique neg ids
+    T = W * S
+    ids = np.repeat(np.arange(W), S)
+    for w, n in enumerate(valid):
+        pad_rows = np.arange(T)[(ids == w)][n:]
+        ids_pad = ids.copy()
+    # build window ids with pads unique-negative
+    wid = np.repeat(np.arange(W), S)
+    for w, n in enumerate(valid):
+        base = w * S
+        for j in range(n, S):
+            wid[base + j] = -(base + j + 1)
+    expect = ref.windowed_attention(
+        q.reshape(T, H, D), k.reshape(T, H, D), v.reshape(T, H, D),
+        jnp.asarray(wid, dtype=jnp.int32)).reshape(W, S, H, D)
+
+    # compare only valid rows (pad-row outputs are unspecified)
+    for w, n in enumerate(valid):
+        np.testing.assert_allclose(
+            np.asarray(got)[w, :n], np.asarray(expect)[w, :n],
+            rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("T,K,H,KH,D,start", [
+    (128, 256, 4, 2, 64, 0),
+    (128, 512, 8, 4, 32, 100),
+    (256, 256, 2, 1, 128, 0),
+])
+def test_causal_cache_flash_matches_reference(T, K, H, KH, D, start):
+    rng = np.random.default_rng(1)
+    q = _rand(rng, T, H, D)
+    k_cache = np.asarray(rng.standard_normal((K, KH, D)), dtype=np.float32)
+    v_cache = np.asarray(rng.standard_normal((K, KH, D)), dtype=np.float32)
+    valid = start + T
+
+    got = causal_cache_flash_attention(
+        q, jnp.asarray(k_cache), jnp.asarray(v_cache),
+        jnp.int32(start), jnp.int32(valid), gqa_groups=H // KH)
+
+    positions = jnp.arange(start, start + T)
+    expect = ref.causal_attention(q, jnp.asarray(k_cache), jnp.asarray(v_cache),
+                                  positions, jnp.int32(valid))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_causal_cache_flash_ignores_stale_rows():
+    """Rows beyond kv_valid_len (stale garbage) must not leak in."""
+    rng = np.random.default_rng(2)
+    T, K, H, KH, D = 128, 256, 2, 2, 32
+    q = _rand(rng, T, H, D)
+    k1 = np.asarray(rng.standard_normal((K, KH, D)), np.float32)
+    v1 = np.asarray(rng.standard_normal((K, KH, D)), np.float32)
+    k2 = k1.copy()
+    v2 = v1.copy()
+    k2[T:] = 999.0  # stale garbage beyond valid region
+    v2[T:] = -999.0
+    a = causal_cache_flash_attention(q, jnp.asarray(k1), jnp.asarray(v1),
+                                     jnp.int32(0), jnp.int32(T), gqa_groups=1)
+    b = causal_cache_flash_attention(q, jnp.asarray(k2), jnp.asarray(v2),
+                                     jnp.int32(0), jnp.int32(T), gqa_groups=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
