@@ -43,6 +43,12 @@ def resample_sinc(samples: np.ndarray, in_rate: int, out_rate: int = SAMPLE_RATE
     """Windowed-sinc resample (Kaiser beta=6, 16 zero-crossings/side)."""
     if in_rate == out_rate:
         return np.asarray(samples, dtype=np.float32)
+
+    from smolvision_tpu.utils import native
+
+    out = native.resample_sinc(np.asarray(samples, dtype=np.float32), in_rate, out_rate)
+    if out is not None:
+        return out
     samples = np.asarray(samples, dtype=np.float64)
     n = len(samples)
     new_n = int(n * out_rate // in_rate)

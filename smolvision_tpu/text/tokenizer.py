@@ -75,6 +75,38 @@ class Tokenizer:
                     self.merge_ranks[(parts[0], parts[1])] = rank
                     rank += 1
 
+        self._native_table = None
+        self._byte_ids = None
+        self._build_native_table()
+
+    def _build_native_table(self):
+        """Flatten the merge table to id space for the C fast path: all
+        merge operands/results are vocab entries, so BPE runs entirely on
+        int32 token ids (native/smolvision_host.c:sv_bpe_encode)."""
+        import numpy as np
+
+        byte_ids = []
+        for b in range(256):
+            tid = self.vocab.get(_BYTE_ENCODER[b])
+            if tid is None:
+                return  # incomplete byte alphabet: python path only
+            byte_ids.append(tid)
+        entries = []
+        for (s1, s2), rank in self.merge_ranks.items():
+            a = self.vocab.get(s1)
+            b = self.vocab.get(s2)
+            res = self.vocab.get(s1 + s2)
+            if a is None or b is None or res is None:
+                continue
+            entries.append(((a << 32) | b, rank, res))
+        entries.sort()
+        if entries:
+            keys = np.asarray([e[0] for e in entries], dtype=np.int64)
+            ranks = np.asarray([e[1] for e in entries], dtype=np.int32)
+            results = np.asarray([e[2] for e in entries], dtype=np.int32)
+            self._native_table = (keys, ranks, results)
+        self._byte_ids = np.asarray(byte_ids, dtype=np.int32)
+
     # -- decode ------------------------------------------------------------
 
     def decode_piece(self, token_id: int) -> bytes:
@@ -92,7 +124,19 @@ class Tokenizer:
     def encode(self, text: str) -> List[int]:
         if not text:
             return []
-        mapped = [_BYTE_ENCODER[b] for b in text.encode("utf-8")]
+        raw = text.encode("utf-8")
+
+        if self._native_table is not None and self._byte_ids is not None:
+            from smolvision_tpu.utils import native
+            import numpy as np
+
+            if native.available():
+                initial = self._byte_ids[np.frombuffer(raw, dtype=np.uint8)]
+                out = native.bpe_encode(initial, *self._native_table)
+                if out is not None:
+                    return out.tolist()
+
+        mapped = [_BYTE_ENCODER[b] for b in raw]
         symbols = self._merge(mapped)
         ids = []
         for sym in symbols:
