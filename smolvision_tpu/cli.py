@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--silent", action="store_true")
     p.add_argument("--f32", action="store_true",
                    help="load weights in float32 (parity debugging; slower)")
+    p.add_argument("--no-batch-segments", action="store_true",
+                   help="decode -S segments sequentially like the reference")
     return p
 
 
@@ -121,6 +123,8 @@ def main(argv=None) -> int:
     if args.top_k >= 0:
         eng.top_k = args.top_k
     eng.seed = args.seed
+    if args.no_batch_segments:
+        eng.batch_segments = False
     if args.prompt:
         eng.set_prompt(args.prompt)
     if args.language:
@@ -145,6 +149,16 @@ def main(argv=None) -> int:
         except (OSError, ValueError) as e:
             print(f"smolvision: cannot load audio: {e}", file=sys.stderr)
             return None
+
+    # Qwen2.5-Omni has no <asr_text> ASR head: ASR requests route through the
+    # thinker with a default system prompt (q25_transcribe_audio,
+    # qwen25_omni.c:590-607).
+    if eng.cfg.family == "q25" and not args.thinker:
+        args.thinker = True
+        if not eng.prompt_text:
+            eng.set_prompt("You are a helpful assistant.")
+        if args.temperature < 0:
+            eng.temperature = 0.7
 
     text = None
     try:

@@ -90,7 +90,7 @@ def window_flash_attention(q, k, v, kv_valid_lens):
 # Decoder prefill: causal GQA flash over the KV cache
 # ---------------------------------------------------------------------------
 
-def _causal_kernel(start_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+def _causal_kernel(start_ref, kvlen_ref, kvmin_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *, scale, bq, bk, n_kb):
     kb = pl.program_id(2)
     tb = pl.program_id(1)
@@ -109,9 +109,10 @@ def _causal_kernel(start_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
 
     start = start_ref[0]
     kv_len = kvlen_ref[0]
+    kv_min = kvmin_ref[0]
     rows = start + tb * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     cols = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    mask = (cols <= rows) & (cols < kv_len)
+    mask = (cols <= rows) & (cols < kv_len) & (cols >= kv_min)
     s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_ref[:]
@@ -131,14 +132,16 @@ def _causal_kernel(start_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
 
 def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
                                  *, gqa_groups: int, block_q: int = 128,
-                                 block_k: int = 256):
+                                 block_k: int = 256, kv_min=None):
     """Causal GQA attention of a fresh query block against the cache.
 
-    q: [T, H, D] at absolute positions start_pos + arange(T); the cache
-    ALREADY CONTAINS this block's K/V rows (written before the call).
-    k_cache/v_cache: [K, KH, D]; rows >= kv_valid_len are masked.
+    q: [T, H, D] at cache rows start_pos + arange(T); the cache ALREADY
+    CONTAINS this block's K/V rows (written before the call).
+    k_cache/v_cache: [K, KH, D]; rows >= kv_valid_len or < kv_min are masked.
     Returns [T, H, D] f32.
     """
+    if kv_min is None:
+        kv_min = jnp.int32(0)
     T, H, D = q.shape
     K, KH, _ = k_cache.shape
     G = gqa_groups
@@ -162,13 +165,14 @@ def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
     o_spec = pl.BlockSpec((1, bq, D), lambda h, tb, kb, *refs: (h, tb, 0),
                           memory_space=pltpu.VMEM)
 
-    start_arr = jnp.reshape(start_pos.astype(jnp.int32), (1,))
-    kvlen_arr = jnp.reshape(kv_valid_len.astype(jnp.int32), (1,))
+    start_arr = jnp.reshape(jnp.asarray(start_pos).astype(jnp.int32), (1,))
+    kvlen_arr = jnp.reshape(jnp.asarray(kv_valid_len).astype(jnp.int32), (1,))
+    kvmin_arr = jnp.reshape(jnp.asarray(kv_min).astype(jnp.int32), (1,))
 
     out = pl.pallas_call(
         functools.partial(_causal_kernel, scale=scale, bq=bq, bk=bk, n_kb=n_kb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=o_spec,
@@ -180,5 +184,5 @@ def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
         ),
         out_shape=jax.ShapeDtypeStruct((H, T, D), jnp.float32),
         interpret=_interpret(),
-    )(start_arr, kvlen_arr, qT, kT, vT)
+    )(start_arr, kvlen_arr, kvmin_arr, qT, kT, vT)
     return jnp.transpose(out, (1, 0, 2))

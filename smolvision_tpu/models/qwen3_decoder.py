@@ -81,7 +81,7 @@ def _moe_ffn(x, lp, cfg: ModelConfig):
 
 
 def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
-                        cfg: ModelConfig):
+                        cfg: ModelConfig, kv_min=0):
     """Causal GQA attention, split into (a) the immutable cache prefix
     [0, start_pos) and (b) the fresh in-block rows, merged by online softmax.
 
@@ -103,16 +103,21 @@ def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
     cdt = k_cache.dtype
     qc = (q * scale).astype(cdt).reshape(T, KH, G, D)
 
-    # part (a): frozen cache prefix
+    # part (a): frozen cache prefix (kv_min..start_pos); kv_min > 0 masks
+    # left-padding rows in the batched-segments layout
     sa = jnp.einsum("tkgd,skd->kgts", qc, k_cache,
                     preferred_element_type=jnp.float32)          # [KH,G,T,K]
-    mask_a = (jnp.arange(Kcap) < start_pos)[None, None, None, :]
+    cache_cols = jnp.arange(Kcap)
+    mask_a = ((cache_cols < start_pos) & (cache_cols >= kv_min))[None, None, None, :]
     sa = jnp.where(mask_a, sa, -jnp.inf)
 
-    # part (b): fresh rows, causal within the block
+    # part (b): fresh rows, causal within the block (pad rows < kv_min of the
+    # block itself are excluded as keys)
     sb = jnp.einsum("tkgd,skd->kgts", qc, k_new.astype(cdt),
                     preferred_element_type=jnp.float32)          # [KH,G,T,T]
-    mask_b = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])[None, None, :, :]
+    block_cols = start_pos + jnp.arange(T)
+    mask_b = ((jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])
+              & (block_cols >= kv_min)[None, :])[None, None, :, :]
     sb = jnp.where(mask_b, sb, -jnp.inf)
 
     ma = jnp.max(sa, axis=-1, keepdims=True)
@@ -130,9 +135,16 @@ def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
     return out.reshape(T, H, D)
 
 
-def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
-    """Run the layer stack over `embeds` [Tcap, H] at absolute positions
-    start_pos..start_pos+Tcap-1, writing K/V into the cache.
+def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
+                    rope_start=None, kv_min=None):
+    """Run the layer stack over `embeds` [Tcap, H] written into cache rows
+    start_pos..start_pos+Tcap-1.
+
+    rope_start: logical position of row 0 for RoPE (defaults to start_pos —
+    they differ only in the left-padded batched-segments layout, where cache
+    index = logical position + pad).
+    kv_min: cache rows below this index are never attended (masks left-pad
+    garbage; default 0).
 
     Returns (hidden [Tcap, H] f32 pre-final-norm, kv').
     Rows >= valid_len are junk; their KV rows are progressively overwritten
@@ -143,7 +155,11 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
     KH = cfg.dec_kv_heads
     D = cfg.dec_head_dim
     eps = cfg.rms_norm_eps
-    positions = start_pos + jnp.arange(Tcap)
+    if rope_start is None:
+        rope_start = start_pos
+    if kv_min is None:
+        kv_min = jnp.int32(0)
+    positions = rope_start + jnp.arange(Tcap)
     kv_valid_len = start_pos + valid_len
     cos, sin = rope_tables(positions, D, cfg.rope_theta)
     wdt = params["layers"]["wqkv"].dtype
@@ -188,11 +204,11 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv):
                 kv_layer[1], v.astype(kv_dt), (start_pos, 0, 0))
             attn = causal_cache_flash_attention(
                 q, k_cache, v_cache, start_pos, start_pos + valid_len,
-                gqa_groups=H // KH)
+                gqa_groups=H // KH, kv_min=kv_min)
             out_kv = jnp.stack([k_cache, v_cache])
         else:
             attn = _attention_two_part(q, k, v, kv_layer[0], kv_layer[1],
-                                       start_pos, cfg)
+                                       start_pos, cfg, kv_min=kv_min)
             out_kv = (k.astype(kv_dt), v.astype(kv_dt))
         attn = attn.reshape(Tcap, H * D)
         h = h + jnp.einsum("ta,oa->to", attn.astype(wdt), lp["wo"],
@@ -232,9 +248,10 @@ def logits_at(params, cfg: ModelConfig, hidden, row):
 
 
 def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
-            greedy: bool = True) -> Tuple[Any, Any]:
+            greedy: bool = True, rope_start=None, kv_min=None) -> Tuple[Any, Any]:
     """Prefill the bucket; return (first_token | logits, kv')."""
-    hidden, kv = decoder_forward(params, cfg, embeds, start_pos, valid_len, kv)
+    hidden, kv = decoder_forward(params, cfg, embeds, start_pos, valid_len, kv,
+                                 rope_start=rope_start, kv_min=kv_min)
     logits = logits_at(params, cfg, hidden, valid_len - 1)
     if greedy:
         return jnp.argmax(logits).astype(jnp.int32), kv
@@ -242,10 +259,11 @@ def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
 
 def decode_step(params, cfg: ModelConfig, token, pos, kv,
-                greedy: bool = True) -> Tuple[Any, Any]:
-    """One autoregressive step at absolute position `pos` (scalar int32)."""
+                greedy: bool = True, rope_start=None, kv_min=None) -> Tuple[Any, Any]:
+    """One autoregressive step writing cache row `pos` (scalar int32)."""
     embed = params["embed"][token][None].astype(jnp.float32)  # [1, H]
-    hidden, kv = decoder_forward(params, cfg, embed, pos, jnp.int32(1), kv)
+    hidden, kv = decoder_forward(params, cfg, embed, pos, jnp.int32(1), kv,
+                                 rope_start=rope_start, kv_min=kv_min)
     logits = logits_at(params, cfg, hidden, jnp.int32(0))
     if greedy:
         return jnp.argmax(logits).astype(jnp.int32), kv

@@ -25,29 +25,46 @@ def make_batched_kv(cfg: ModelConfig, batch: int, kv_cap: int, dtype=jnp.bfloat1
 
 
 def batched_prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
-                    greedy: bool = True):
-    """embeds [B, Tcap, H]; start_pos/valid_len [B]; kv [B, L, 2, K, KH, D].
+                    greedy: bool = True, rope_start=None, kv_min=None):
+    """embeds [B, Tcap, H]; start_pos/valid_len [B]; kv [B, L, 2, K, KH, D];
+    optional rope_start/kv_min [B] for the left-padded batch layout.
     Returns (tokens_or_logits [B, ...], kv')."""
-    fn = lambda e, s, v, k: dec_mod.prefill(params, cfg, e, s, v, k, greedy=greedy)
-    return jax.vmap(fn)(embeds, start_pos, valid_len, kv)
+    if rope_start is None:
+        rope_start = start_pos
+    if kv_min is None:
+        kv_min = jnp.zeros_like(start_pos)
+    fn = lambda e, s, v, k, rs, km: dec_mod.prefill(
+        params, cfg, e, s, v, k, greedy=greedy, rope_start=rs, kv_min=km)
+    return jax.vmap(fn)(embeds, start_pos, valid_len, kv, rope_start, kv_min)
 
 
-def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv, n_steps: int):
+def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv, n_steps: int,
+                         rope_offset=None, kv_min=None):
     """Greedy-decode n_steps tokens for every batch row (no early exit —
     rows that hit EOS keep decoding into the buffer; the host truncates).
 
-    tokens [B] int32, pos [B] int32, kv [B, ...].
+    tokens [B] int32; pos is a SCALAR cache row shared by all rows (the
+    left-padded layout aligns all rows' cache positions — a batch-varying
+    write position lowers to a catastrophic scatter on TPU); rope position
+    of row b = pos - rope_offset[b]; kv [B, ...].
     Returns (buf [B, n_steps] int32, kv')."""
-    def one(tok, p, k):
-        def body(carry, _):
-            t, p_, k_ = carry
-            nxt, k_ = dec_mod.decode_step(params, cfg, t, p_, k_, greedy=True)
-            return (nxt, p_ + 1, k_), nxt
+    if rope_offset is None:
+        rope_offset = jnp.zeros_like(tokens)
+    if kv_min is None:
+        kv_min = jnp.zeros_like(tokens)
 
-        (t, p_, k), buf = jax.lax.scan(body, (tok, p, k), None, length=n_steps)
+    def one(tok, k, off, km):
+        def body(carry, i):
+            t, k_ = carry
+            p = pos + i
+            nxt, k_ = dec_mod.decode_step(params, cfg, t, p, k_, greedy=True,
+                                          rope_start=p - off, kv_min=km)
+            return (nxt, k_), nxt
+
+        (t, k), buf = jax.lax.scan(body, (tok, k), jnp.arange(n_steps))
         return buf, k
 
-    return jax.vmap(one)(tokens, pos, kv)
+    return jax.vmap(one)(tokens, kv, rope_offset, kv_min)
 
 
 def trim_eos(row) -> list:

@@ -110,6 +110,7 @@ class Engine:
         self.top_k = 40
         self.seed = 0
         self.max_tokens = 2048
+        self.batch_segments = True  # batch independent -S segments on device
 
         self.prompt_text: Optional[str] = None
         self.force_language: Optional[str] = None
@@ -182,6 +183,53 @@ class Engine:
         self._slice_rows = jax.jit(
             lambda x, start, n: jax.lax.dynamic_slice(x, (start, 0), (n, x.shape[1])),
             static_argnums=(2,))
+
+        def sample_chunk(p, token, pos, kv, recent, n_recent, key,
+                         temp, penalty, n_steps, top_k):
+            """Device-side sampled decoding (thinker): repetition penalty
+            (divide-positive/multiply-negative per occurrence over a 64-token
+            window — sign never flips, so penalty^count is exact), optional
+            top-k, temperature softmax, categorical draw.  Mirrors
+            sample_token (qwen_asr.c:2250-2313) with a reproducible PRNG."""
+            V = cfg.vocab_size
+            buf = jnp.zeros((DECODE_CHUNK,), dtype=jnp.int32)
+            REP = recent.shape[0]
+
+            def cond(c):
+                i, *_, done = c
+                return (~done) & (i < n_steps) & (i < DECODE_CHUNK)
+
+            def body(c):
+                i, tok, pos_, kv_, recent_, n_recent_, key_, buf_, _ = c
+                # observe current token in the window (ring buffer)
+                recent_ = jax.lax.dynamic_update_index_in_dim(
+                    recent_, tok, n_recent_ % REP, 0)
+                n_recent_ = n_recent_ + 1
+
+                logits, kv_ = dec_mod.decode_step(p, cfg, tok, pos_, kv_, greedy=False)
+                valid = (jnp.arange(REP) < n_recent_)
+                counts = jnp.zeros((V,), jnp.float32).at[
+                    jnp.where(valid, recent_, V)].add(1.0, mode="drop")
+                factor = jnp.power(penalty, counts)
+                logits = jnp.where(logits > 0, logits / factor, logits * factor)
+                logits = logits / jnp.maximum(temp, 1e-6)
+                if 0 < top_k < V:
+                    kth = jax.lax.top_k(logits, top_k)[0][-1]
+                    logits = jnp.where(logits < kth, -1e30, logits)
+                key_, sub = jax.random.split(key_)
+                nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
+                buf_ = buf_.at[i].set(nxt)
+                done = jnp.any(nxt == eos)
+                return (i + 1, nxt, pos_ + 1, kv_, recent_, n_recent_, key_, buf_, done)
+
+            i, tok, pos, kv, recent, n_recent, key, buf, done = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), token, pos, kv, recent, n_recent, key, buf,
+                 jnp.bool_(False)))
+            return buf, i, tok, pos, kv, recent, n_recent, key
+
+        self._sample_chunk = jax.jit(
+            sample_chunk, static_argnums=(10,), donate_argnums=(3,))
 
     # ------------------------------------------------------------------
     # tokenizer / prompt settings
@@ -551,24 +599,47 @@ class Engine:
         max_tokens = self.thinker_max_tokens
 
         if use_sampling:
+            # First token sampled on host (one logits download); the rest run
+            # in device-side sampled chunks — no per-token logits transfers.
             token = sampler.sample(np.asarray(out))
-            for _ in range(max_tokens):
-                if token in EOS_TOKEN_IDS:
+            from collections import deque
+
+            pending = deque([token])
+            cur_dev = jnp.asarray(token, dtype=jnp.int32)
+            pos_dev = jnp.int32(pos)
+            recent = jnp.zeros((64,), dtype=jnp.int32)
+            n_recent = jnp.int32(0)
+            key = jax.random.PRNGKey(self.seed)
+            n = 0
+            while n < max_tokens:
+                if not pending:
+                    steps = min(DECODE_CHUNK, max_tokens - n)
+                    if steps <= 0:
+                        break
+                    kv = self._ensure_kv(pos + steps + 1)
+                    (buf, count, cur_dev, pos_dev, kv, recent, n_recent,
+                     key) = self._sample_chunk(
+                        self.dec_params, cur_dev, pos_dev, kv, recent,
+                        n_recent, key, jnp.float32(self.temperature),
+                        jnp.float32(self.repetition_penalty),
+                        jnp.int32(steps), self.top_k)
+                    self._kv = kv
+                    buf_host, count = jax.device_get((buf, count))
+                    count = int(count)
+                    if count == 0:
+                        break
+                    pos += count
+                    pending.extend(int(t) for t in buf_host[:count])
+                tid = pending.popleft()
+                n += 1
+                if tid in EOS_TOKEN_IDS:
                     break
-                sampler.observe(token)
-                piece = tok.decode_piece(token)
+                piece = tok.decode_piece(tid)
                 if piece:
                     pieces.append(piece)
                     n_text += 1
                     if self.token_cb:
                         self.token_cb(piece)
-                kv = self._ensure_kv(pos + 2)
-                logits, kv = self._step_logits(
-                    self.dec_params, jnp.asarray(token, dtype=jnp.int32),
-                    jnp.int32(pos), kv)
-                self._kv = kv
-                pos += 1
-                token = sampler.sample(np.asarray(logits))
         else:
             def on_token(tid: int) -> bool:
                 nonlocal n_text

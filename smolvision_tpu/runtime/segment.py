@@ -28,6 +28,12 @@ ENERGY_WINDOW_MS = 100
 MAX_SEGMENTS = 128
 
 
+def _seg_now() -> float:
+    import time
+
+    return time.monotonic() * 1000.0
+
+
 def compact_silence(samples: np.ndarray, verbose: int = 0) -> np.ndarray:
     """Drop long silent spans while keeping short pauses.
 
@@ -198,6 +204,38 @@ def transcribe_audio(engine, samples: np.ndarray) -> Optional[str]:
         print(f"Splitting into {len(splits) - 1} segments", file=sys.stderr, flush=True)
 
     min_samples = SAMPLE_RATE // 2
+
+    # Fast path: with conditioning OFF, segments are independent — decode
+    # them as one batch (runtime/batch_segments.py) so the per-step weight
+    # streaming is amortized across segments.  The reference has no batched
+    # mode; its sequential behavior is preserved when conditioning is on.
+    if (not engine.past_text_conditioning and getattr(engine, "batch_segments", True)
+            and len(splits) > 2):
+        from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+
+        seg_t0 = _seg_now()
+        segs = []
+        for s in range(len(splits) - 1):
+            seg = samples[splits[s] : splits[s + 1]]
+            if len(seg) < min_samples:
+                seg = np.concatenate([seg, np.zeros(min_samples - len(seg), np.float32)])
+            segs.append(seg)
+        texts = transcribe_segments_batched(engine, segs)
+        engine.perf.total_ms += _seg_now() - seg_t0
+        result = ""
+        for seg_text in texts:
+            if not seg_text:
+                continue
+            need_space = _should_insert_boundary_space(
+                result[-1] if result else "", seg_text[0])
+            if need_space:
+                result += " "
+                if engine.token_cb:
+                    engine.token_cb(b" ")
+            result += seg_text
+            if engine.token_cb:
+                engine.token_cb(seg_text.encode("utf-8"))
+        return result
     result_parts: List[str] = []
     result = ""
     use_past = engine.past_text_conditioning

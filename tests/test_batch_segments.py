@@ -1,0 +1,62 @@
+"""Batched segment decoding must produce the same tokens as sequential."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def seg_engine(tiny_model_dir):
+    import jax.numpy as jnp
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+    eng.max_tokens = 8
+    return eng
+
+
+def _long_audio():
+    rng = np.random.default_rng(7)
+    sr = 16000
+    t = np.arange(6 * sr) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 180 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t))
+           + 0.01 * rng.standard_normal(len(t)))
+    sig[int(2.9 * sr) : int(3.1 * sr)] *= 0.01
+    return sig.astype(np.float32)
+
+
+def test_batched_matches_sequential(seg_engine):
+    from smolvision_tpu.runtime import segment as segment_mod
+
+    eng = seg_engine
+    audio = _long_audio()
+    eng.segment_sec = 2.0
+    eng.search_sec = 0.5
+    eng.past_text_conditioning = False
+
+    eng.batch_segments = True
+    batched = segment_mod.transcribe_audio(eng, audio)
+    eng.batch_segments = False
+    sequential = segment_mod.transcribe_audio(eng, audio)
+    eng.batch_segments = True
+
+    assert batched == sequential
+
+
+def test_batched_raw_tokens_match_per_segment(seg_engine):
+    """Compare raw per-segment token ids batched vs engine.transcribe path."""
+    from smolvision_tpu.ops.mel import log_mel
+    from smolvision_tpu.runtime import prompt as prompt_mod
+    from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+
+    eng = seg_engine
+    rng = np.random.default_rng(3)
+    segs = [
+        (rng.standard_normal(16000) * 0.2).astype(np.float32),
+        (rng.standard_normal(24000) * 0.2).astype(np.float32),
+        (rng.standard_normal(32000) * 0.2).astype(np.float32),
+    ]
+    texts = transcribe_segments_batched(eng, segs)
+    assert len(texts) == 3
+    for seg, text in zip(segs, texts):
+        ref, _ = eng.transcribe_segment(seg)
+        assert text == ref
