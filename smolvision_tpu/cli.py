@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load weights in float32 (parity debugging; slower)")
     p.add_argument("--no-batch-segments", action="store_true",
                    help="decode -S segments sequentially like the reference")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the transcription to DIR")
     return p
 
 
@@ -160,6 +162,11 @@ def main(argv=None) -> int:
         if args.temperature < 0:
             eng.temperature = 0.7
 
+    profile_ctx = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        profile_ctx = args.profile
+
     text = None
     try:
         if args.thinker:
@@ -187,6 +194,13 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(f"smolvision: {e}", file=sys.stderr)
         return 1
+    finally:
+        if profile_ctx:
+            try:
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {profile_ctx}", file=sys.stderr)
+            except Exception as e:  # profiling is best-effort
+                print(f"smolvision: profiler stop failed: {e}", file=sys.stderr)
 
     if text is None:
         print("Transcription failed", file=sys.stderr)

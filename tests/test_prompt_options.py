@@ -1,0 +1,87 @@
+"""Prompt options vs the oracle: forced language, system prompt, past text."""
+
+import numpy as np
+import pytest
+import torch
+
+from smolvision_tpu.config import TOKEN_ASR_TEXT, detect_config
+from smolvision_tpu.io.safetensors import MultiSafetensors
+from smolvision_tpu.ops.mel import log_mel
+from smolvision_tpu.runtime import prompt as prompt_mod
+
+from tests.oracle import oracle_transcribe_tokens
+
+
+@pytest.fixture(scope="module")
+def opt_engine(tiny_model_dir):
+    import jax.numpy as jnp
+    from smolvision_tpu.runtime.engine import Engine
+
+    return Engine(tiny_model_dir, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+
+
+def _engine_tokens(eng, mel, past_tokens=None, max_tokens=10):
+    audio, n_audio = eng.encode_mel(mel)
+    ids, astart = prompt_mod.build_asr_prompt(
+        eng.cfg, n_audio, eng._prompt_tokens, eng._force_tokens, past_tokens)
+    eng.reset_kv()
+    first, pos = eng.prefill_ids(ids, audio, astart, n_audio)
+    got = []
+    eng.decode_greedy(first, pos, max_tokens, lambda t: (got.append(t) or True))
+    return got
+
+
+def _trim(ref, n):
+    out = []
+    for t in ref[:n]:
+        if t in (151643, 151645):
+            break
+        out.append(t)
+    return out
+
+
+def test_forced_language_prompt(opt_engine, tiny_model_dir, speech_like_audio):
+    eng = opt_engine
+    assert eng.set_force_language("english")  # normalization: english -> English
+    assert eng.force_language == "English"
+    assert not eng.set_force_language("klingon")
+    eng.set_force_language("English")
+    eng.prepare_prompt()
+    assert eng._force_tokens[-1] == TOKEN_ASR_TEXT
+    assert len(eng._force_tokens) > 1
+
+    mel = log_mel(speech_like_audio)
+    reader = MultiSafetensors(tiny_model_dir)
+    ref = oracle_transcribe_tokens(reader, eng.cfg, mel, max_tokens=10,
+                                   force_tokens=eng._force_tokens)
+    got = _engine_tokens(eng, mel)
+    assert got == _trim(ref, 10), (got, ref)
+    eng.set_force_language(None)
+    eng.prepare_prompt()
+
+
+def test_system_prompt_tokens(opt_engine, tiny_model_dir, speech_like_audio):
+    eng = opt_engine
+    eng.set_prompt("the theme")
+    eng.prepare_prompt()
+    assert eng._prompt_tokens  # tokenized system prompt
+    mel = log_mel(speech_like_audio)
+    reader = MultiSafetensors(tiny_model_dir)
+    ref = oracle_transcribe_tokens(reader, eng.cfg, mel, max_tokens=10,
+                                   prompt_tokens=eng._prompt_tokens)
+    got = _engine_tokens(eng, mel)
+    assert got == _trim(ref, 10), (got, ref)
+    eng.set_prompt(None)
+    eng.prepare_prompt()
+
+
+def test_past_text_conditioning_tokens(opt_engine, tiny_model_dir, speech_like_audio):
+    eng = opt_engine
+    eng.prepare_prompt()
+    past = [300, 301, 302]
+    mel = log_mel(speech_like_audio)
+    reader = MultiSafetensors(tiny_model_dir)
+    ref = oracle_transcribe_tokens(reader, eng.cfg, mel, max_tokens=10,
+                                   past_tokens=past)
+    got = _engine_tokens(eng, mel, past_tokens=past)
+    assert got == _trim(ref, 10), (got, ref)
