@@ -50,6 +50,11 @@ def main() -> int:
 
     import jax
 
+    # persistent compile cache: first-bucket compiles survive across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".bench_cache", "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
 
     from smolvision_tpu.io.wav import load_wav

@@ -85,6 +85,12 @@ def main(argv=None) -> int:
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    cache_dir = os.environ.get("SMOLVISION_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/smolvision_jax"))
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from smolvision_tpu.io.wav import load_wav, read_pcm_stdin

@@ -60,7 +60,10 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     tok = engine.tokenizer
     B = len(segments)
 
+    import time as _time
+
     # --- encode each segment (bucketed encoder calls) -----------------
+    enc_t0 = _time.monotonic()
     audios = []
     id_rows = []
     starts = []
@@ -104,6 +107,9 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
         kv = jax.device_put(kv, mesh_mod.batched_kv_sharding(mesh))
         audio_stack = jax.device_put(audio_stack, mesh_mod.batch_sharding(mesh, 3))
 
+    engine.perf.encode_ms += (_time.monotonic() - enc_t0) * 1000.0
+    dec_t0 = _time.monotonic()
+
     build, prefill, decode = _batched_jits(engine)
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    astart, alen)
@@ -143,6 +149,8 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
         tokens = buf[:, -1]
         pos += BATCH_DECODE_CHUNK
         produced += BATCH_DECODE_CHUNK
+
+    engine.perf.decode_ms += (_time.monotonic() - dec_t0) * 1000.0
 
     # --- gate <asr_text> + detokenize per segment ----------------------
     texts = []
