@@ -20,7 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="smolvision",
         description="smolvision_tpu — Qwen3-ASR speech-to-text (TPU-native JAX)")
     p.add_argument("-d", dest="model_dir", required=True, help="model directory")
-    p.add_argument("-i", dest="input_wav", help="input WAV file")
+    p.add_argument("-i", dest="input_wav", nargs="+", metavar="WAV",
+                   help="input WAV file(s); several files are transcribed as "
+                        "one device batch (serving mode), one line each")
     p.add_argument("--stdin", action="store_true", help="read audio from stdin")
     p.add_argument("-t", dest="threads", type=int, default=0,
                    help="host threads (accepted for compatibility; XLA owns parallelism)")
@@ -151,12 +153,44 @@ def main(argv=None) -> int:
 
     eng.token_cb = stream_token if emit_tokens else None
 
+    input_files = args.input_wav or []
+    single_input = input_files[0] if input_files else None
+
     def load_input():
         try:
-            return load_wav(args.input_wav) if args.input_wav else read_pcm_stdin()
+            return load_wav(single_input) if single_input else read_pcm_stdin()
         except (OSError, ValueError) as e:
             print(f"smolvision: cannot load audio: {e}", file=sys.stderr)
             return None
+
+    if len(input_files) > 1:
+        if args.thinker or args.stream:
+            print("Error: multiple -i files only supported in plain ASR mode",
+                  file=sys.stderr)
+            return 1
+        from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+        import time as _time
+
+        try:
+            clips = [load_wav(f) for f in input_files]
+        except (OSError, ValueError) as e:
+            print(f"smolvision: cannot load audio: {e}", file=sys.stderr)
+            return 1
+        eng.perf.reset()
+        eng.perf.audio_ms = sum(1000.0 * len(c) / 16000.0 for c in clips)
+        t0 = _time.monotonic()
+        texts = transcribe_segments_batched(eng, clips)
+        eng.perf.total_ms = (_time.monotonic() - t0) * 1000.0
+        for text in texts:
+            sys.stdout.write(text + "\n")
+        sys.stdout.flush()
+        if verbosity >= 1:
+            perf = eng.perf
+            print(f"Batch: {len(clips)} files, {perf.audio_ms / 1000:.1f} s audio "
+                  f"in {perf.total_ms / 1000:.1f} s "
+                  f"({perf.audio_ms / max(perf.total_ms, 1):.2f}x realtime)",
+                  file=sys.stderr)
+        return 0
 
     # Qwen2.5-Omni has no <asr_text> ASR head: ASR requests route through the
     # thinker with a default system prompt (q25_transcribe_audio,
