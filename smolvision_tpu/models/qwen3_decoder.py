@@ -69,10 +69,26 @@ def _moe_ffn(x, lp, cfg: ModelConfig):
     top_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)
     if cfg.norm_topk_prob:
         top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
-    route = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1)  # [T, E]
 
     wdt = lp["e_gate"].dtype
     xc = x.astype(wdt)
+
+    if T <= 4:
+        # Decode path: GATHER only the selected experts' weights — the dense
+        # one-hot path below reads all E experts (~16x the bytes at top-8 of
+        # 128).  Gather cost: T*K expert blocks per matrix.
+        g_w = lp["e_gate"][top_idx]                      # [T, K, MI, H]
+        u_w = lp["e_up"][top_idx]
+        d_w = lp["e_down"][top_idx]                      # [T, K, H, MI]
+        gate = jnp.einsum("th,tkih->tki", xc, g_w, preferred_element_type=jnp.float32)
+        up = jnp.einsum("th,tkih->tki", xc, u_w, preferred_element_type=jnp.float32)
+        act = (silu(gate) * up).astype(wdt)
+        down = jnp.einsum("tki,tkhi->tkh", act, d_w, preferred_element_type=jnp.float32)
+        return jnp.einsum("tk,tkh->th", top_w, down)
+
+    # Prefill path: dense one-hot routing einsum (every expert computed once
+    # over the whole block — bandwidth-optimal when T >= E/K).
+    route = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1)  # [T, E]
     gate = jnp.einsum("th,eih->tei", xc, lp["e_gate"], preferred_element_type=jnp.float32)
     up = jnp.einsum("th,eih->tei", xc, lp["e_up"], preferred_element_type=jnp.float32)
     act = (silu(gate) * up).astype(wdt)

@@ -51,6 +51,32 @@ def test_moe_decoder_matches_oracle(moe_engine, tiny_moe_model_dir):
     assert int(np.argmax(got)) == int(np.argmax(ref_logits))
 
 
+def test_moe_decode_step_matches_oracle(moe_engine, tiny_moe_model_dir):
+    """Single-token decode uses the GATHERED expert path — must match the
+    oracle's per-token expert loop exactly."""
+    import jax.numpy as jnp
+
+    eng = moe_engine
+    reader = MultiSafetensors(tiny_moe_model_dir)
+    dec = OracleDecoder(reader, eng.cfg)
+    ids = [151644, 8948, 198, 10, 20]
+    embeds = dec.embed[torch.tensor(ids)]
+    with torch.no_grad():
+        dec.forward(embeds, 0)                      # oracle prefill
+        ref = dec.forward(dec.embed[77][None], len(ids))[0].numpy()
+
+    eng.reset_kv()
+    eng.prefill_ids(ids, None, -1, 0)
+    kv = eng._ensure_kv(len(ids) + 4)
+    logits, kv = eng._step_logits(eng.dec_params, jnp.int32(77),
+                                  jnp.int32(len(ids)), kv)
+    eng._kv = kv
+    got = np.asarray(logits)
+    reader.close()
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+    assert int(np.argmax(got)) == int(np.argmax(ref))
+
+
 def test_moe_greedy_decode_deterministic(moe_engine):
     eng = moe_engine
     ids = list(range(200, 230))
