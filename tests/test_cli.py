@@ -66,6 +66,20 @@ def test_cli_thinker_text(tiny_model_dir):
     assert r.returncode == 0, r.stderr.decode()
 
 
+def test_cli_multi_file_batch(tiny_model_dir, wav_path):
+    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, wav_path, wav_path,
+                  "--silent", "--max-tokens", "6"])
+    assert r.returncode == 0, r.stderr.decode()
+    # one transcript line per input file
+    assert r.stdout.decode().count("\n") == 3
+
+
+def test_cli_multi_file_rejects_stream(tiny_model_dir, wav_path):
+    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, wav_path, "--stream"])
+    assert r.returncode == 1
+    assert b"only supported in plain ASR" in r.stderr
+
+
 def test_cli_bad_language(tiny_model_dir, wav_path):
     r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, "--language", "klingon"])
     assert r.returncode == 1
