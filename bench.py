@@ -28,7 +28,7 @@ BASELINE_RTF = 7.99  # README.md:398-402 (jfk.wav, 0.6B, -S 0, M3 Max)
 JFK = "/root/reference/samples/jfk.wav"
 BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-synthetic")
 MAX_TOKENS = 48
-RUNS = 3
+RUNS = 5
 
 
 def log(msg: str):

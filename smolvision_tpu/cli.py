@@ -164,8 +164,8 @@ def main(argv=None) -> int:
             return None
 
     if len(input_files) > 1:
-        if args.thinker or args.stream:
-            print("Error: multiple -i files only supported in plain ASR mode",
+        if args.thinker or args.stream or eng.cfg.family == "q25":
+            print("Error: multiple -i files only supported in plain Qwen3 ASR mode",
                   file=sys.stderr)
             return 1
         from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched

@@ -77,7 +77,7 @@ def test_cli_multi_file_batch(tiny_model_dir, wav_path):
 def test_cli_multi_file_rejects_stream(tiny_model_dir, wav_path):
     r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, wav_path, "--stream"])
     assert r.returncode == 1
-    assert b"only supported in plain ASR" in r.stderr
+    assert b"only supported in plain Qwen3 ASR" in r.stderr
 
 
 def test_cli_bad_language(tiny_model_dir, wav_path):
