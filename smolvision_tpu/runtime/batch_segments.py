@@ -51,6 +51,87 @@ def _batched_jits(engine):
     return engine._batch_seg_jits
 
 
+def _encode_batch(engine, mels: Sequence[np.ndarray]):
+    """Encode B mel spectrograms with batched conv + vmapped transformer.
+
+    The conv stem treats every clip's full 100-frame chunks as one batch
+    (chunks are independent by construction); partial tail chunks group by
+    width.  The windowed transformer is vmapped over clips at a common token
+    bucket.  Returns [(audio [Tcap, H], n_tokens)] like engine.encode_mel.
+    """
+    import jax
+
+    cfg = engine.cfg
+    if cfg.family == "q25" or len(mels) == 1:
+        return [engine.encode_mel(m) for m in mels]
+
+    chunk = cfg.enc_chunk_size
+    tpc = cfg.tokens_per_chunk
+    wts = cfg.window_token_size()
+    B = len(mels)
+
+    # gather all full chunks across clips into one conv batch
+    full_counts = [m.shape[1] // chunk for m in mels]
+    rems = [m.shape[1] % chunk for m in mels]
+    all_full = []
+    for m, n_full in zip(mels, full_counts):
+        for c in range(n_full):
+            all_full.append(m[:, c * chunk : (c + 1) * chunk])
+    full_tok = None
+    if all_full:
+        arr = np.stack(all_full).astype(np.float32)
+        ncap = bucket(len(arr), 4)
+        if ncap > len(arr):
+            arr = np.concatenate([arr, np.zeros((ncap - len(arr), *arr.shape[1:]), np.float32)])
+        full_tok = engine._conv_stem(engine.enc_params, jnp.asarray(arr))
+
+    # partial tails grouped by width (each width is its own jit bucket)
+    partial_tok = {}
+    by_width = {}
+    for b, (m, n_full, rem) in enumerate(zip(mels, full_counts, rems)):
+        if rem:
+            by_width.setdefault(rem, []).append((b, m[:, n_full * chunk :]))
+    for w, items in by_width.items():
+        arr = np.stack([p for _, p in items]).astype(np.float32)
+        out = engine._conv_stem(engine.enc_params, jnp.asarray(arr))
+        for (b, _), row in zip(items, out):
+            partial_tok[b] = row
+
+    # assemble per-clip token sequences at a common bucket
+    n_tokens = [full_counts[b] * tpc + (partial_tok[b].shape[0] if b in partial_tok else 0)
+                for b in range(B)]
+    from smolvision_tpu.runtime.buckets import window_bucket
+
+    tcap = max(window_bucket(n, wts) for n in n_tokens)
+    d = cfg.enc_d_model
+    xs = []
+    off = 0
+    for b in range(B):
+        parts = []
+        if full_counts[b]:
+            parts.append(full_tok[off : off + full_counts[b]].reshape(-1, d))
+            off += full_counts[b]
+        if b in partial_tok:
+            parts.append(partial_tok[b])
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        if x.shape[0] < tcap:
+            x = jnp.pad(x, ((0, tcap - x.shape[0]), (0, 0)))
+        xs.append(x)
+    x_stack = jnp.stack(xs)
+
+    enc_jit = getattr(engine, "_batched_enc_jit", None)
+    if enc_jit is None:
+        from smolvision_tpu.models.qwen3_encoder import encoder_transformer
+
+        enc_jit = jax.jit(jax.vmap(
+            lambda p, x, v: encoder_transformer(p, x, v, cfg, wts),
+            in_axes=(None, 0, 0)))
+        engine._batched_enc_jit = enc_jit
+    out = enc_jit(engine.enc_params, x_stack,
+                  jnp.asarray(n_tokens, dtype=jnp.int32))
+    return [(out[b], n_tokens[b]) for b in range(B)]
+
+
 def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
                                 mesh=None) -> List[str]:
     """Transcribe independent audio segments as one batch.  Returns texts in
@@ -62,16 +143,14 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
 
     import time as _time
 
-    # --- encode each segment (bucketed encoder calls) -----------------
+    # --- encode all segments as one batch ------------------------------
     enc_t0 = _time.monotonic()
-    audios = []
+    audios = _encode_batch(engine, [log_mel(seg) for seg in segments])
     id_rows = []
     starts = []
-    for seg in segments:
-        audio, n_audio = engine.encode_mel(log_mel(seg))
+    for _, n_audio in audios:
         ids, audio_start = prompt_mod.build_asr_prompt(
             cfg, n_audio, engine._prompt_tokens, engine._force_tokens, None)
-        audios.append((audio, n_audio))
         id_rows.append(ids)
         starts.append(audio_start)
 
