@@ -130,6 +130,118 @@ def _causal_kernel(start_ref, kvlen_ref, kvmin_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, :, :] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _decode_kernel(start_ref, kvmin_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
+                   o_ref, m_ref, l_ref, acc_ref, *, scale, bk, n_kb):
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    start = start_ref[0]
+    kv_min = kvmin_ref[0]
+    # blocks past the last cache row are never fetched (the index map clamps
+    # to the last valid block) nor computed
+    last_valid = jnp.maximum((start - 1) // bk, 0)
+
+    @pl.when((kb <= last_valid) & (start > 0))
+    def _():
+        q = q_ref[0].astype(jnp.float32) * scale            # [G, D]
+        k = k_ref[0].astype(jnp.float32)                    # [BK, D]
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [G, BK]
+        cols = kb * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (cols < start) & (cols >= kv_min)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        # merge the fresh (self) row, always attended
+        q = q_ref[0].astype(jnp.float32) * scale            # [G, D]
+        kn = kn_ref[0, 0].astype(jnp.float32)               # [D]
+        vn = vn_ref[0, 0].astype(jnp.float32)
+        s_self = jnp.sum(q * kn[None, :], axis=-1, keepdims=True)  # [G, 1]
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vn[None, :]
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def decode_flash_attention(q, k_new, v_new, k_cache, v_cache, start_pos,
+                           kv_min=None, *, gqa_groups: int, block_k: int = 256):
+    """Single-position GQA flash attention over the cache + the fresh row.
+
+    q: [H, D] at cache row start_pos; k_new/v_new: [KH, D] (this row's K/V,
+    NOT yet in the cache); k_cache/v_cache: [K, KH, D], rows [kv_min,
+    start_pos) are attended.  Cache blocks past start_pos are neither
+    fetched nor computed (index-map clamping), so attention cost follows the
+    LIVE context length, not the bucket capacity.
+    Returns [H, D] f32.
+    """
+    H, D = q.shape
+    K, KH, _ = k_cache.shape
+    G = gqa_groups
+    assert H == KH * G
+    if kv_min is None:
+        kv_min = jnp.int32(0)
+    bk = min(block_k, K)
+    assert K % bk == 0
+    n_kb = K // bk
+    scale = 1.0 / (D ** 0.5)
+
+    qT = q.reshape(KH, G, D)
+    knT = k_new.reshape(KH, 1, D)
+    vnT = v_new.reshape(KH, 1, D)
+    kT = jnp.transpose(k_cache, (1, 0, 2))
+    vT = jnp.transpose(v_cache, (1, 0, 2))
+
+    start_arr = jnp.reshape(jnp.asarray(start_pos).astype(jnp.int32), (1,))
+    kvmin_arr = jnp.reshape(jnp.asarray(kv_min).astype(jnp.int32), (1,))
+
+    q_spec = pl.BlockSpec((1, G, D), lambda kh, kb, *refs: (kh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((1, 1, D), lambda kh, kb, *refs: (kh, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kv_index(kh, kb, start_ref, kvmin_ref):
+        last_valid = jnp.maximum((start_ref[0] - 1) // bk, 0)
+        return (kh, jnp.minimum(kb, last_valid), 0)
+
+    kv_spec = pl.BlockSpec((1, bk, D), kv_index, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale, bk=bk, n_kb=n_kb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(KH, n_kb),
+            in_specs=[q_spec, new_spec, new_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            scratch_shapes=[
+                pltpu.VMEM((G, 1), jnp.float32),
+                pltpu.VMEM((G, 1), jnp.float32),
+                pltpu.VMEM((G, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((KH, G, D), jnp.float32),
+        interpret=_interpret(),
+    )(start_arr, kvmin_arr, qT, knT, vnT, kT, vT)
+    return out.reshape(H, D)
+
+
 def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
                                  *, gqa_groups: int, block_q: int = 128,
                                  block_k: int = 256, kv_min=None):

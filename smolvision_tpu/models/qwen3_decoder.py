@@ -188,11 +188,15 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     #  * prefill on TPU: per-layer cache update + Pallas causal flash kernel
     #    (the [T, K] score matrix never hits HBM).
     from smolvision_tpu.kernels import use_pallas
-    from smolvision_tpu.kernels.flash_attention import causal_cache_flash_attention
+    from smolvision_tpu.kernels.flash_attention import (
+        causal_cache_flash_attention,
+        decode_flash_attention,
+    )
 
     Kcap = kv.shape[2]
     flash = (use_pallas() and Tcap > 1
              and Tcap % min(128, Tcap) == 0 and Kcap % min(256, Kcap) == 0)
+    flash_decode = (use_pallas() and Tcap == 1 and Kcap % min(256, Kcap) == 0)
 
     q_dim = H * D
     kv_dim = KH * D
@@ -222,6 +226,11 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
                 q, k_cache, v_cache, start_pos, start_pos + valid_len,
                 gqa_groups=H // KH, kv_min=kv_min)
             out_kv = jnp.stack([k_cache, v_cache])
+        elif flash_decode:
+            attn = decode_flash_attention(
+                q[0], k[0], v[0], kv_layer[0], kv_layer[1], start_pos,
+                kv_min=kv_min, gqa_groups=H // KH)[None]
+            out_kv = (k.astype(kv_dt), v.astype(kv_dt))
         else:
             attn = _attention_two_part(q, k, v, kv_layer[0], kv_layer[1],
                                        start_pos, cfg, kv_min=kv_min)

@@ -93,3 +93,33 @@ def test_causal_cache_flash_ignores_stale_rows():
     b = causal_cache_flash_attention(q, jnp.asarray(k2), jnp.asarray(v2),
                                      jnp.int32(0), jnp.int32(T), gqa_groups=1)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("K,H,KH,D,start,kvmin", [
+    (256, 4, 2, 64, 100, 0),
+    (512, 8, 4, 128, 0, 0),       # empty cache: self-attention only
+    (512, 2, 2, 32, 511, 0),
+    (256, 4, 2, 64, 100, 30),     # left-padded batch layout
+])
+def test_decode_flash_matches_two_part(K, H, KH, D, start, kvmin):
+    import dataclasses
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.kernels.flash_attention import decode_flash_attention
+    from smolvision_tpu.models.qwen3_decoder import _attention_two_part
+
+    cfg = dataclasses.replace(QWEN3_ASR_06B, dec_heads=H, dec_kv_heads=KH,
+                              dec_head_dim=D)
+    rng = np.random.default_rng(5)
+    q = _rand(rng, 1, H, D)
+    k_new = _rand(rng, 1, KH, D)
+    v_new = _rand(rng, 1, KH, D)
+    k_cache = _rand(rng, K, KH, D)
+    v_cache = _rand(rng, K, KH, D)
+
+    got = decode_flash_attention(q[0], k_new[0], v_new[0], k_cache, v_cache,
+                                 jnp.int32(start), jnp.int32(kvmin),
+                                 gqa_groups=H // KH)
+    expect = _attention_two_part(q, k_new, v_new, k_cache, v_cache,
+                                 jnp.int32(start), cfg, kv_min=jnp.int32(kvmin))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
