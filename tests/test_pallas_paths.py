@@ -76,3 +76,31 @@ def test_decoder_prefill_pallas_matches_jnp(tiny_model_dir):
     # valid cache rows must agree too
     np.testing.assert_allclose(outs["1"][1][:, :, :valid], outs["0"][1][:, :, :valid],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_decode_step_pallas_matches_jnp(tiny_model_dir):
+    import jax.numpy as jnp
+    from smolvision_tpu.config import detect_config
+    from smolvision_tpu.io.safetensors import MultiSafetensors
+    from smolvision_tpu.models import params as pm
+    from smolvision_tpu.models import qwen3_decoder as dm
+
+    reader = MultiSafetensors(tiny_model_dir)
+    cfg = detect_config(tiny_model_dir, reader)
+    params = pm.load_decoder(reader, cfg, jnp.float32)
+
+    rng = np.random.default_rng(4)
+    Tcap, Kcap, valid = 128, 256, 100
+    embeds = jnp.asarray(rng.standard_normal((Tcap, cfg.dec_hidden)).astype(np.float32))
+
+    outs = {}
+    for mode in ("1", "0"):
+        os.environ["SMOLVISION_PALLAS"] = mode
+        kv = dm.make_kv_cache(cfg, Kcap, jnp.float32)
+        _, kv = dm.prefill(params, cfg, embeds, jnp.int32(0), jnp.int32(valid),
+                           kv, greedy=False)
+        logits, kv = dm.decode_step(params, cfg, jnp.int32(77), jnp.int32(valid),
+                                    kv, greedy=False)
+        outs[mode] = np.asarray(logits)
+    os.environ.pop("SMOLVISION_PALLAS", None)
+    np.testing.assert_allclose(outs["1"], outs["0"], rtol=2e-4, atol=2e-4)
