@@ -100,12 +100,18 @@ def main(argv=None) -> int:
     from smolvision_tpu.runtime import segment as segment_mod
     from smolvision_tpu.runtime import stream as stream_mod
 
-    eng = Engine(
-        args.model_dir,
-        param_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        enc_window_sec=args.enc_window_sec if args.enc_window_sec >= 0 else None,
-        verbose=verbosity,
-    )
+    try:
+        eng = Engine(
+            args.model_dir,
+            param_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            enc_window_sec=args.enc_window_sec if args.enc_window_sec >= 0 else None,
+            verbose=verbosity,
+        )
+    except Exception as e:
+        # mirror the reference's one-line load failure (main.c:292-296)
+        print(f"smolvision: failed to load model from {args.model_dir}: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        return 1
     eng.monitor = args.monitor
 
     if args.segment_sec >= 0:

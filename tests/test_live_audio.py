@@ -89,3 +89,30 @@ def test_live_incremental_consumption():
         if eof and base >= 48000:
             break
     assert len(total) == 48000
+
+
+def test_live_stream_end_to_end(tiny_model_dir):
+    """Full live streaming through the engine with a throttled fake stream:
+    exercises the live mirror buffer, consumed-sample dropping before
+    full_end, and EOF termination (qwen_asr.c live path semantics)."""
+    import jax.numpy as jnp
+    import struct
+
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32, kv_dtype=jnp.float32,
+                 enc_window_sec=1.0)  # 1 s windows -> live buffer dropping runs
+    eng.stream_max_new_tokens = 4
+    eng.past_text_conditioning = True
+    eng.token_cb = lambda b: None
+
+    sr = 16000
+    t = np.arange(5 * sr)
+    samples = (np.sin(t / 15.0) * 0.3 * 32767).astype("<i2")
+    data = _wav_header(len(samples)) + samples.tobytes()
+
+    live, thread = _start(SlowStream(data, step=32000))
+    text = stream_mod.transcribe_stream_live(eng, live)
+    thread.join(timeout=10)
+    assert text is not None  # ran to EOF without deadlock
