@@ -141,6 +141,11 @@ def main(argv=None) -> int:
     eng.seed = args.seed
     if args.no_batch_segments:
         eng.batch_segments = False
+    if args.moe_preload and verbosity >= 1:
+        note = ("MoE experts are device-resident (loaded at startup); "
+                "--moe-preload is implicit on TPU"
+                if eng.cfg.is_moe else "--moe-preload: model is not MoE")
+        print(note, file=sys.stderr)
     if args.prompt:
         eng.set_prompt(args.prompt)
     if args.language:
