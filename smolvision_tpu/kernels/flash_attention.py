@@ -199,6 +199,8 @@ def decode_flash_attention(q, k_new, v_new, k_cache, v_cache, start_pos,
     if kv_min is None:
         kv_min = jnp.int32(0)
     bk = min(block_k, K)
+    if K % bk:
+        bk = 128 if K % 128 == 0 else K  # 128-granular caps
     assert K % bk == 0
     n_kb = K // bk
     scale = 1.0 / (D ** 0.5)
@@ -260,6 +262,8 @@ def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
     assert H == KH * G
     bq = min(block_q, T)
     bk = min(block_k, K)
+    if K % bk:
+        bk = 128 if K % 128 == 0 else K
     assert T % bq == 0 and K % bk == 0, (T, bq, K, bk)
     n_tb = T // bq
     n_kb = K // bk

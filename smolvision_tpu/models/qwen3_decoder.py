@@ -194,9 +194,10 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     )
 
     Kcap = kv.shape[2]
+    kcap_ok = Kcap % min(128, Kcap) == 0
     flash = (use_pallas() and Tcap > 1
-             and Tcap % min(128, Tcap) == 0 and Kcap % min(256, Kcap) == 0)
-    flash_decode = (use_pallas() and Tcap == 1 and Kcap % min(256, Kcap) == 0)
+             and Tcap % min(128, Tcap) == 0 and kcap_ok)
+    flash_decode = (use_pallas() and Tcap == 1 and kcap_ok)
 
     q_dim = H * D
     kv_dim = KH * D

@@ -24,7 +24,7 @@ from smolvision_tpu.config import EOS_TOKEN_IDS, TOKEN_ASR_TEXT
 from smolvision_tpu.ops.mel import log_mel
 from smolvision_tpu.parallel import batch as pbatch
 from smolvision_tpu.runtime import prompt as prompt_mod
-from smolvision_tpu.runtime.buckets import bucket
+from smolvision_tpu.runtime.buckets import bucket, bucket128
 
 BATCH_DECODE_CHUNK = 64
 
@@ -159,7 +159,7 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     # write position lowers to a catastrophic scatter on TPU).  Cache index =
     # logical position + pad; rope_start = -pad; kv_min = pad masks the pad
     # rows' garbage K/V.
-    tcap = bucket(max(len(i) for i in id_rows), 64)
+    tcap = bucket128(max(len(i) for i in id_rows))
     acap = max(bucket(a.shape[0], 16) for a, _ in audios)
     H = cfg.dec_hidden
 
@@ -177,7 +177,7 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     rope_start = jnp.asarray([-p for p in pads], dtype=jnp.int32)
     kv_min = jnp.asarray(pads, dtype=jnp.int32)
 
-    kcap = bucket(tcap + min(engine.max_tokens, 512) + 64, 256)
+    kcap = bucket128(tcap + min(engine.max_tokens, BATCH_DECODE_CHUNK) + BATCH_DECODE_CHUNK)
     kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
 
     if mesh is not None:
@@ -209,7 +209,7 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     produced = 1
     while produced < engine.max_tokens and not all(done):
         if pos + BATCH_DECODE_CHUNK + 1 > kcap:
-            kcap = bucket(pos + BATCH_DECODE_CHUNK + 64, 256)
+            kcap = bucket128(pos + BATCH_DECODE_CHUNK + 128)
             new_kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
             new_kv = new_kv.at[:, :, :, : kv.shape[3]].set(kv)
             kv = new_kv

@@ -25,3 +25,10 @@ def window_bucket(n_tokens: int, window_tokens: int, min_windows: int = 1) -> in
     """Encoder token cap: pow2 number of attention windows."""
     n_windows = max((n_tokens + window_tokens - 1) // window_tokens, min_windows)
     return next_pow2(n_windows) * window_tokens
+
+
+def bucket128(n: int, minimum: int = 128) -> int:
+    """Round up to a multiple of 128 (finer than pow2; used where capacity
+    directly scales per-step cost, e.g. the batched KV cache — a pow2 jump
+    from 320 to 512 is a 60% KV-read tax on every decode step)."""
+    return max((n + 127) // 128 * 128, minimum)
