@@ -19,3 +19,10 @@ def use_pallas() -> bool:
     if force == "1":
         return True
     return jax.default_backend() == "tpu"
+
+
+def pallas_forced() -> bool:
+    """True only under explicit SMOLVISION_PALLAS=1 — used to override
+    size-based kernel/XLA dispatch heuristics (tests force the kernel paths
+    at sizes where the heuristic would pick the fused-XLA formulation)."""
+    return os.environ.get("SMOLVISION_PALLAS", "").strip() == "1"

@@ -29,6 +29,14 @@ from smolvision_tpu.config import ModelConfig
 from smolvision_tpu.ops.common import apply_rope_neox, rms_norm, rope_tables, silu
 
 
+# Kcap at which the Pallas decode-attention kernel (live-context block
+# clamping, but ~25 us launch overhead x layers) overtakes the fused-XLA
+# two-part attention (reads the full Kcap).  Measured on v5e with the 0.6B
+# geometry: jnp wins by ~0.2 ms/step at Kcap 512; the kernel's flat cost
+# only pays off once whole-cache reads dominate (tools/profile_decode2.py).
+FLASH_DECODE_MIN_KCAP = 4096
+
+
 def make_kv_cache(cfg: ModelConfig, kv_cap: int, dtype=jnp.bfloat16):
     return jnp.zeros((cfg.dec_layers, 2, kv_cap, cfg.dec_kv_heads, cfg.dec_head_dim), dtype=dtype)
 
@@ -187,7 +195,7 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     #    structure — no full-cache rewrite per step),
     #  * prefill on TPU: per-layer cache update + Pallas causal flash kernel
     #    (the [T, K] score matrix never hits HBM).
-    from smolvision_tpu.kernels import use_pallas
+    from smolvision_tpu.kernels import pallas_forced, use_pallas
     from smolvision_tpu.kernels.flash_attention import (
         causal_cache_flash_attention,
         decode_flash_attention,
@@ -197,7 +205,14 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     kcap_ok = Kcap % min(128, Kcap) == 0
     flash = (use_pallas() and Tcap > 1
              and Tcap % min(128, Tcap) == 0 and kcap_ok)
-    flash_decode = (use_pallas() and Tcap == 1 and kcap_ok)
+    # decode: the Pallas single-row kernel pays ~25 us launch overhead per
+    # layer (~0.7 ms/step over 28 layers) but reads only the LIVE context;
+    # the jnp two-part formulation reads the whole Kcap but runs as fused
+    # XLA ops with no launch cost.  Measured crossover on v5e is far above
+    # typical ASR contexts (jnp wins by ~0.2 ms/step at Kcap 512), so the
+    # kernel only takes over for large caches (tools/profile_decode2.py).
+    flash_decode = (use_pallas() and Tcap == 1 and kcap_ok
+                    and (Kcap >= FLASH_DECODE_MIN_KCAP or pallas_forced()))
 
     q_dim = H * D
     kv_dim = KH * D
