@@ -244,6 +244,102 @@ def decode_flash_attention(q, k_new, v_new, k_cache, v_cache, start_pos,
     return out.reshape(H, D)
 
 
+def _batched_causal_kernel(kvmin_ref, q_ref, k_ref, v_ref, o_ref,
+                           m_ref, l_ref, acc_ref, *, scale, bq, bk, n_kb):
+    b = pl.program_id(0)
+    tb = pl.program_id(2)
+    kb = pl.program_id(3)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # causal block skip: key blocks strictly above the query block's last
+    # row are fully masked — neither fetched (index-map clamp) nor computed
+    @pl.when(kb * bk <= tb * bq + bq - 1)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale          # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)                  # [BK, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [BQ, BK]
+        rows = tb * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = (cols <= rows) & (cols >= kvmin_ref[b])
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def batched_causal_flash_attention(q, k, v, kv_min, *, gqa_groups: int,
+                                   block_q: int = 128, block_k: int = 256):
+    """Batched causal GQA self-attention over a fresh block (serving
+    prefill: the whole context IS the block, cache starts empty).
+
+    q: [B, T, H, D]; k/v: [B, T, KH, D]; kv_min: [B] int32 — rows/cols below
+    kv_min[b] are left-padding (masked as keys; their outputs are garbage and
+    never read).  Returns [B, T, H, D] f32.  One kernel launch for the whole
+    batch — a vmapped pallas_call serializes into B launches per layer
+    (measured: 896 launches, ~40% of batched prefill time).
+    """
+    B, T, H, D = q.shape
+    KH = k.shape[2]
+    G = gqa_groups
+    assert H == KH * G
+    bq = min(block_q, T)
+    bk = min(block_k, T)
+    if T % bk:
+        bk = 128 if T % 128 == 0 else T
+    assert T % bq == 0 and T % bk == 0, (T, bq, bk)
+    n_tb = T // bq
+    n_kb = T // bk
+    scale = 1.0 / (D ** 0.5)
+
+    qT = jnp.transpose(q, (0, 2, 1, 3))          # [B, H, T, D]
+    kT = jnp.transpose(k, (0, 2, 1, 3))          # [B, KH, T, D]
+    vT = jnp.transpose(v, (0, 2, 1, 3))
+
+    q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, tb, kb, *refs: (b, h, tb, 0),
+                          memory_space=pltpu.VMEM)
+
+    def kv_index(b, h, tb, kb, *refs):
+        last = (tb * bq + bq - 1) // bk
+        return (b, h // G, jnp.minimum(kb, last), 0)
+
+    kv_spec = pl.BlockSpec((1, 1, bk, D), kv_index, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_batched_causal_kernel, scale=scale, bq=bq, bk=bk,
+                          n_kb=n_kb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_tb, n_kb),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(kv_min, dtype=jnp.int32), qT, kT, vT)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
                                  *, gqa_groups: int, block_q: int = 128,
                                  block_k: int = 256, kv_min=None):

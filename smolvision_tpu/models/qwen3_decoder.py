@@ -279,6 +279,232 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     return h, kv_new
 
 
+# ---------------------------------------------------------------------------
+# Batch-native formulation (the serving path)
+#
+# A vmapped single-sequence decoder is correct but slow on TPU: the per-step
+# batched dynamic_update_slice fails to alias in place and XLA materializes
+# a FULL KV-cache copy every decode step (measured: 7.1 ms/step of a 13.3 ms
+# step at B=32, kcap 640 — tools/profile_serving.py), and a vmapped
+# pallas_call serializes into B kernel launches per layer.  The native
+# formulation writes the batch dimension into the einsums, lays the cache
+# out as [L, 2, B, KH, K, D], and performs ONE unbatched dynamic_update_
+# slice per forward (scalar start indices — the left-padded batch layout
+# makes cache positions batch-uniform), which XLA updates in place.
+# ---------------------------------------------------------------------------
+
+
+def make_batched_kv(cfg: ModelConfig, batch: int, kv_cap: int, dtype=jnp.bfloat16):
+    """Batched KV cache [L, 2, B, KH, K, D] (K second-to-last: the decode
+    write touches one K row; KH x D are the tiled trailing dims per head)."""
+    return jnp.zeros((cfg.dec_layers, 2, batch, cfg.dec_kv_heads, kv_cap,
+                      cfg.dec_head_dim), dtype=dtype)
+
+
+def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
+                                cfg: ModelConfig, kv_min):
+    """Batched causal GQA attention: frozen cache prefix [kv_min[b],
+    start_pos) + fresh in-block rows, merged by online softmax.
+
+    q: [B, T, H, D] at cache rows start_pos + arange(T) (batch-uniform).
+    k_new/v_new: [B, T, KH, D]; k_cache/v_cache: [B, KH, K, D]; kv_min: [B].
+    Returns [B, T, H, D] f32.
+    """
+    B, T, H, D = q.shape
+    KH = cfg.dec_kv_heads
+    G = H // KH
+    Kcap = k_cache.shape[2]
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    cdt = k_cache.dtype
+    if jax.default_backend() != "tpu" and cdt == jnp.bfloat16:
+        # XLA:CPU has no BF16 x BF16 = F32 DotThunk for multi-batch-dim dots;
+        # upcasting is exact (bf16 values/products are representable in f32),
+        # so CPU tests stay bit-identical to the TPU bf16-input path
+        cdt = jnp.float32
+        k_cache = k_cache.astype(cdt)
+        v_cache = v_cache.astype(cdt)
+    qc = (q * scale).astype(cdt).reshape(B, T, KH, G, D)
+
+    sa = jnp.einsum("btkgd,bksd->bkgts", qc, k_cache,
+                    preferred_element_type=jnp.float32)          # [B,KH,G,T,K]
+    cache_cols = jnp.arange(Kcap)
+    mask_a = ((cache_cols[None, :] < start_pos)
+              & (cache_cols[None, :] >= kv_min[:, None]))        # [B, K]
+    mask_a = mask_a[:, None, None, None, :]
+    sa = jnp.where(mask_a, sa, -jnp.inf)
+
+    sb = jnp.einsum("btkgd,bskd->bkgts", qc, k_new.astype(cdt),
+                    preferred_element_type=jnp.float32)          # [B,KH,G,T,T]
+    block_cols = start_pos + jnp.arange(T)
+    causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])  # [T, T]
+    mask_b = (causal[None] & (block_cols[None, :] >= kv_min[:, None])[:, None, :])
+    mask_b = mask_b[:, None, None, :, :]                         # [B,1,1,T,T]
+    sb = jnp.where(mask_b, sb, -jnp.inf)
+
+    ma = jnp.max(sa, axis=-1, keepdims=True)
+    mb = jnp.max(sb, axis=-1, keepdims=True)
+    m = jnp.maximum(ma, mb)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    ea = jnp.where(mask_a, jnp.exp(sa - m), 0.0)
+    eb = jnp.where(mask_b, jnp.exp(sb - m), 0.0)
+    denom = jnp.maximum(ea.sum(-1, keepdims=True) + eb.sum(-1, keepdims=True), 1e-30)
+    oa = jnp.einsum("bkgts,bksd->btkgd", ea.astype(cdt), v_cache,
+                    preferred_element_type=jnp.float32)
+    ob = jnp.einsum("bkgts,bskd->btkgd", eb.astype(cdt), v_new.astype(cdt),
+                    preferred_element_type=jnp.float32)
+    out = (oa + ob) / jnp.transpose(denom, (0, 3, 1, 2, 4))
+    return out.reshape(B, T, H, D)
+
+
+def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
+                            rope_start, kv_min, fresh_prefill: bool = False):
+    """Run the layer stack over `embeds` [B, Tcap, H] written into cache rows
+    start_pos..start_pos+Tcap-1 (batch-uniform scalar — left-padded layout).
+
+    rope_start: [B] logical position of row 0 per row (= -pad).
+    kv_min: [B] cache rows below this are left-pad garbage, never attended.
+    fresh_prefill: statically True when start_pos == 0 and the whole context
+    is this block (serving prefill) — enables the batched Pallas causal
+    kernel; attention then never reads the (empty) cache.
+
+    Returns (hidden [B, Tcap, H] f32, kv').
+    """
+    B, Tcap, Hdim = embeds.shape
+    H = cfg.dec_heads
+    KH = cfg.dec_kv_heads
+    D = cfg.dec_head_dim
+    eps = cfg.rms_norm_eps
+    positions = rope_start[:, None] + jnp.arange(Tcap)[None, :]   # [B, T]
+    cos, sin = rope_tables(positions, D, cfg.rope_theta)
+    wdt = params["layers"]["wqkv"].dtype
+    kv_dt = kv.dtype
+
+    from smolvision_tpu.kernels import use_pallas
+    from smolvision_tpu.kernels.flash_attention import batched_causal_flash_attention
+
+    flash = (use_pallas() and fresh_prefill and Tcap > 1
+             and Tcap % min(128, Tcap) == 0)
+
+    q_dim = H * D
+    kv_dim = KH * D
+
+    def layer(h, xs):
+        lp, kv_layer = xs            # kv_layer [2, B, KH, K, D]
+        xn = rms_norm(h, lp["input_ln"], eps)
+        xc = xn.astype(wdt)
+        qkv = jnp.einsum("bth,oh->bto", xc, lp["wqkv"],
+                         preferred_element_type=jnp.float32)
+        if lp.get("bqkv") is not None:
+            qkv = qkv + lp["bqkv"]
+        q = qkv[..., :q_dim].reshape(B, Tcap, H, D)
+        k = qkv[..., q_dim : q_dim + kv_dim].reshape(B, Tcap, KH, D)
+        v = qkv[..., q_dim + kv_dim :].reshape(B, Tcap, KH, D)
+        if lp.get("q_norm") is not None:
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
+        q = apply_rope_neox(q, cos, sin)
+        k = apply_rope_neox(k, cos, sin)
+
+        if flash:
+            attn = batched_causal_flash_attention(q, k, v, kv_min,
+                                                  gqa_groups=H // KH)
+        else:
+            attn = _batched_attention_two_part(
+                q, k, v, kv_layer[0], kv_layer[1], start_pos, cfg, kv_min)
+        attn = attn.reshape(B, Tcap, H * D)
+        h = h + jnp.einsum("bta,oa->bto", attn.astype(wdt), lp["wo"],
+                           preferred_element_type=jnp.float32)
+
+        xn = rms_norm(h, lp["post_ln"], eps)
+        if lp.get("router") is not None:
+            ffn = _moe_ffn(xn.reshape(B * Tcap, Hdim), lp, cfg).reshape(B, Tcap, Hdim)
+        else:
+            xc2 = xn.astype(wdt)
+            gate_up = jnp.einsum("bth,ih->bti", xc2, lp["w_gate_up"],
+                                 preferred_element_type=jnp.float32)
+            I = gate_up.shape[-1] // 2
+            act = (silu(gate_up[..., :I]) * gate_up[..., I:]).astype(wdt)
+            ffn = jnp.einsum("bti,hi->bth", act, lp["w_down"],
+                             preferred_element_type=jnp.float32)
+        h = h + ffn
+        # fresh rows in cache layout [B, KH, T, D]
+        out_kv = (jnp.transpose(k, (0, 2, 1, 3)).astype(kv_dt),
+                  jnp.transpose(v, (0, 2, 1, 3)).astype(kv_dt))
+        return h, out_kv
+
+    h, kv_out = jax.lax.scan(layer, embeds.astype(jnp.float32),
+                             (params["layers"], kv))
+    k_rows, v_rows = kv_out                      # [L, B, KH, T, D] each
+    new_block = jnp.stack([k_rows, v_rows], axis=1)   # [L, 2, B, KH, T, D]
+    kv_new = jax.lax.dynamic_update_slice(
+        kv, new_block, (0, 0, 0, 0, start_pos, 0))
+    return h, kv_new
+
+
+def batched_logits(params, cfg: ModelConfig, hidden_rows):
+    """Final RMSNorm + lm_head for one row per batch element [B, H] -> [B, V]."""
+    h = rms_norm(hidden_rows, params["final_norm"], cfg.rms_norm_eps)
+    wdt = params["lm_head"].dtype
+    return jnp.einsum("bh,vh->bv", h.astype(wdt), params["lm_head"],
+                      preferred_element_type=jnp.float32)
+
+
+def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
+                    greedy: bool = True):
+    """Serving prefill: start_pos = 0, every row valid through Tcap (the
+    left-padded layout puts each row's last prompt token at Tcap-1).
+    embeds [B, Tcap, H]; kv [L, 2, B, KH, K, D].  Returns (tokens|logits, kv')."""
+    B, Tcap, _ = embeds.shape
+    hidden, kv = batched_decoder_forward(
+        params, cfg, embeds, jnp.int32(0), kv, rope_start, kv_min,
+        fresh_prefill=True)
+    logits = batched_logits(params, cfg, hidden[:, Tcap - 1])
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
+    return logits, kv
+
+
+def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
+                         n_steps_cap: int, rope_offset, kv_min, n_steps=None):
+    """Greedy-decode up to n_steps tokens for every batch row, exiting early
+    once EVERY row has emitted an EOS (rows that finish first keep decoding
+    garbage into the buffer until then — the host truncates at EOS).
+
+    tokens [B]; pos scalar cache row (batch-uniform); rope position of row b
+    = pos - rope_offset[b].  n_steps_cap is the static buffer width; n_steps
+    (traced, defaults to the cap) bounds the loop so short tails don't pay
+    for full chunks.  Returns (buf [B, n_steps_cap], count, last_tokens [B],
+    kv')."""
+    from smolvision_tpu.config import EOS_TOKEN_IDS
+
+    B = tokens.shape[0]
+    eos = jnp.asarray(sorted(EOS_TOKEN_IDS), dtype=jnp.int32)
+    if n_steps is None:
+        n_steps = jnp.int32(n_steps_cap)
+    buf0 = jnp.zeros((B, n_steps_cap), jnp.int32)
+    done0 = jnp.any(tokens[:, None] == eos[None, :], axis=1)
+
+    def cond(c):
+        i, _, _, _, done = c
+        return (i < n_steps) & ~jnp.all(done)
+
+    def body(c):
+        i, toks, kv_, buf_, done = c
+        p = pos + i
+        embeds = params["embed"][toks][:, None, :].astype(jnp.float32)
+        hidden, kv_ = batched_decoder_forward(
+            params, cfg, embeds, p, kv_, p - rope_offset, kv_min)
+        logits = batched_logits(params, cfg, hidden[:, 0])
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        buf_ = jax.lax.dynamic_update_slice(buf_, nxt[:, None], (0, i))
+        done = done | jnp.any(nxt[:, None] == eos[None, :], axis=1)
+        return (i + 1, nxt, kv_, buf_, done)
+
+    i, toks, kv, buf, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, kv, buf0, done0))
+    return buf, i, toks, kv
+
+
 def logits_at(params, cfg: ModelConfig, hidden, row):
     """Final RMSNorm + lm_head logits for one row of the hidden states."""
     h = jax.lax.dynamic_index_in_dim(hidden, row, axis=0, keepdims=False)

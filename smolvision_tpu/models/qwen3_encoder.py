@@ -38,7 +38,9 @@ def conv_stem(params, mel_chunks, cfg: ModelConfig):
     partial tail).  Returns [B, w3, d_model] f32.
     """
     B, n_mel, w = mel_chunks.shape
-    x = mel_chunks[:, None, :, :]  # [B, 1, 128, w]
+    # serving may transfer mel as f16 (halves tunnel upload bytes); compute
+    # is f32 regardless
+    x = mel_chunks.astype(jnp.float32)[:, None, :, :]  # [B, 1, 128, w]
     dn = ("NCHW", "OIHW", "NCHW")
     for wkey, bkey in (("conv1", "conv1"), ("conv2", "conv2"), ("conv3", "conv3")):
         x = jax.lax.conv_general_dilated(

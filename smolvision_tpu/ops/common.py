@@ -56,17 +56,18 @@ def sinusoidal_pe(length: int, channels: int, max_timescale: float = 10000.0) ->
 
 
 def rope_tables(positions, head_dim: int, theta: float):
-    """cos/sin tables, each [len(positions), head_dim] (angles duplicated)."""
+    """cos/sin tables, each [*positions.shape, head_dim] (angles duplicated).
+    positions may be [T] (single sequence) or [B, T] (batched)."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
     emb = jnp.concatenate([angles, angles], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
 def apply_rope_neox(x, cos, sin):
-    """x: [seq, heads, head_dim]; cos/sin: [seq, head_dim]."""
+    """x: [..., seq, heads, head_dim]; cos/sin: [..., seq, head_dim]."""
     half = x.shape[-1] // 2
     x1 = x[..., :half]
     x2 = x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return x * cos[:, None, :] + rotated * sin[:, None, :]
+    return x * cos[..., None, :] + rotated * sin[..., None, :]

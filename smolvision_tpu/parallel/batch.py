@@ -1,70 +1,60 @@
 """Batched (data-parallel) model entry points.
 
 Segments (-S mode) and independent streams are the natural DP unit
-(SURVEY.md §2.3): each is an independent prompt with its own KV cache, so we
-vmap the single-sequence decoder over a batch axis and shard that axis over
-the "data" mesh axis.  Tensor-parallel weight shardings (mesh.py) compose
-freely — GSPMD handles both.
+(SURVEY.md §2.3): each is an independent prompt with its own KV cache.  The
+batch dimension is written NATIVELY into the decoder einsums
+(models/qwen3_decoder.py batched_*) rather than vmapped over the
+single-sequence path: a vmapped per-step cache update fails to alias in
+place (XLA copies the full multi-GB cache every decode step) and a vmapped
+pallas_call serializes into B kernel launches per layer.  The batch axis
+shards over the "data" mesh axis; tensor-parallel weight shardings (mesh.py)
+compose freely — GSPMD handles both.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
 
 from smolvision_tpu.config import EOS_TOKEN_IDS, ModelConfig
 from smolvision_tpu.models import qwen3_decoder as dec_mod
 
-
-def make_batched_kv(cfg: ModelConfig, batch: int, kv_cap: int, dtype=jnp.bfloat16):
-    return jnp.zeros(
-        (batch, cfg.dec_layers, 2, kv_cap, cfg.dec_kv_heads, cfg.dec_head_dim),
-        dtype=dtype)
+# KV cache layout [L, 2, B, KH, K, D] — see models/qwen3_decoder.py
+make_batched_kv = dec_mod.make_batched_kv
 
 
-def batched_prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
-                    greedy: bool = True, rope_start=None, kv_min=None):
-    """embeds [B, Tcap, H]; start_pos/valid_len [B]; kv [B, L, 2, K, KH, D];
-    optional rope_start/kv_min [B] for the left-padded batch layout.
+def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start=None,
+                    kv_min=None, greedy: bool = True):
+    """Serving prefill at start_pos 0: embeds [B, Tcap, H] (left-padded: each
+    row's last prompt token at Tcap-1), kv [L, 2, B, KH, K, D];
+    rope_start/kv_min [B] default to zeros (no left-padding).
     Returns (tokens_or_logits [B, ...], kv')."""
+    B = embeds.shape[0]
     if rope_start is None:
-        rope_start = start_pos
+        rope_start = jnp.zeros((B,), jnp.int32)
     if kv_min is None:
-        kv_min = jnp.zeros_like(start_pos)
-    fn = lambda e, s, v, k, rs, km: dec_mod.prefill(
-        params, cfg, e, s, v, k, greedy=greedy, rope_start=rs, kv_min=km)
-    return jax.vmap(fn)(embeds, start_pos, valid_len, kv, rope_start, kv_min)
+        kv_min = jnp.zeros((B,), jnp.int32)
+    return dec_mod.batched_prefill(params, cfg, embeds, kv, rope_start,
+                                   kv_min, greedy=greedy)
 
 
-def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv, n_steps: int,
-                         rope_offset=None, kv_min=None):
-    """Greedy-decode n_steps tokens for every batch row (no early exit —
-    rows that hit EOS keep decoding into the buffer; the host truncates).
+def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
+                         n_steps_cap: int, rope_offset=None, kv_min=None,
+                         n_steps=None):
+    """Greedy-decode up to n_steps (traced, <= static n_steps_cap) tokens for
+    every batch row, with on-device all-rows-EOS early exit.
 
     tokens [B] int32; pos is a SCALAR cache row shared by all rows (the
     left-padded layout aligns all rows' cache positions — a batch-varying
     write position lowers to a catastrophic scatter on TPU); rope position
-    of row b = pos - rope_offset[b]; kv [B, ...].
-    Returns (buf [B, n_steps] int32, kv')."""
+    of row b = pos - rope_offset[b]; kv [L, 2, B, KH, K, D].
+    Returns (buf [B, n_steps_cap] int32, count, last_tokens [B], kv')."""
     if rope_offset is None:
         rope_offset = jnp.zeros_like(tokens)
     if kv_min is None:
         kv_min = jnp.zeros_like(tokens)
-
-    def one(tok, k, off, km):
-        def body(carry, i):
-            t, k_ = carry
-            p = pos + i
-            nxt, k_ = dec_mod.decode_step(params, cfg, t, p, k_, greedy=True,
-                                          rope_start=p - off, kv_min=km)
-            return (nxt, k_), nxt
-
-        (t, k), buf = jax.lax.scan(body, (tok, k), jnp.arange(n_steps))
-        return buf, k
-
-    return jax.vmap(one)(tokens, kv, rope_offset, kv_min)
+    return dec_mod.batched_decode_chunk(params, cfg, tokens, pos, kv,
+                                        n_steps_cap, rope_offset, kv_min,
+                                        n_steps=n_steps)
 
 
 def trim_eos(row) -> list:

@@ -83,8 +83,8 @@ def decoder_shardings(cfg: ModelConfig, mesh: Mesh):
 
 
 def batched_kv_sharding(mesh: Mesh):
-    """KV cache [B, L, 2, K, KH, D]: batch over data, kv heads over model."""
-    return _ns(mesh, DATA_AXIS, None, None, None, MODEL_AXIS, None)
+    """KV cache [L, 2, B, KH, K, D]: batch over data, kv heads over model."""
+    return _ns(mesh, None, None, DATA_AXIS, MODEL_AXIS, None, None)
 
 
 def batch_sharding(mesh: Mesh, rank: int):

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smolvision_tpu.config import EOS_TOKEN_IDS, TOKEN_ASR_TEXT
+from smolvision_tpu.config import EOS_TOKEN_IDS, NUM_MEL_BINS, TOKEN_ASR_TEXT
 from smolvision_tpu.ops.mel import log_mel
 from smolvision_tpu.parallel import batch as pbatch
 from smolvision_tpu.runtime import prompt as prompt_mod
@@ -40,12 +40,13 @@ def _batched_jits(engine):
     cfg = engine.cfg
     build = jax.jit(jax.vmap(dec_mod.build_embeds, in_axes=(None, 0, 0, 0, 0)))
     prefill = jax.jit(
-        lambda p, e, s, v, k, rs, km: pbatch.batched_prefill(
-            p, cfg, e, s, v, k, greedy=True, rope_start=rs, kv_min=km),
-        donate_argnums=(4,))
+        lambda p, e, k, rs, km: pbatch.batched_prefill(
+            p, cfg, e, k, rope_start=rs, kv_min=km, greedy=True),
+        donate_argnums=(2,))
     decode = jax.jit(
-        lambda p, t, pos, k, off, km: pbatch.batched_decode_chunk(
-            p, cfg, t, pos, k, BATCH_DECODE_CHUNK, rope_offset=off, kv_min=km),
+        lambda p, t, pos, k, off, km, ns: pbatch.batched_decode_chunk(
+            p, cfg, t, pos, k, BATCH_DECODE_CHUNK, rope_offset=off, kv_min=km,
+            n_steps=ns),
         donate_argnums=(3,))
     engine._batch_seg_jits = (build, prefill, decode)
     return engine._batch_seg_jits
@@ -57,98 +58,210 @@ def _encode_batch(engine, mels: Sequence[np.ndarray]):
     The conv stem treats every clip's full 100-frame chunks as one batch
     (chunks are independent by construction); partial tail chunks group by
     width.  The windowed transformer is vmapped over clips at a common token
-    bucket.  Returns [(audio [Tcap, H], n_tokens)] like engine.encode_mel.
+    bucket.  Returns (audio_stack [B, cap, H], n_tokens list).
     """
     import jax
 
     cfg = engine.cfg
     if cfg.family == "q25" or len(mels) == 1:
-        return [engine.encode_mel(m) for m in mels]
+        per_clip = [engine.encode_mel(m) for m in mels]
+        cap = max(a.shape[0] for a, _ in per_clip)
+        stack = jnp.stack([
+            a if a.shape[0] == cap else jnp.pad(a, ((0, cap - a.shape[0]), (0, 0)))
+            for a, _ in per_clip])
+        return stack, [n for _, n in per_clip]
 
     chunk = cfg.enc_chunk_size
     tpc = cfg.tokens_per_chunk
     wts = cfg.window_token_size()
     B = len(mels)
 
-    # gather all full chunks across clips into one conv batch
-    full_counts = [m.shape[1] // chunk for m in mels]
-    rems = [m.shape[1] % chunk for m in mels]
-    all_full = []
-    for m, n_full in zip(mels, full_counts):
-        for c in range(n_full):
-            all_full.append(m[:, c * chunk : (c + 1) * chunk])
+    # mels arrive as (n_frames, full_np [n,128,chunk] | None, part_np
+    # [128,rem] | None) from the threaded mel stage, or as raw [128, F]
+    # arrays from the fallback path
+    full_counts = []
+    rems = []
+    np_fulls = []
+    np_parts = []
+    for m in mels:
+        if isinstance(m, tuple):
+            frames, np_full, np_part = m
+        else:
+            frames = m.shape[1]
+            n_full = frames // chunk
+            np_full = (np.ascontiguousarray(
+                m[:, : n_full * chunk].reshape(m.shape[0], n_full, chunk)
+                .transpose(1, 0, 2)).astype(np.float32)
+                if n_full else None)
+            np_part = (np.ascontiguousarray(
+                m[:, n_full * chunk :]).astype(np.float32)
+                if frames % chunk else None)
+        full_counts.append(frames // chunk)
+        rems.append(frames % chunk)
+        np_fulls.append(np_full)
+        np_parts.append(np_part)
+
+    # all full chunks across clips -> ONE host assembly + ONE upload (the
+    # tunnel charges ~8.5 ms per transfer call on top of throughput, so
+    # per-clip uploads cost more in fixed overhead than the bytes)
     full_tok = None
-    if all_full:
-        arr = np.stack(all_full).astype(np.float32)
-        ncap = bucket(len(arr), 4)
-        if ncap > len(arr):
-            arr = np.concatenate([arr, np.zeros((ncap - len(arr), *arr.shape[1:]), np.float32)])
+    n_full_sum = sum(full_counts)
+    if n_full_sum:
+        ncap = bucket(n_full_sum, 4)
+        dt = next(f for f in np_fulls if f is not None).dtype
+        arr = np.zeros((ncap, NUM_MEL_BINS, chunk), dtype=dt)
+        off = 0
+        for f in np_fulls:
+            if f is not None:
+                arr[off : off + len(f)] = f
+                off += len(f)
         full_tok = engine._conv_stem(engine.enc_params, jnp.asarray(arr))
 
-    # partial tails grouped by width (each width is its own jit bucket)
-    partial_tok = {}
+    # partial tails grouped by width (each width is its own jit bucket);
+    # each group's output stays ONE device block — per-clip rows are
+    # addressed by pool offset, never sliced out (a per-clip slice is a
+    # dispatch, and dispatches over a remote tunnel are milliseconds)
+    partial_rows = {}           # b -> (block_idx, row_start, n_rows)
+    partial_blocks = []         # flat [rows, d] device blocks
     by_width = {}
-    for b, (m, n_full, rem) in enumerate(zip(mels, full_counts, rems)):
+    for b, rem in enumerate(rems):
         if rem:
-            by_width.setdefault(rem, []).append((b, m[:, n_full * chunk :]))
-    for w, items in by_width.items():
-        arr = np.stack([p for _, p in items]).astype(np.float32)
-        out = engine._conv_stem(engine.enc_params, jnp.asarray(arr))
-        for (b, _), row in zip(items, out):
-            partial_tok[b] = row
+            by_width.setdefault(rem, []).append(b)
+    for w, idxs in by_width.items():
+        arr = jnp.asarray(np.stack([np_parts[b] for b in idxs]))
+        out = engine._conv_stem(engine.enc_params, arr)  # [n, rows_w, d]
+        n, rows_w, d_ = out.shape
+        blk = len(partial_blocks)
+        partial_blocks.append(out.reshape(n * rows_w, d_))
+        for j, b in enumerate(idxs):
+            partial_rows[b] = (blk, j * rows_w, rows_w)
 
-    # assemble per-clip token sequences at a common bucket
-    n_tokens = [full_counts[b] * tpc + (partial_tok[b].shape[0] if b in partial_tok else 0)
+    # assemble per-clip token sequences at a common bucket via ONE device
+    # gather (a per-clip concat/pad/stack loop costs ~3 dispatches per clip —
+    # over a remote tunnel that serializes into hundreds of ms at B=32)
+    n_tokens = [full_counts[b] * tpc
+                + (partial_rows[b][2] if b in partial_rows else 0)
                 for b in range(B)]
     from smolvision_tpu.runtime.buckets import window_bucket
 
     tcap = max(window_bucket(n, wts) for n in n_tokens)
     d = cfg.enc_d_model
-    xs = []
-    off = 0
+
+    pool_parts = []
+    n_full_total = sum(full_counts)
+    if n_full_total:
+        pool_parts.append(full_tok[:n_full_total].reshape(-1, d))
+    block_base = []
+    off = n_full_total * tpc
+    for blk in partial_blocks:
+        block_base.append(off)
+        off += blk.shape[0]
+        pool_parts.append(blk)
+    R = off  # total real rows; rows >= R are the zero pad
+    idx = np.full((B, tcap), R, dtype=np.int32)
+    full_off = 0
     for b in range(B):
-        parts = []
-        if full_counts[b]:
-            parts.append(full_tok[off : off + full_counts[b]].reshape(-1, d))
-            off += full_counts[b]
-        if b in partial_tok:
-            parts.append(partial_tok[b])
-        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        if x.shape[0] < tcap:
-            x = jnp.pad(x, ((0, tcap - x.shape[0]), (0, 0)))
-        xs.append(x)
-    x_stack = jnp.stack(xs)
+        n_f = full_counts[b] * tpc
+        if n_f:
+            idx[b, :n_f] = full_off + np.arange(n_f)
+            full_off += n_f
+        if b in partial_rows:
+            blk, row_start, nr = partial_rows[b]
+            idx[b, n_f : n_f + nr] = block_base[blk] + row_start + np.arange(nr)
+
+    rcap = bucket(R + 1, 64)
+    pool = jnp.concatenate(
+        pool_parts + [jnp.zeros((rcap - R, d), pool_parts[0].dtype)], axis=0)
 
     enc_jit = getattr(engine, "_batched_enc_jit", None)
     if enc_jit is None:
         from smolvision_tpu.models.qwen3_encoder import encoder_transformer
 
-        enc_jit = jax.jit(jax.vmap(
-            lambda p, x, v: encoder_transformer(p, x, v, cfg, wts),
-            in_axes=(None, 0, 0)))
+        def gather_encode(p, pool, idx, vlens):
+            x_stack = pool[idx]                   # [B, tcap, d]
+            return jax.vmap(
+                lambda x, v: encoder_transformer(p, x, v, cfg, wts))(x_stack, vlens)
+
+        enc_jit = jax.jit(gather_encode)
         engine._batched_enc_jit = enc_jit
-    out = enc_jit(engine.enc_params, x_stack,
+    out = enc_jit(engine.enc_params, pool, jnp.asarray(idx),
                   jnp.asarray(n_tokens, dtype=jnp.int32))
-    return [(out[b], n_tokens[b]) for b in range(B)]
+    return out, n_tokens
 
 
 def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
                                 mesh=None) -> List[str]:
     """Transcribe independent audio segments as one batch.  Returns texts in
     order.  Uses engine.max_tokens as the per-segment decode cap."""
+    import os
+    import sys
+    import time as _time
+
     cfg = engine.cfg
     engine.prepare_prompt()
     tok = engine.tokenizer
     B = len(segments)
 
-    import time as _time
+    # SMOLVISION_BATCH_DEBUG=1: sync + print per-stage wall times (each sync
+    # costs a tunnel round trip, so this is debug-only attribution)
+    debug = os.environ.get("SMOLVISION_BATCH_DEBUG", "") == "1"
+    _last = [_time.monotonic()]
+
+    def mark(stage, sync=None):
+        if not debug:
+            return
+        if sync is not None:
+            jax.block_until_ready(sync)
+        now = _time.monotonic()
+        print(f"  batch[{stage}]: {(now - _last[0]) * 1000:.0f} ms",
+              file=sys.stderr, flush=True)
+        _last[0] = now
 
     # --- encode all segments as one batch ------------------------------
+    # mel on host threads (np.fft releases the GIL; keeps the exact f64-FFT
+    # numerics of the sequential path), and each worker STARTS the async
+    # upload of its clip's conv-chunk blocks as soon as the mel is done —
+    # the host->device transfer (~0.6 MB/clip, throughput-limited over a
+    # remote tunnel) overlaps the remaining mel work instead of blocking
+    # in one big post-hoc upload.
     enc_t0 = _time.monotonic()
-    audios = _encode_batch(engine, [log_mel(seg) for seg in segments])
+    chunk = cfg.enc_chunk_size
+
+    # f16 transfer halves the mel upload bytes (the tunnel is throughput-
+    # limited at ~45 MB/s); quantization is ~2.5e-4 in normalized-mel units —
+    # far below the C reference's own naive-DFT rounding.  CPU (tests) keeps
+    # f32 so batched==sequential stays bit-exact; SMOLVISION_MEL_F32=1
+    # forces f32 on TPU too.
+    xfer_dt = (np.float16 if jax.default_backend() == "tpu"
+               and os.environ.get("SMOLVISION_MEL_F32", "") != "1"
+               else np.float32)
+
+    def mel_chunks(seg):
+        """Worker: mel + host-side chunk layout (no jax calls — multithreaded
+        jax dispatch serializes on an internal lock)."""
+        m = log_mel(seg)
+        frames = m.shape[1]
+        n_full = frames // chunk
+        full = (np.ascontiguousarray(
+            m[:, : n_full * chunk].reshape(m.shape[0], n_full, chunk)
+            .transpose(1, 0, 2)).astype(xfer_dt) if n_full else None)
+        part = (np.ascontiguousarray(m[:, n_full * chunk :]).astype(xfer_dt)
+                if frames % chunk else None)
+        return frames, full, part
+
+    if B > 2 and cfg.family != "q25":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, B)) as pool:
+            mels = list(pool.map(mel_chunks, segments))
+    else:
+        mels = [log_mel(seg) for seg in segments]
+    mark("mel")
+    enc_stack, n_tokens_list = _encode_batch(engine, mels)
+    mark("enc dispatch")
     id_rows = []
     starts = []
-    for _, n_audio in audios:
+    for n_audio in n_tokens_list:
         ids, audio_start = prompt_mod.build_asr_prompt(
             cfg, n_audio, engine._prompt_tokens, engine._force_tokens, None)
         id_rows.append(ids)
@@ -160,24 +273,29 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     # logical position + pad; rope_start = -pad; kv_min = pad masks the pad
     # rows' garbage K/V.
     tcap = bucket128(max(len(i) for i in id_rows))
-    acap = max(bucket(a.shape[0], 16) for a, _ in audios)
+    acap = bucket(max(n_tokens_list), 16)
     H = cfg.dec_hidden
 
     pads = [tcap - len(ids) for ids in id_rows]
     ids_arr = np.zeros((B, tcap), dtype=np.int32)
     for b, ids in enumerate(id_rows):
         ids_arr[b, pads[b] :] = ids
-    audio_stack = jnp.stack([
-        jnp.pad(a, ((0, acap - a.shape[0]), (0, 0))) if a.shape[0] < acap else a[:acap]
-        for a, _ in audios])
+    # enc_stack is already [B, enc_cap, H]; one slice/pad to the prompt's
+    # audio bucket (no per-clip device loop)
+    enc_cap = enc_stack.shape[1]
+    if acap <= enc_cap:
+        audio_stack = enc_stack[:, :acap]
+    else:
+        audio_stack = jnp.pad(enc_stack, ((0, 0), (0, acap - enc_cap), (0, 0)))
     astart = jnp.asarray([starts[b] + pads[b] for b in range(B)], dtype=jnp.int32)
-    alen = jnp.asarray([n for _, n in audios], dtype=jnp.int32)
-    valid = jnp.full((B,), tcap, dtype=jnp.int32)
-    startpos = jnp.zeros((B,), dtype=jnp.int32)
+    alen = jnp.asarray(n_tokens_list, dtype=jnp.int32)
     rope_start = jnp.asarray([-p for p in pads], dtype=jnp.int32)
     kv_min = jnp.asarray(pads, dtype=jnp.int32)
 
-    kcap = bucket128(tcap + min(engine.max_tokens, BATCH_DECODE_CHUNK) + BATCH_DECODE_CHUNK)
+    # decode reads B x kcap KV rows per step, so every spare 128-row bucket
+    # costs real bandwidth: size to the actual decode horizon and let the
+    # in-loop regrow handle max_tokens overruns
+    kcap = bucket128(tcap + min(engine.max_tokens, 2 * BATCH_DECODE_CHUNK) + 1)
     kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
 
     if mesh is not None:
@@ -186,14 +304,16 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
         kv = jax.device_put(kv, mesh_mod.batched_kv_sharding(mesh))
         audio_stack = jax.device_put(audio_stack, mesh_mod.batch_sharding(mesh, 3))
 
+    mark("layout", sync=audio_stack)
     engine.perf.encode_ms += (_time.monotonic() - enc_t0) * 1000.0
     dec_t0 = _time.monotonic()
 
     build, prefill, decode = _batched_jits(engine)
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    astart, alen)
-    first, kv = prefill(engine.dec_params, embeds, startpos, valid, kv,
-                        rope_start, kv_min)
+    mark("build embeds", sync=embeds)
+    first, kv = prefill(engine.dec_params, embeds, kv, rope_start, kv_min)
+    mark("prefill", sync=first)
 
     rows: List[List[int]] = [[] for _ in range(B)]
     done = [False] * B
@@ -208,27 +328,32 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     rope_offset = jnp.asarray(pads, dtype=jnp.int32)
     produced = 1
     while produced < engine.max_tokens and not all(done):
+        steps = min(BATCH_DECODE_CHUNK, engine.max_tokens - produced)
         if pos + BATCH_DECODE_CHUNK + 1 > kcap:
             kcap = bucket128(pos + BATCH_DECODE_CHUNK + 128)
             new_kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
-            new_kv = new_kv.at[:, :, :, : kv.shape[3]].set(kv)
+            new_kv = new_kv.at[:, :, :, :, : kv.shape[4]].set(kv)
             kv = new_kv
-        buf, kv = decode(engine.dec_params, tokens, jnp.int32(pos), kv,
-                         rope_offset, kv_min)
-        buf_host = np.asarray(jax.device_get(buf))  # [B, CHUNK]
+        buf, count, tokens, kv = decode(engine.dec_params, tokens,
+                                        jnp.int32(pos), kv, rope_offset,
+                                        kv_min, jnp.int32(steps))
+        buf_host, count = jax.device_get((buf, count))  # [B, CHUNK], scalar
+        count = int(count)
+        if count == 0:
+            break
         for b in range(B):
             if done[b]:
                 continue
-            for t in buf_host[b]:
+            for t in buf_host[b][:count]:
                 t = int(t)
                 rows[b].append(t)
                 if t in EOS_TOKEN_IDS:
                     done[b] = True
                     break
-        tokens = buf[:, -1]
-        pos += BATCH_DECODE_CHUNK
-        produced += BATCH_DECODE_CHUNK
+        pos += count
+        produced += count
 
+    mark("decode loop")
     engine.perf.decode_ms += (_time.monotonic() - dec_t0) * 1000.0
 
     # --- gate <asr_text> + detokenize per segment ----------------------

@@ -123,3 +123,38 @@ def test_decode_flash_matches_two_part(K, H, KH, D, start, kvmin):
                                  jnp.int32(start), cfg, kv_min=jnp.int32(kvmin))[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,T,H,KH,D,kvmins", [
+    (2, 128, 4, 2, 64, (0, 5)),
+    (3, 256, 16, 8, 128, (0, 17, 130)),
+])
+def test_batched_causal_flash_matches_two_part(B, T, H, KH, D, kvmins):
+    """Batched fresh-block causal kernel (serving prefill) vs the batched
+    two-part reference with an empty cache prefix."""
+    import dataclasses
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.kernels.flash_attention import batched_causal_flash_attention
+    from smolvision_tpu.models.qwen3_decoder import _batched_attention_two_part
+
+    cfg = dataclasses.replace(QWEN3_ASR_06B, dec_heads=H, dec_kv_heads=KH,
+                              dec_head_dim=D)
+    rng = np.random.default_rng(11)
+    q = _rand(rng, B, T, H, D)
+    k = _rand(rng, B, T, KH, D)
+    v = _rand(rng, B, T, KH, D)
+    kv_min = jnp.asarray(list(kvmins) + [0] * (B - len(kvmins)), jnp.int32)[:B]
+    k_cache = jnp.zeros((B, KH, 128, D), jnp.float32)
+    v_cache = jnp.zeros((B, KH, 128, D), jnp.float32)
+
+    got = batched_causal_flash_attention(q, k, v, kv_min, gqa_groups=H // KH,
+                                         block_q=128, block_k=128)
+    expect = _batched_attention_two_part(q, k, v, k_cache, v_cache,
+                                         jnp.int32(0), cfg, kv_min=kv_min)
+    # rows < kv_min[b] are pad garbage in both; compare valid rows only
+    got = np.asarray(got)
+    expect = np.asarray(expect)
+    for b in range(B):
+        lo = int(kv_min[b])
+        np.testing.assert_allclose(got[b, lo:], expect[b, lo:],
+                                   rtol=2e-5, atol=2e-5)
