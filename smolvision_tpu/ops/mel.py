@@ -116,6 +116,59 @@ def log_mel(samples: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(log_spec.T)               # [128, frames]
 
 
+@functools.lru_cache(maxsize=1)
+def dft_tables():
+    """cos/sin DFT tables [N_FFT, N_FREQ] f32.
+
+    The power spectrum becomes two MXU matmuls — the TPU shape of the
+    reference's precomputed-table DFT (qwen_asr_audio.c:328-358); no FFT
+    primitive needed, and f32 matmul accumulation matches the host f64 FFT
+    to ~1e-6 in normalized-mel units.
+    """
+    k = np.arange(N_FREQ, dtype=np.float64)
+    n = np.arange(N_FFT, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(n, k) / N_FFT
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def log_mel_batch_jax(padded_f16, n_frames_valid, frames_cap: int):
+    """Batched device log-mel from float16 reflect-padded audio (serving
+    path: uploading f16 audio is ~3x fewer tunnel bytes than f32 mel, and
+    the DFT/filterbank run on the MXU instead of a single-core host).  f16
+    rather than int16: log-mel punishes near-silent bins RELATIVELY, and
+    f16 keeps ~2^-11 relative precision down to subnormals where i16's
+    absolute quantization floor shifts quiet bins by whole decibels.
+
+    padded_f16: [B, frames_cap*HOP + N_FFT] float16 — host reflect-padded,
+        zero-filled past each clip's data.
+    n_frames_valid: [B] int32 real frame counts (the dynamic-max clamp is
+        per clip over its valid frames only).
+    Returns [B, 128, frames_cap] f32; columns >= n_frames_valid[b] hold
+    garbage (finite), masked/unselected downstream.
+    """
+    import jax.numpy as jnp
+
+    window = jnp.asarray(hann_window())
+    filt = jnp.asarray(mel_filters())
+    C, S = dft_tables()
+    x = padded_f16.astype(jnp.float32)
+    idx = (jnp.arange(frames_cap) * HOP_LENGTH)[:, None] + jnp.arange(N_FFT)[None, :]
+    frames = x[:, idx] * window[None, None, :]            # [B, cap, 400]
+    re = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(C),
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(S),
+                    preferred_element_type=jnp.float32)
+    power = re * re + im * im                             # [B, cap, 201]
+    mel = jnp.einsum("bfk,mk->bfm", power, filt,
+                     preferred_element_type=jnp.float32)  # [B, cap, 128]
+    ls = jnp.log10(jnp.maximum(mel, 1e-10))
+    valid = (jnp.arange(frames_cap)[None, :] < n_frames_valid[:, None])[..., None]
+    gmax = jnp.max(jnp.where(valid, ls, -jnp.inf), axis=(1, 2), keepdims=True)
+    ls = jnp.maximum(ls, gmax - 8.0)
+    ls = (ls + 4.0) / 4.0
+    return jnp.transpose(ls, (0, 2, 1))                   # [B, 128, cap]
+
+
 # ---------------------------------------------------------------------------
 # Device (JAX) version — static-shape, masked dynamic max
 # ---------------------------------------------------------------------------

@@ -136,9 +136,26 @@ def _encode_batch(engine, mels: Sequence[np.ndarray]):
         for j, b in enumerate(idxs):
             partial_rows[b] = (blk, j * rows_w, rows_w)
 
-    # assemble per-clip token sequences at a common bucket via ONE device
-    # gather (a per-clip concat/pad/stack loop costs ~3 dispatches per clip —
-    # over a remote tunnel that serializes into hundreds of ms at B=32)
+    full_starts = []
+    off = 0
+    for b in range(B):
+        full_starts.append(off)
+        off += full_counts[b]
+    return _pool_and_encode(engine, B, full_tok, off, full_starts,
+                            full_counts, partial_rows, partial_blocks)
+
+
+def _pool_and_encode(engine, B, full_tok, n_pool_blocks, full_starts,
+                     full_counts, partial_rows, partial_blocks):
+    """Shared tail: flatten conv outputs into one row pool, build the
+    [B, tcap] gather index host-side, and run gather + windowed transformer
+    as ONE jit.  full_tok [N, tpc, d] (blocks >= n_pool_blocks are padding);
+    clip b's full chunks are blocks full_starts[b]..+full_counts[b]-1."""
+    import jax
+
+    cfg = engine.cfg
+    tpc = cfg.tokens_per_chunk
+    wts = cfg.window_token_size()
     n_tokens = [full_counts[b] * tpc
                 + (partial_rows[b][2] if b in partial_rows else 0)
                 for b in range(B)]
@@ -148,23 +165,20 @@ def _encode_batch(engine, mels: Sequence[np.ndarray]):
     d = cfg.enc_d_model
 
     pool_parts = []
-    n_full_total = sum(full_counts)
-    if n_full_total:
-        pool_parts.append(full_tok[:n_full_total].reshape(-1, d))
+    if n_pool_blocks:
+        pool_parts.append(full_tok[:n_pool_blocks].reshape(-1, d))
     block_base = []
-    off = n_full_total * tpc
+    off = n_pool_blocks * tpc
     for blk in partial_blocks:
         block_base.append(off)
         off += blk.shape[0]
         pool_parts.append(blk)
-    R = off  # total real rows; rows >= R are the zero pad
+    R = off  # total pool rows; rows >= R are the zero pad
     idx = np.full((B, tcap), R, dtype=np.int32)
-    full_off = 0
     for b in range(B):
         n_f = full_counts[b] * tpc
         if n_f:
-            idx[b, :n_f] = full_off + np.arange(n_f)
-            full_off += n_f
+            idx[b, :n_f] = full_starts[b] * tpc + np.arange(n_f)
         if b in partial_rows:
             blk, row_start, nr = partial_rows[b]
             idx[b, n_f : n_f + nr] = block_base[blk] + row_start + np.arange(nr)
@@ -187,6 +201,98 @@ def _encode_batch(engine, mels: Sequence[np.ndarray]):
     out = enc_jit(engine.enc_params, pool, jnp.asarray(idx),
                   jnp.asarray(n_tokens, dtype=jnp.int32))
     return out, n_tokens
+
+
+def _encode_batch_device_mel(engine, segments: Sequence[np.ndarray]):
+    """Serving encode with the mel on DEVICE: upload float16 reflect-padded
+    audio (one transfer, ~3x fewer bytes than f32 mel), matmul-DFT log-mel
+    on the MXU (ops/mel.py log_mel_batch_jax), conv over ALL Fcap//chunk
+    blocks per clip (garbage tail blocks are computed but never selected by
+    the pool gather — conv cost is trivial next to the saved host work),
+    width-grouped TRUE-width partial tails sliced on device.
+
+    f16 audio (~5e-4 relative) and the f32 DFT are both inside the C
+    reference's own f32 naive-DFT rounding; the host-mel path remains the
+    default off-TPU so CPU tests stay bit-exact vs the sequential path.
+    """
+    from smolvision_tpu.ops.mel import (
+        HOP_LENGTH,
+        N_FFT,
+        log_mel_batch_jax,
+        num_frames,
+        reflect_pad,
+    )
+
+    cfg = engine.cfg
+    chunk = cfg.enc_chunk_size
+    B = len(segments)
+    frames_list = [num_frames(len(s)) for s in segments]
+    # frame cap: multiple of the conv chunk (the block reshape needs it),
+    # 2-chunk granular (one compile per 2 s of max clip length)
+    fcap = -(-max(frames_list) // (2 * chunk)) * (2 * chunk)
+    pcap = fcap * HOP_LENGTH + N_FFT
+    buf = np.zeros((B, pcap), np.float16)
+    for b, s in enumerate(segments):
+        p = reflect_pad(np.asarray(s, dtype=np.float32))
+        buf[b, : len(p)] = p.astype(np.float16)
+
+    jits = getattr(engine, "_device_mel_jits", None)
+    if jits is None:
+        jits = engine._device_mel_jits = {}
+    if "mel" not in jits:
+        import functools as _ft
+
+        jits["mel"] = jax.jit(log_mel_batch_jax, static_argnums=(2,))
+
+        def to_blocks(mel_t, ncap):
+            Bq, M, F = mel_t.shape
+            nc = F // chunk
+            blocks = (mel_t.reshape(Bq, M, nc, chunk)
+                      .transpose(0, 2, 1, 3).reshape(Bq * nc, M, chunk))
+            if ncap > Bq * nc:
+                blocks = jnp.pad(blocks, ((0, ncap - Bq * nc), (0, 0), (0, 0)))
+            return blocks
+
+        jits["blocks"] = jax.jit(to_blocks, static_argnums=(1,))
+
+        def slice_tails(mel_t, rows, starts, w):
+            def one(b, s):
+                return jax.lax.dynamic_slice(
+                    mel_t[b], (0, s), (mel_t.shape[1], w))
+
+            return jax.vmap(one)(rows, starts)
+
+        jits["tails"] = jax.jit(slice_tails, static_argnums=(3,))
+
+    mel_t = jits["mel"](jnp.asarray(buf),
+                        jnp.asarray(frames_list, jnp.int32), fcap)
+    nc = fcap // chunk
+    ncap = bucket(B * nc, 4)
+    blocks = jits["blocks"](mel_t, ncap)
+    full_tok = engine._conv_stem(engine.enc_params, blocks)
+
+    full_counts = [f // chunk for f in frames_list]
+    rems = [f % chunk for f in frames_list]
+    partial_rows = {}
+    partial_blocks = []
+    by_width = {}
+    for b, rem in enumerate(rems):
+        if rem:
+            by_width.setdefault(rem, []).append(b)
+    for w, idxs in by_width.items():
+        rows = jnp.asarray(idxs, jnp.int32)
+        starts = jnp.asarray([full_counts[b] * chunk for b in idxs], jnp.int32)
+        arr = jits["tails"](mel_t, rows, starts, w)
+        out = engine._conv_stem(engine.enc_params, arr)   # [n, rows_w, d]
+        n, rows_w, d_ = out.shape
+        blk = len(partial_blocks)
+        partial_blocks.append(out.reshape(n * rows_w, d_))
+        for j, b in enumerate(idxs):
+            partial_rows[b] = (blk, j * rows_w, rows_w)
+
+    full_starts = [b * nc for b in range(B)]
+    return _pool_and_encode(engine, B, full_tok, B * nc, full_starts,
+                            full_counts, partial_rows, partial_blocks)
 
 
 def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
@@ -249,15 +355,25 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
                 if frames % chunk else None)
         return frames, full, part
 
-    if B > 2 and cfg.family != "q25":
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(16, B)) as pool:
-            mels = list(pool.map(mel_chunks, segments))
+    # device mel (matmul-DFT on the MXU from one i16 audio upload) is the
+    # TPU serving default; SMOLVISION_DEVICE_MEL=0 forces the host-mel path
+    # (bit-exact vs the sequential engine), =1 forces device mel anywhere
+    dm_env = os.environ.get("SMOLVISION_DEVICE_MEL", "")
+    use_device_mel = (cfg.family != "q25" and B > 2 and dm_env != "0"
+                      and (dm_env == "1" or jax.default_backend() == "tpu"))
+    if use_device_mel:
+        mark("mel")  # host work is pad+quantize inside the encode call
+        enc_stack, n_tokens_list = _encode_batch_device_mel(engine, segments)
     else:
-        mels = [log_mel(seg) for seg in segments]
-    mark("mel")
-    enc_stack, n_tokens_list = _encode_batch(engine, mels)
+        if B > 2 and cfg.family != "q25":
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, B)) as pool:
+                mels = list(pool.map(mel_chunks, segments))
+        else:
+            mels = [log_mel(seg) for seg in segments]
+        mark("mel")
+        enc_stack, n_tokens_list = _encode_batch(engine, mels)
     mark("enc dispatch")
     id_rows = []
     starts = []

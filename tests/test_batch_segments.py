@@ -60,3 +60,49 @@ def test_batched_raw_tokens_match_per_segment(seg_engine):
     for seg, text in zip(segs, texts):
         ref, _ = eng.transcribe_segment(seg)
         assert text == ref
+
+
+def test_device_mel_batch_matches_host(seg_engine, monkeypatch):
+    """Forced device-mel serving path (i16 upload + matmul-DFT) vs the
+    host-mel batched path: mel agreement is ~1e-4 in normalized units, so
+    greedy tokens should survive on the tiny checkpoint."""
+    from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+
+    eng = seg_engine
+    rng = np.random.default_rng(5)
+    segs = [(rng.standard_normal(16000 * (1 + i)) * 0.2).astype(np.float32)
+            for i in range(3)]
+    monkeypatch.setenv("SMOLVISION_DEVICE_MEL", "0")
+    host_texts = transcribe_segments_batched(eng, segs)
+    monkeypatch.setenv("SMOLVISION_DEVICE_MEL", "1")
+    dev_texts = transcribe_segments_batched(eng, segs)
+    assert dev_texts == host_texts
+
+
+def test_log_mel_batch_jax_matches_host():
+    import jax.numpy as jnp
+    from smolvision_tpu.ops import mel as M
+
+    rng = np.random.default_rng(9)
+    clips = [(rng.standard_normal(16000 * n) * 0.3).astype(np.float32)
+             for n in (1, 2)]
+    frames = [M.num_frames(len(c)) for c in clips]
+    fcap = ((max(frames) + 99) // 100) * 100
+    pcap = fcap * M.HOP_LENGTH + M.N_FFT
+    buf = np.zeros((2, pcap), np.float16)
+    for b, c in enumerate(clips):
+        p = M.reflect_pad(c)
+        buf[b, : len(p)] = p.astype(np.float16)
+    out = np.asarray(M.log_mel_batch_jax(
+        jnp.asarray(buf), jnp.asarray(frames, jnp.int32), fcap))
+    for b, c in enumerate(clips):
+        ref = M.log_mel(c)
+        got = out[b, :, : frames[b]]
+        # f16 audio transfer: typical error is ~1e-4 in normalized-mel
+        # units, but bins where the windowed DFT nearly cancels lose
+        # relative precision (log10 amplifies) — bound the bulk tightly
+        # and the cancelling tail loosely (0.05 ~ 0.2 dB on a near-silent
+        # bin; the C reference's f32 naive DFT has the same failure mode)
+        err = np.abs(got - ref)
+        assert np.mean(err) < 1e-3
+        assert np.max(err) < 5e-2
