@@ -201,3 +201,73 @@ def test_q25_thinker_tokens_match_oracle(q25_engine, tiny_q25_model_dir, speech_
             break
         ref_trim.append(t)
     assert got == ref_trim, (got, ref_trim)
+
+
+def test_moe_capacity_dispatch_matches_dense():
+    """Capacity dispatch (30B prefill path) == dense one-hot routing when no
+    expert exceeds its capacity."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.models import qwen3_decoder as dm
+
+    T, K, E, H, MI = 32, 2, 16, 64, 48
+    cfg = dataclasses.replace(QWEN3_ASR_06B, is_moe=True, num_experts=E,
+                              num_experts_per_tok=K, moe_intermediate=MI,
+                              norm_topk_prob=False)
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.standard_normal((T, H)).astype(np.float32))
+    lp = {
+        "e_gate": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_up": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_down": jnp.asarray(rng.standard_normal((E, H, MI)).astype(np.float32) * 0.1),
+    }
+    # balanced round-robin assignment: every expert gets exactly T*K/E slots
+    top_idx = jnp.asarray([[(t * K + k) % E for k in range(K)] for t in range(T)],
+                          dtype=jnp.int32)
+    top_w = jnp.asarray(rng.random((T, K)).astype(np.float32))
+
+    got = dm._moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg)
+
+    import jax
+    from smolvision_tpu.ops.common import silu
+    route = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=jnp.float32)
+                    * top_w[..., None], axis=1)
+    gate = jnp.einsum("th,eih->tei", xc, lp["e_gate"])
+    up = jnp.einsum("th,eih->tei", xc, lp["e_up"])
+    act = silu(gate) * up
+    down = jnp.einsum("tei,ehi->teh", act, lp["e_down"])
+    expect = jnp.einsum("te,teh->th", route, down)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_capacity_dispatch_drops_overflow():
+    """Tokens past an expert's capacity contribute zero (standard capacity
+    semantics) — everything routed to one expert with tiny capacity."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.models import qwen3_decoder as dm
+
+    T, K, E, H, MI = 64, 1, 16, 32, 16
+    cfg = dataclasses.replace(QWEN3_ASR_06B, is_moe=True, num_experts=E,
+                              num_experts_per_tok=K, moe_intermediate=MI,
+                              norm_topk_prob=False)
+    rng = np.random.default_rng(1)
+    xc = jnp.asarray(rng.standard_normal((T, H)).astype(np.float32))
+    lp = {
+        "e_gate": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32)),
+        "e_up": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32)),
+        "e_down": jnp.asarray(rng.standard_normal((E, H, MI)).astype(np.float32)),
+    }
+    top_idx = jnp.zeros((T, K), jnp.int32)       # all -> expert 0
+    top_w = jnp.ones((T, K), jnp.float32)
+    out = np.asarray(dm._moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg))
+    C = min(T, int(np.ceil(T * K / E * dm.MOE_CAPACITY_FACTOR)))  # = 8
+    assert C < T
+    # first C tokens computed, the rest dropped to zero
+    assert np.all(np.abs(out[C:]) == 0.0)
+    assert np.all(np.abs(out[:C]).sum(axis=1) > 0.0)
