@@ -69,6 +69,11 @@ def build_embeds(params, ids, audio, audio_start, audio_len):
 MOE_DISPATCH_MIN_EXPERTS = 16
 MOE_CAPACITY_FACTOR = 2.0
 
+# Tcap at which the batched Pallas causal kernel overtakes fused-XLA
+# two-part attention for serving prefill (score-tensor bytes vs ~25 us
+# launch overhead; measured crossover on v5e, tools/profile_serving.py)
+BATCHED_FLASH_MIN_T = 1024
+
 
 def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig):
     """Scatter tokens into per-expert queues and run each expert over ONE
@@ -434,11 +439,15 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
     wdt = params["layers"]["wqkv"].dtype
     kv_dt = kv.dtype
 
-    from smolvision_tpu.kernels import use_pallas
+    from smolvision_tpu.kernels import pallas_forced, use_pallas
     from smolvision_tpu.kernels.flash_attention import batched_causal_flash_attention
 
+    # fused-XLA two-part attention wins below ~1k context (measured 366 vs
+    # 404 ms at B=32/T=512 on v5e); the kernel takes over where the
+    # [B, KH, G, T, T] f32 score tensor gets expensive (2 GB at T=1024)
     flash = (use_pallas() and fresh_prefill and Tcap > 1
-             and Tcap % min(128, Tcap) == 0)
+             and Tcap % min(128, Tcap) == 0
+             and (Tcap >= BATCHED_FLASH_MIN_T or pallas_forced()))
 
     q_dim = H * D
     kv_dim = KH * D
