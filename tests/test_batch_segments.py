@@ -106,3 +106,34 @@ def test_log_mel_batch_jax_matches_host():
         err = np.abs(got - ref)
         assert np.mean(err) < 1e-3
         assert np.max(err) < 5e-2
+
+
+def test_batched_decode_chunk_contract(seg_engine):
+    """Traced-step bound and all-rows-EOS early exit of the batched decode
+    chunk: count == n_steps when rows keep decoding; count == 0 when every
+    input token is already EOS; last_tokens == buf[:, count-1]."""
+    import jax.numpy as jnp
+    from smolvision_tpu.config import EOS_TOKEN_IDS
+    from smolvision_tpu.models import qwen3_decoder as dm
+
+    eng = seg_engine
+    cfg = eng.cfg
+    B, kcap, cap = 2, 64, 8
+    kv = dm.make_batched_kv(cfg, B, kcap, jnp.float32)
+    toks = jnp.asarray([3, 5], jnp.int32)
+    z = jnp.zeros((B,), jnp.int32)
+
+    buf, count, last, kv = dm.batched_decode_chunk(
+        eng.dec_params, cfg, toks, jnp.int32(16), kv, cap, z, z,
+        n_steps=jnp.int32(5))
+    buf, count, last = map(np.asarray, (buf, count, last))
+    assert count == 5
+    assert np.all(buf[:, 5:] == 0)
+    np.testing.assert_array_equal(last, buf[:, 4])
+
+    eos = sorted(EOS_TOKEN_IDS)[0]
+    toks_eos = jnp.full((B,), eos, jnp.int32)
+    buf2, count2, last2, kv = dm.batched_decode_chunk(
+        eng.dec_params, cfg, toks_eos, jnp.int32(16), kv, cap, z, z)
+    assert int(count2) == 0
+    np.testing.assert_array_equal(np.asarray(last2), np.asarray(toks_eos))
