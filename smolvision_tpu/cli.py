@@ -175,7 +175,7 @@ def main(argv=None) -> int:
             return None
 
     if len(input_files) > 1:
-        if args.thinker or args.stream or eng.cfg.family == "q25":
+        if args.thinker or eng.cfg.family == "q25":
             print("Error: multiple -i files only supported in plain Qwen3 ASR mode",
                   file=sys.stderr)
             return 1
@@ -187,6 +187,27 @@ def main(argv=None) -> int:
         except (OSError, ValueError) as e:
             print(f"smolvision: cannot load audio: {e}", file=sys.stderr)
             return 1
+
+        if args.stream:
+            # N concurrent streaming sessions sharing one engine's weights;
+            # transcripts print in file order once all sessions finish
+            from smolvision_tpu.runtime.multistream import run_streams
+
+            eng.perf.reset()
+            eng.perf.audio_ms = sum(1000.0 * len(c) / 16000.0 for c in clips)
+            t0 = _time.monotonic()
+            texts = run_streams(eng, clips)
+            eng.perf.total_ms = (_time.monotonic() - t0) * 1000.0
+            for text in texts:
+                sys.stdout.write((text or "") + "\n")
+            sys.stdout.flush()
+            if verbosity >= 1:
+                perf = eng.perf
+                print(f"Streams: {len(clips)} sessions, {perf.audio_ms / 1000:.1f} s "
+                      f"audio in {perf.total_ms / 1000:.1f} s "
+                      f"({perf.audio_ms / max(perf.total_ms, 1):.2f}x realtime)",
+                      file=sys.stderr)
+            return 0
         eng.perf.reset()
         eng.perf.audio_ms = sum(1000.0 * len(c) / 16000.0 for c in clips)
         t0 = _time.monotonic()

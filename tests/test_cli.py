@@ -74,8 +74,10 @@ def test_cli_multi_file_batch(tiny_model_dir, wav_path):
     assert r.stdout.decode().count("\n") == 3
 
 
-def test_cli_multi_file_rejects_stream(tiny_model_dir, wav_path):
-    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, wav_path, "--stream"])
+def test_cli_multi_file_rejects_thinker(tiny_model_dir, wav_path):
+    # multi-file --stream is multi-stream serving (test_multistream.py);
+    # thinker mode stays single-input
+    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, wav_path, "--thinker"])
     assert r.returncode == 1
     assert b"only supported in plain Qwen3 ASR" in r.stderr
 

@@ -59,3 +59,33 @@ def test_session_isolation(ms_engine):
     s._ensure_kv(256)
     assert ms_engine._kv is parent_kv
     assert s.perf is not ms_engine.perf
+
+
+def test_cli_multi_file_stream(tiny_model_dir, tmp_path):
+    """-i a.wav b.wav --stream: one streaming session per file, transcripts
+    in file order."""
+    import struct
+    import subprocess
+    import sys as _sys
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    pcm = (sig * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" + b"fmt "
+           + struct.pack("<I", len(fmt)) + fmt + b"data"
+           + struct.pack("<I", len(pcm)) + pcm)
+    p = tmp_path / "s.wav"
+    p.write_bytes(wav)
+
+    r = subprocess.run(
+        [_sys.executable, "-m", "smolvision_tpu.cli", "-d", tiny_model_dir,
+         "-i", str(p), str(p), "--stream", "--silent",
+         "--stream-max-new-tokens", "4"],
+        capture_output=True, timeout=600,
+        env={**__import__("os").environ, "SMOLVISION_PLATFORM": "cpu"})
+    assert r.returncode == 0, r.stderr.decode()
+    lines = r.stdout.decode().splitlines()
+    assert len(lines) == 2
+    assert lines[0] == lines[1]  # same file -> identical sessions
