@@ -1,9 +1,17 @@
 #!/usr/bin/env python3
-"""Benchmark: offline transcription realtime factor on samples/jfk.wav.
+"""Benchmark: all four BASELINE.md speed configs on one TPU v5e chip.
 
-Headline metric (BASELINE.md): the reference C engine decodes jfk.wav (11.0 s)
-with Qwen3-ASR-0.6B at 7.99x realtime on an Apple M3 Max (`-S 0`, BLAS).
-North star: >= 50x realtime on one TPU v5e chip.
+Emits one JSON line per config on stdout (the HEADLINE offline metric is
+printed LAST so single-line consumers keep reading it):
+  * serving: 32 x jfk.wav in one batch vs the upstream vendor serving stack
+    (~2000 s-speech/s at 128 concurrency, MODEL.md:466-468),
+  * streaming: 45 s clip, --stream semantics, vs the C engine's 4.69x
+    (README.md:406-411),
+  * segmented: 88.9 s clip, -S 30 -W 3, vs the C engine's 6.78x
+    (README.md:404),
+  * offline (headline): jfk.wav (11.0 s), -S 0, vs the C engine's 7.99x
+    realtime on an Apple M3 Max (README.md:398-402).
+    North star: >= 50x realtime on one TPU v5e chip.
 
 Real Qwen weights are not downloadable in this environment, so the bench uses
 a synthetic checkpoint with the exact 0.6B geometry (identical FLOPs/bytes;
@@ -11,7 +19,11 @@ random values).  Greedy decode on random weights never emits EOS, so decode
 length is capped at 48 tokens — the reference emits ~40 tokens for jfk.wav,
 so per-run work matches the real workload.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement discipline (CLAUDE.md landmines): every timed run perturbs its
+input with -80 dB noise so the axon tunnel's dispatch memoization can never
+serve a cached result; runs are strictly serial in one process.
+
+Set SMOLVISION_BENCH_ONLY=offline[,streaming,segmented,serving] to restrict.
 """
 
 from __future__ import annotations
@@ -24,11 +36,21 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BASELINE_RTF = 7.99  # README.md:398-402 (jfk.wav, 0.6B, -S 0, M3 Max)
-JFK = "/root/reference/samples/jfk.wav"
+SAMPLES = "/root/reference/samples"
+JFK = os.path.join(SAMPLES, "jfk.wav")
+CLIP_45S = os.path.join(SAMPLES, "night_of_the_living_dead_1968",
+                        "45s_dont_be_afraid_of_me.wav")
+CLIP_89S = os.path.join(SAMPLES, "night_of_the_living_dead_1968",
+                        "89s_ill_come_back_down_as_soon_as.wav")
 BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-synthetic")
 MAX_TOKENS = 48
-RUNS = 5
+RUNS = 3
+NOISE = 1e-4  # ~-80 dB: defeats tunnel memoization, leaves the work identical
+
+BASE_OFFLINE = 7.99     # jfk.wav, 0.6B, -S 0 (README.md:398-402)
+BASE_SEGMENTED = 6.78   # 88.9 s, -S 30 -W 3 (README.md:404)
+BASE_STREAMING = 4.69   # 45 s, --stream, enc cache ON (README.md:406-411)
+BASE_SERVING = 2000.0   # upstream vendor stack, 128 concurrency (MODEL.md:466)
 
 
 def log(msg: str):
@@ -45,7 +67,34 @@ def ensure_model() -> str:
     return BENCH_DIR
 
 
+def _perturb(samples, rng):
+    import numpy as np
+
+    return (samples + rng.normal(0.0, NOISE, len(samples))).astype(np.float32)
+
+
+def _timed_runs(label, fn, samples, rng, runs=RUNS, use_perf=None):
+    """Best wall-clock ms over `runs` perturbed-input repetitions."""
+    best = float("inf")
+    for i in range(runs):
+        clip = _perturb(samples, rng)
+        t0 = time.monotonic()
+        fn(clip)
+        ms = (time.monotonic() - t0) * 1000.0
+        if use_perf is not None:
+            ms = use_perf()
+        log(f"bench: {label} run {i + 1}: {ms:.0f} ms")
+        best = min(best, ms)
+    return best
+
+
 def main() -> int:
+    only = {s.strip() for s in
+            os.environ.get("SMOLVISION_BENCH_ONLY", "").split(",") if s.strip()}
+
+    def want(name):
+        return not only or name in only
+
     model_dir = ensure_model()
 
     import jax
@@ -57,42 +106,121 @@ def main() -> int:
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
 
+    import numpy as np
+
     from smolvision_tpu.io.wav import load_wav
-    from smolvision_tpu.runtime.engine import Engine
+    from smolvision_tpu.runtime import batch_segments as bs_mod
     from smolvision_tpu.runtime import segment as segment_mod
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
 
-    samples = load_wav(JFK)
-    audio_s = len(samples) / 16000.0
-    log(f"bench: jfk.wav {audio_s:.1f} s")
-
+    rng = np.random.default_rng(0x5EED)
     t0 = time.monotonic()
     eng = Engine(model_dir, verbose=0)
     eng.max_tokens = MAX_TOKENS
-    eng.segment_sec = 0.0
     log(f"bench: model loaded in {time.monotonic() - t0:.1f} s")
 
-    # Warmup (compiles every bucket this workload touches)
-    t0 = time.monotonic()
-    segment_mod.transcribe_audio(eng, samples)
-    log(f"bench: warmup (incl. compiles) {time.monotonic() - t0:.1f} s; "
-        f"decoded {eng.perf.text_tokens} text tokens")
+    results = []
 
-    best_ms = float("inf")
-    for i in range(RUNS):
-        segment_mod.transcribe_audio(eng, samples)
-        ms = eng.perf.total_ms
-        log(f"bench: run {i + 1}: {ms:.0f} ms "
-            f"(mel+enc {eng.perf.encode_ms:.0f}, dec {eng.perf.decode_ms:.0f})")
-        best_ms = min(best_ms, ms)
+    # ---- serving: 32 x jfk.wav in ONE batch ----------------------------
+    if want("serving"):
+        base = load_wav(JFK)
+        audio_s = len(base) / 16000.0
+        B = 32
+        eng.segment_sec = 0.0
+        clips = [_perturb(base, rng) for _ in range(B)]
+        t0 = time.monotonic()
+        bs_mod.transcribe_segments_batched(eng, clips)
+        log(f"bench: serving warmup {time.monotonic() - t0:.1f} s")
+        best = float("inf")
+        for i in range(RUNS):
+            clips = [_perturb(base, rng) for _ in range(B)]
+            t0 = time.monotonic()
+            bs_mod.transcribe_segments_batched(eng, clips)
+            ms = (time.monotonic() - t0) * 1000.0
+            log(f"bench: serving run {i + 1}: {ms:.0f} ms")
+            best = min(best, ms)
+        tput = B * audio_s / (best / 1000.0)
+        results.append({
+            "metric": f"serving throughput, {B} x jfk.wav one batch "
+                      "(Qwen3-ASR-0.6B geometry, 1 v5e chip)",
+            "value": round(tput, 1),
+            "unit": "s_speech_per_s",
+            "vs_baseline": round(tput / BASE_SERVING, 3),
+        })
 
-    rtf = audio_s / (best_ms / 1000.0)
-    result = {
-        "metric": "jfk.wav offline realtime factor (Qwen3-ASR-0.6B geometry, -S 0)",
-        "value": round(rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / BASELINE_RTF, 2),
-    }
-    print(json.dumps(result))
+    # ---- streaming: 45 s clip, --stream semantics ----------------------
+    if want("streaming"):
+        s45 = load_wav(CLIP_45S)
+        audio_s = len(s45) / 16000.0
+        eng.segment_sec = 0.0
+        eng.past_text_conditioning = True      # --stream auto default
+        eng.token_cb = lambda piece: None      # token streaming enabled
+        stream_mod.transcribe_stream(eng, _perturb(s45, rng))
+        log(f"bench: streaming warmup done ({eng.perf.total_ms:.0f} ms)")
+        best_ms = _timed_runs(
+            "streaming", lambda c: stream_mod.transcribe_stream(eng, c),
+            s45, rng)
+        eng.token_cb = None
+        eng.past_text_conditioning = False
+        rtf = audio_s / (best_ms / 1000.0)
+        results.append({
+            "metric": "45 s clip streaming realtime factor "
+                      "(Qwen3-ASR-0.6B geometry, --stream, enc cache ON)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_STREAMING, 2),
+        })
+
+    # ---- segmented: 88.9 s clip, -S 30 -W 3 ----------------------------
+    if want("segmented"):
+        s89 = load_wav(CLIP_89S)
+        audio_s = len(s89) / 16000.0
+        eng.segment_sec = 30.0
+        eng.search_sec = 3.0
+        segment_mod.transcribe_audio(eng, _perturb(s89, rng))
+        log("bench: segmented warmup done")
+        best_ms = _timed_runs(
+            "segmented", lambda c: segment_mod.transcribe_audio(eng, c),
+            s89, rng)
+        eng.segment_sec = 0.0
+        rtf = audio_s / (best_ms / 1000.0)
+        results.append({
+            "metric": "88.9 s clip segmented realtime factor "
+                      "(Qwen3-ASR-0.6B geometry, -S 30 -W 3)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_SEGMENTED, 2),
+        })
+
+    # ---- offline headline: jfk.wav, -S 0 -------------------------------
+    if want("offline"):
+        samples = load_wav(JFK)
+        audio_s = len(samples) / 16000.0
+        log(f"bench: jfk.wav {audio_s:.1f} s")
+        eng.segment_sec = 0.0
+        t0 = time.monotonic()
+        segment_mod.transcribe_audio(eng, _perturb(samples, rng))
+        log(f"bench: offline warmup {time.monotonic() - t0:.1f} s; "
+            f"decoded {eng.perf.text_tokens} text tokens")
+        best_ms = float("inf")
+        for i in range(RUNS + 2):
+            segment_mod.transcribe_audio(eng, _perturb(samples, rng))
+            ms = eng.perf.total_ms
+            log(f"bench: offline run {i + 1}: {ms:.0f} ms "
+                f"(mel+enc {eng.perf.encode_ms:.0f}, dec {eng.perf.decode_ms:.0f})")
+            best_ms = min(best_ms, ms)
+        rtf = audio_s / (best_ms / 1000.0)
+        results.append({
+            "metric": "jfk.wav offline realtime factor "
+                      "(Qwen3-ASR-0.6B geometry, -S 0)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_OFFLINE, 2),
+        })
+
+    for r in results:
+        print(json.dumps(r))
     return 0
 
 

@@ -75,12 +75,21 @@ MOE_CAPACITY_FACTOR = 2.0
 BATCHED_FLASH_MIN_T = 1024
 
 
-def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig):
+def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig, valid):
     """Scatter tokens into per-expert queues and run each expert over ONE
     contiguous block (the TPU shape of 'sort tokens by expert': ragged
     sorting is a scatter with per-expert ranks under XLA's static shapes).
 
-    xc: [T, H] in the expert weight dtype; top_idx/top_w: [T, K].
+    xc: [T, H] in the expert weight dtype; top_idx/top_w: [T, K];
+    valid: [T] bool — pad/garbage rows get NO queue rank (they neither
+    consume capacity nor receive output), so left-padded batches can't
+    crowd real tokens out of an expert's queue.
+
+    Returns (out [T, H] f32, n_dropped int32): n_dropped counts VALID
+    (token, expert) pairs past capacity — the caller falls back to the
+    exact dense path whenever it is nonzero, so capacity overflow is
+    never a silent parity divergence (reference computes every selected
+    expert exactly, qwen_asr_decoder.c:362-451).
     """
     import numpy as _np
 
@@ -90,9 +99,11 @@ def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig):
     C = min(T, int(_np.ceil(T * K / E * MOE_CAPACITY_FACTOR)))
 
     flat_e = top_idx.reshape(-1)                              # [TK]
-    oh = jax.nn.one_hot(flat_e, E, dtype=jnp.int32)           # [TK, E]
-    pos = jnp.sum(jnp.cumsum(oh, axis=0) * oh, axis=-1) - 1   # rank in queue
-    keep = pos < C
+    vflat = jnp.repeat(valid, K)                              # [TK]
+    oh = jax.nn.one_hot(flat_e, E, dtype=jnp.int32) * vflat[:, None]
+    pos = jnp.sum(jnp.cumsum(oh, axis=0) * oh, axis=-1) - 1   # rank; -1 invalid
+    keep = (pos >= 0) & (pos < C)
+    n_dropped = jnp.sum((pos >= C).astype(jnp.int32))
     scat_pos = jnp.where(keep, pos, C)                        # C = drop slot
     tok_of = jnp.repeat(jnp.arange(T), K)
 
@@ -108,18 +119,32 @@ def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig):
                       preferred_element_type=jnp.float32)     # [E, C, H] f32
     gathered = down[flat_e, jnp.minimum(scat_pos, C - 1)]     # [TK, H]
     gathered = jnp.where(keep[:, None], gathered, 0.0)
-    return jnp.sum(gathered.reshape(T, K, H) * top_w[..., None], axis=1)
+    out = jnp.sum(gathered.reshape(T, K, H) * top_w[..., None], axis=1)
+    return out, n_dropped
 
 
-def _moe_ffn(x, lp, cfg: ModelConfig):
+def _moe_dense(xc, lp, top_idx, top_w, cfg: ModelConfig):
+    """Exact dense one-hot routing: every expert computed once over the whole
+    block — bandwidth-optimal when T >= E/K, and the exact fallback when
+    capacity dispatch would drop."""
+    E = cfg.num_experts
+    wdt = lp["e_gate"].dtype
+    route = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1)  # [T, E]
+    gate = jnp.einsum("th,eih->tei", xc, lp["e_gate"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("th,eih->tei", xc, lp["e_up"], preferred_element_type=jnp.float32)
+    act = (silu(gate) * up).astype(wdt)
+    down = jnp.einsum("tei,ehi->teh", act, lp["e_down"], preferred_element_type=jnp.float32)
+    return jnp.einsum("te,teh->th", route, down)
+
+
+def _moe_ffn(x, lp, cfg: ModelConfig, valid=None):
     """MoE FFN: dense router -> top-k -> softmax -> expert SwiGLU mix.
 
     Matches moe_forward_single (qwen_asr_decoder.c:362-451) / the python spec
     (_moe_forward): softmax over the top-k router logits, optional
-    norm_topk_prob renormalization.  Computed with a dense one-hot routing
-    einsum (exact; efficient gather-based dispatch is a planned optimization
-    for the 30B path).
-    x: [T, H] f32.
+    norm_topk_prob renormalization.
+    x: [T, H] f32; valid: optional [T] bool (pad rows — only the capacity
+    dispatch path has cross-token contention, so it alone consumes it).
     """
     T = x.shape[0]
     E = cfg.num_experts
@@ -151,17 +176,19 @@ def _moe_ffn(x, lp, cfg: ModelConfig):
         # dispatch — tokens scatter into per-expert queues [E, C, H] and
         # each expert runs ONE [C, H] block through its SwiGLU.  FLOPs and
         # expert-weight reads scale with E*C ~ T*K*cf instead of the dense
-        # path's T*E (16x less at top-8 of 128, cf=2).
-        return _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg)
+        # path's T*E (16x less at top-8 of 128, cf=2).  If unbalanced
+        # routing would overflow any queue, fall back to the exact dense
+        # path via lax.cond — token parity is never silently broken.
+        if valid is None:
+            valid = jnp.ones((T,), bool)
+        out, n_dropped = _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg, valid)
+        return jax.lax.cond(
+            n_dropped > 0,
+            lambda: _moe_dense(xc, lp, top_idx, top_w, cfg),
+            lambda: out)
 
-    # Prefill with few experts: dense one-hot routing einsum (every expert
-    # computed once over the whole block — bandwidth-optimal when T >= E/K).
-    route = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1)  # [T, E]
-    gate = jnp.einsum("th,eih->tei", xc, lp["e_gate"], preferred_element_type=jnp.float32)
-    up = jnp.einsum("th,eih->tei", xc, lp["e_up"], preferred_element_type=jnp.float32)
-    act = (silu(gate) * up).astype(wdt)
-    down = jnp.einsum("tei,ehi->teh", act, lp["e_down"], preferred_element_type=jnp.float32)
-    return jnp.einsum("te,teh->th", route, down)
+    # Prefill with few experts: dense one-hot routing einsum.
+    return _moe_dense(xc, lp, top_idx, top_w, cfg)
 
 
 def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
@@ -276,6 +303,9 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
     q_dim = H * D
     kv_dim = KH * D
+    # rows >= valid_len are junk and rows below kv_min are left-pad: neither
+    # may consume MoE expert capacity
+    row_valid = (jnp.arange(Tcap) < valid_len) & (start_pos + jnp.arange(Tcap) >= kv_min)
 
     def layer(h, xs):
         lp, kv_layer = xs
@@ -317,7 +347,7 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
         xn = rms_norm(h, lp["post_ln"], eps)
         if lp.get("router") is not None:
-            ffn = _moe_ffn(xn, lp, cfg)
+            ffn = _moe_ffn(xn, lp, cfg, valid=row_valid)
         else:
             xc2 = xn.astype(wdt)
             gate_up = jnp.einsum("th,ih->ti", xc2, lp["w_gate_up"],
@@ -449,6 +479,11 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
              and Tcap % min(128, Tcap) == 0
              and (Tcap >= BATCHED_FLASH_MIN_T or pallas_forced()))
 
+    # left-pad rows (cache position < kv_min[b]) must not consume MoE
+    # expert capacity — flattened [B*Tcap] validity for _moe_ffn
+    row_valid = ((start_pos + jnp.arange(Tcap))[None, :]
+                 >= kv_min[:, None]).reshape(B * Tcap)
+
     q_dim = H * D
     kv_dim = KH * D
 
@@ -481,7 +516,8 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
 
         xn = rms_norm(h, lp["post_ln"], eps)
         if lp.get("router") is not None:
-            ffn = _moe_ffn(xn.reshape(B * Tcap, Hdim), lp, cfg).reshape(B, Tcap, Hdim)
+            ffn = _moe_ffn(xn.reshape(B * Tcap, Hdim), lp, cfg,
+                           valid=row_valid).reshape(B, Tcap, Hdim)
         else:
             xc2 = xn.astype(wdt)
             gate_up = jnp.einsum("bth,ih->bti", xc2, lp["w_gate_up"],

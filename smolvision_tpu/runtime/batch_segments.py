@@ -362,6 +362,12 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     use_device_mel = (cfg.family != "q25" and B > 2 and dm_env != "0"
                       and (dm_env == "1" or jax.default_backend() == "tpu"))
     if use_device_mel:
+        if engine.verbose >= 1 and not getattr(engine, "_device_mel_noted", False):
+            engine._device_mel_noted = True
+            print("Batch mel: device f16 matmul-DFT path (tokens may differ "
+                  "~1ulp from the single-file host mel; SMOLVISION_DEVICE_MEL=0 "
+                  "/ SMOLVISION_MEL_F32=1 force exact parity)",
+                  file=sys.stderr, flush=True)
         mark("mel")  # host work is pad+quantize inside the encode call
         enc_stack, n_tokens_list = _encode_batch_device_mel(engine, segments)
     else:

@@ -327,7 +327,9 @@ def _stream_impl(engine, samples: Optional[np.ndarray], live) -> Optional[str]:
             lambda t: (chunk_tokens.append(t) or True))
         decode_ms = time.monotonic() * 1000.0 - t0
         engine.perf.decode_ms += decode_ms
-        hit_max = n_generated >= max_new and len(chunk_tokens) == n_generated
+        # mirrors qwen_asr.c:2011 exactly: max-length detection looks only at
+        # n_generated (a chunk whose max_new-th token is EOS still counts)
+        hit_max = n_generated >= max_new
         _monitor(engine, "▸" if (n_generated and decode_ms / n_generated > 30) else "▪")
 
         # ---- history update with repeat-run suppression ----------------

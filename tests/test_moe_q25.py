@@ -228,7 +228,9 @@ def test_moe_capacity_dispatch_matches_dense():
                           dtype=jnp.int32)
     top_w = jnp.asarray(rng.random((T, K)).astype(np.float32))
 
-    got = dm._moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg)
+    got, n_dropped = dm._moe_capacity_dispatch(
+        xc, lp, top_idx, top_w, cfg, jnp.ones((T,), bool))
+    assert int(n_dropped) == 0
 
     import jax
     from smolvision_tpu.ops.common import silu
@@ -265,9 +267,90 @@ def test_moe_capacity_dispatch_drops_overflow():
     }
     top_idx = jnp.zeros((T, K), jnp.int32)       # all -> expert 0
     top_w = jnp.ones((T, K), jnp.float32)
-    out = np.asarray(dm._moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg))
+    out, n_dropped = dm._moe_capacity_dispatch(
+        xc, lp, top_idx, top_w, cfg, jnp.ones((T,), bool))
+    out = np.asarray(out)
     C = min(T, int(np.ceil(T * K / E * dm.MOE_CAPACITY_FACTOR)))  # = 8
     assert C < T
-    # first C tokens computed, the rest dropped to zero
+    # first C tokens computed, the rest dropped to zero — and the drop
+    # COUNTER reports them (the _moe_ffn caller falls back to dense on it)
+    assert int(n_dropped) == T - C
     assert np.all(np.abs(out[C:]) == 0.0)
     assert np.all(np.abs(out[:C]).sum(axis=1) > 0.0)
+
+
+def test_moe_ffn_adversarial_imbalance_is_exact():
+    """_moe_ffn with E >= MOE_DISPATCH_MIN_EXPERTS and adversarially
+    unbalanced routing (router biased so every token picks the same experts)
+    must EXACTLY match the dense one-hot path — the drop counter triggers
+    the lax.cond fallback, so capacity overflow never silently diverges
+    (reference computes every selected expert, qwen_asr_decoder.c:362-451)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.models import qwen3_decoder as dm
+
+    T, K, E, H, MI = 64, 2, 16, 32, 16
+    cfg = dataclasses.replace(QWEN3_ASR_06B, is_moe=True, num_experts=E,
+                              num_experts_per_tok=K, moe_intermediate=MI,
+                              norm_topk_prob=True)
+    rng = np.random.default_rng(2)
+    # strictly positive activations + strongly positive router rows 0/1 ->
+    # every token routes to experts {0, 1}; capacity C = ceil(T*K/E*2) = 16
+    # < T, so dispatch would drop and the cond must take the dense branch
+    x = jnp.asarray((np.abs(rng.standard_normal((T, H))) + 0.1).astype(np.float32))
+    router = rng.standard_normal((E, H)).astype(np.float32) * 0.01
+    router[0] += 3.0
+    router[1] += 2.5
+    lp = {
+        "router": jnp.asarray(router),
+        "e_gate": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_up": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_down": jnp.asarray(rng.standard_normal((E, H, MI)).astype(np.float32) * 0.1),
+    }
+    got = np.asarray(dm._moe_ffn(x, lp, cfg))
+
+    scores = jnp.einsum("th,eh->te", x, lp["router"])
+    import jax
+    top_vals, top_idx = jax.lax.top_k(scores, K)
+    assert np.all(np.asarray(top_idx) < 2), "routing not adversarial"
+    top_w = jax.nn.softmax(top_vals, axis=-1)
+    top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
+    expect = np.asarray(dm._moe_dense(x, lp, top_idx, top_w, cfg))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_moe_capacity_dispatch_pads_dont_crowd_out_real_tokens():
+    """Left-pad rows (valid=False) get no queue rank: real tokens keep their
+    expert slots even when identical pad rows flood the same experts
+    (ADVICE r1: pads outranked real tokens in the cumsum capacity rank)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.models import qwen3_decoder as dm
+
+    T, K, E, H, MI = 64, 1, 16, 32, 16
+    n_pad = 56  # pads first (left-padded layout), 8 real tokens
+    cfg = dataclasses.replace(QWEN3_ASR_06B, is_moe=True, num_experts=E,
+                              num_experts_per_tok=K, moe_intermediate=MI,
+                              norm_topk_prob=False)
+    rng = np.random.default_rng(3)
+    xc = jnp.asarray(rng.standard_normal((T, H)).astype(np.float32))
+    lp = {
+        "e_gate": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_up": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_down": jnp.asarray(rng.standard_normal((E, H, MI)).astype(np.float32) * 0.1),
+    }
+    top_idx = jnp.zeros((T, K), jnp.int32)        # everyone wants expert 0
+    top_w = jnp.ones((T, K), jnp.float32)
+    valid = jnp.arange(T) >= n_pad
+    out, n_dropped = dm._moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg, valid)
+    out = np.asarray(out)
+    C = min(T, int(np.ceil(T * K / E * dm.MOE_CAPACITY_FACTOR)))  # = 8
+    # all 8 real tokens fit in expert 0's capacity of 8; no VALID drops
+    assert int(n_dropped) == 0
+    assert np.all(np.abs(out[n_pad:]).sum(axis=1) > 0.0)
+    # pad rows receive nothing
+    assert np.all(np.abs(out[:n_pad]) == 0.0)
