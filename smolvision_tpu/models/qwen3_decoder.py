@@ -191,6 +191,49 @@ def _moe_ffn(x, lp, cfg: ModelConfig, valid=None):
     return _moe_dense(xc, lp, top_idx, top_w, cfg)
 
 
+def _split_qkv(qkv, tp, q_dim, kv_dim, H, KH, D):
+    """Undo the (optionally per-rank-interleaved) QKV output fusion.
+
+    With tp == 1 the fused axis is [q; k; v] (load-time layout).  With
+    tp > 1 the loader interleaved it per tensor-parallel rank —
+    [q_0; k_0; v_0; q_1; k_1; v_1; ...] — so that sharding the fused axis
+    on the "model" mesh axis gives every rank complete heads (the TP
+    analog of the reference's fused qkv, qwen_asr_kernels.c:434-460).
+    The reshape-based split below is shard-LOCAL under GSPMD (it splits
+    the sharded axis with the sharded factor major) and restores the
+    original head order exactly, so tp is purely a layout choice.
+
+    qkv: [..., q_dim + 2*kv_dim].  Returns q [..., H, D], k/v [..., KH, D].
+    """
+    lead = qkv.shape[:-1]
+    if tp == 1:
+        q = qkv[..., :q_dim].reshape(*lead, H, D)
+        k = qkv[..., q_dim : q_dim + kv_dim].reshape(*lead, KH, D)
+        v = qkv[..., q_dim + kv_dim :].reshape(*lead, KH, D)
+        return q, k, v
+    per = (q_dim + 2 * kv_dim) // tp
+    qp, kp = q_dim // tp, kv_dim // tp
+    r = qkv.reshape(*lead, tp, per)
+    q = r[..., :qp].reshape(*lead, H, D)
+    k = r[..., qp : qp + kp].reshape(*lead, KH, D)
+    v = r[..., qp + kp :].reshape(*lead, KH, D)
+    return q, k, v
+
+
+def _split_gate_up(gate_up, tp):
+    """Undo the (optionally per-rank-interleaved) gate/up output fusion.
+    gate_up: [..., 2I].  Returns (gate [..., I], up [..., I]) in original
+    channel order — rank r's block is [gate_r; up_r], and gate_r is the
+    contiguous chunk r of the intermediate axis, so the merge is exact."""
+    I = gate_up.shape[-1] // 2
+    if tp == 1:
+        return gate_up[..., :I], gate_up[..., I:]
+    lead = gate_up.shape[:-1]
+    Ip = I // tp
+    r = gate_up.reshape(*lead, tp, 2 * Ip)
+    return r[..., :Ip].reshape(*lead, I), r[..., Ip:].reshape(*lead, I)
+
+
 def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
                         cfg: ModelConfig, kv_min=0):
     """Causal GQA attention, split into (a) the immutable cache prefix
@@ -247,7 +290,7 @@ def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
 
 
 def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
-                    rope_start=None, kv_min=None):
+                    rope_start=None, kv_min=None, tp: int = 1):
     """Run the layer stack over `embeds` [Tcap, H] written into cache rows
     start_pos..start_pos+Tcap-1.
 
@@ -256,6 +299,8 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     index = logical position + pad).
     kv_min: cache rows below this index are never attended (masks left-pad
     garbage; default 0).
+    tp: static tensor-parallel degree the fused weights were interleaved
+    for (parallel/mesh.interleave_decoder_for_tp); 1 = plain fusion.
 
     Returns (hidden [Tcap, H] f32 pre-final-norm, kv').
     Rows >= valid_len are junk; their KV rows are progressively overwritten
@@ -314,9 +359,7 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
         qkv = jnp.einsum("th,oh->to", xc, lp["wqkv"], preferred_element_type=jnp.float32)
         if lp.get("bqkv") is not None:
             qkv = qkv + lp["bqkv"]
-        q = qkv[:, :q_dim].reshape(Tcap, H, D)
-        k = qkv[:, q_dim : q_dim + kv_dim].reshape(Tcap, KH, D)
-        v = qkv[:, q_dim + kv_dim :].reshape(Tcap, KH, D)
+        q, k, v = _split_qkv(qkv, tp, q_dim, kv_dim, H, KH, D)
         if lp.get("q_norm") is not None:
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
@@ -352,8 +395,8 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
             xc2 = xn.astype(wdt)
             gate_up = jnp.einsum("th,ih->ti", xc2, lp["w_gate_up"],
                                  preferred_element_type=jnp.float32)
-            I = gate_up.shape[-1] // 2
-            act = (silu(gate_up[:, :I]) * gate_up[:, I:]).astype(wdt)
+            gate, up = _split_gate_up(gate_up, tp)
+            act = (silu(gate) * up).astype(wdt)
             ffn = jnp.einsum("ti,hi->th", act, lp["w_down"], preferred_element_type=jnp.float32)
         h = h + ffn
         return h, out_kv
@@ -447,7 +490,8 @@ def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
 
 
 def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
-                            rope_start, kv_min, fresh_prefill: bool = False):
+                            rope_start, kv_min, fresh_prefill: bool = False,
+                            tp: int = 1):
     """Run the layer stack over `embeds` [B, Tcap, H] written into cache rows
     start_pos..start_pos+Tcap-1 (batch-uniform scalar — left-padded layout).
 
@@ -495,9 +539,7 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
                          preferred_element_type=jnp.float32)
         if lp.get("bqkv") is not None:
             qkv = qkv + lp["bqkv"]
-        q = qkv[..., :q_dim].reshape(B, Tcap, H, D)
-        k = qkv[..., q_dim : q_dim + kv_dim].reshape(B, Tcap, KH, D)
-        v = qkv[..., q_dim + kv_dim :].reshape(B, Tcap, KH, D)
+        q, k, v = _split_qkv(qkv, tp, q_dim, kv_dim, H, KH, D)
         if lp.get("q_norm") is not None:
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
@@ -522,8 +564,8 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
             xc2 = xn.astype(wdt)
             gate_up = jnp.einsum("bth,ih->bti", xc2, lp["w_gate_up"],
                                  preferred_element_type=jnp.float32)
-            I = gate_up.shape[-1] // 2
-            act = (silu(gate_up[..., :I]) * gate_up[..., I:]).astype(wdt)
+            gate, up = _split_gate_up(gate_up, tp)
+            act = (silu(gate) * up).astype(wdt)
             ffn = jnp.einsum("bti,hi->bth", act, lp["w_down"],
                              preferred_element_type=jnp.float32)
         h = h + ffn
@@ -550,14 +592,14 @@ def batched_logits(params, cfg: ModelConfig, hidden_rows):
 
 
 def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
-                    greedy: bool = True):
+                    greedy: bool = True, tp: int = 1):
     """Serving prefill: start_pos = 0, every row valid through Tcap (the
     left-padded layout puts each row's last prompt token at Tcap-1).
     embeds [B, Tcap, H]; kv [L, 2, B, KH, K, D].  Returns (tokens|logits, kv')."""
     B, Tcap, _ = embeds.shape
     hidden, kv = batched_decoder_forward(
         params, cfg, embeds, jnp.int32(0), kv, rope_start, kv_min,
-        fresh_prefill=True)
+        fresh_prefill=True, tp=tp)
     logits = batched_logits(params, cfg, hidden[:, Tcap - 1])
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
@@ -565,7 +607,8 @@ def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
 
 
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
-                         n_steps_cap: int, rope_offset, kv_min, n_steps=None):
+                         n_steps_cap: int, rope_offset, kv_min, n_steps=None,
+                         tp: int = 1):
     """Greedy-decode up to n_steps tokens for every batch row, exiting early
     once EVERY row has emitted an EOS (rows that finish first keep decoding
     garbage into the buffer until then — the host truncates at EOS).
@@ -593,7 +636,7 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
         p = pos + i
         embeds = params["embed"][toks][:, None, :].astype(jnp.float32)
         hidden, kv_ = batched_decoder_forward(
-            params, cfg, embeds, p, kv_, p - rope_offset, kv_min)
+            params, cfg, embeds, p, kv_, p - rope_offset, kv_min, tp=tp)
         logits = batched_logits(params, cfg, hidden[:, 0])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         buf_ = jax.lax.dynamic_update_slice(buf_, nxt[:, None], (0, i))
@@ -615,10 +658,11 @@ def logits_at(params, cfg: ModelConfig, hidden, row):
 
 
 def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
-            greedy: bool = True, rope_start=None, kv_min=None) -> Tuple[Any, Any]:
+            greedy: bool = True, rope_start=None, kv_min=None,
+            tp: int = 1) -> Tuple[Any, Any]:
     """Prefill the bucket; return (first_token | logits, kv')."""
     hidden, kv = decoder_forward(params, cfg, embeds, start_pos, valid_len, kv,
-                                 rope_start=rope_start, kv_min=kv_min)
+                                 rope_start=rope_start, kv_min=kv_min, tp=tp)
     logits = logits_at(params, cfg, hidden, valid_len - 1)
     if greedy:
         return jnp.argmax(logits).astype(jnp.int32), kv
@@ -626,11 +670,12 @@ def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
 
 def decode_step(params, cfg: ModelConfig, token, pos, kv,
-                greedy: bool = True, rope_start=None, kv_min=None) -> Tuple[Any, Any]:
+                greedy: bool = True, rope_start=None, kv_min=None,
+                tp: int = 1) -> Tuple[Any, Any]:
     """One autoregressive step writing cache row `pos` (scalar int32)."""
     embed = params["embed"][token][None].astype(jnp.float32)  # [1, H]
     hidden, kv = decoder_forward(params, cfg, embed, pos, jnp.int32(1), kv,
-                                 rope_start=rope_start, kv_min=kv_min)
+                                 rope_start=rope_start, kv_min=kv_min, tp=tp)
     logits = logits_at(params, cfg, hidden, jnp.int32(0))
     if greedy:
         return jnp.argmax(logits).astype(jnp.int32), kv

@@ -62,13 +62,14 @@ def decoder_shardings(cfg: ModelConfig, mesh: Mesh):
     col = _ns(mesh, None, None, MODEL_AXIS)   # [L, out, in] -> shard in
     layers = {
         "input_ln": rep, "post_ln": rep,
-        # wqkv/w_gate_up are output-fused: replicate rather than row-shard
-        # (sharding the concatenated axis would split q/kv blocks unevenly;
-        # a TP-aware interleaved fusion is a planned refinement)
-        "wqkv": rep, "wo": col,
-        "bqkv": rep,
+        # wqkv/w_gate_up shard their fused output axis on "model" — the
+        # loader interleaves the fusion per TP rank (interleave_decoder_for_tp)
+        # so each rank's contiguous slice is complete heads [q_r; k_r; v_r]
+        # (resp. [gate_r; up_r]); the decoder's tp-aware split is shard-local
+        "wqkv": row, "wo": col,
+        "bqkv": _ns(mesh, None, MODEL_AXIS),
         "q_norm": rep, "k_norm": rep,
-        "w_gate_up": rep, "w_down": col,
+        "w_gate_up": row, "w_down": col,
         "router": rep,
         "e_gate": _ns(mesh, None, MODEL_AXIS, None, None),
         "e_up": _ns(mesh, None, MODEL_AXIS, None, None),
@@ -80,6 +81,55 @@ def decoder_shardings(cfg: ModelConfig, mesh: Mesh):
         "final_norm": rep,
         "lm_head": _ns(mesh, MODEL_AXIS, None),
     }
+
+
+def interleave_decoder_for_tp(params, cfg: ModelConfig, tp: int):
+    """Permute the fused-output decoder weights for a tp-way "model" axis.
+
+    The single-chip loader fuses QKV as [q; k; v] and the MLP as [gate; up]
+    (models/params.py) — one big matmul per block.  Sharding those
+    concatenated axes directly would split q/kv (or gate/up) unevenly across
+    ranks, so for TP the rows are permuted per rank:
+        [q_0; k_0; v_0; q_1; k_1; v_1; ...]   resp.   [gate_0; up_0; ...]
+    where x_r is heads (channels) chunk r.  The decoder's tp-aware split
+    (_split_qkv / _split_gate_up) restores the original order with
+    shard-local reshapes, so the math — and therefore the emitted tokens —
+    is independent of tp.  Fusion semantics per the reference's interleaved
+    gate_up load (qwen_asr_decoder.c:140-152, qwen_asr_kernels.c:434-460).
+
+    Returns a NEW params dict (wqkv/bqkv/w_gate_up replaced); call BEFORE
+    shard_params.  tp must divide kv heads, q heads, and the intermediate.
+    """
+    if tp == 1:
+        return params
+    q_dim = cfg.dec_heads * cfg.dec_head_dim
+    kv_dim = cfg.dec_kv_heads * cfg.dec_head_dim
+    assert cfg.dec_heads % tp == 0 and cfg.dec_kv_heads % tp == 0, \
+        f"tp={tp} must divide heads ({cfg.dec_heads}/{cfg.dec_kv_heads})"
+
+    def perm(sizes):
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        idx = []
+        for r in range(tp):
+            for j, s in enumerate(sizes):
+                blk = s // tp
+                start = int(offs[j]) + r * blk
+                idx.extend(range(start, start + blk))
+        return np.asarray(idx, dtype=np.int32)
+
+    import jax.numpy as jnp
+
+    layers = dict(params["layers"])
+    qkv_perm = jnp.asarray(perm([q_dim, kv_dim, kv_dim]))
+    layers["wqkv"] = jnp.take(layers["wqkv"], qkv_perm, axis=1)
+    if layers.get("bqkv") is not None:
+        layers["bqkv"] = jnp.take(layers["bqkv"], qkv_perm, axis=1)
+    if layers.get("w_gate_up") is not None:
+        I = layers["w_gate_up"].shape[1] // 2
+        assert I % tp == 0, f"tp={tp} must divide intermediate ({I})"
+        gu_perm = jnp.asarray(perm([I, I]))
+        layers["w_gate_up"] = jnp.take(layers["w_gate_up"], gu_perm, axis=1)
+    return {**params, "layers": layers}
 
 
 def batched_kv_sharding(mesh: Mesh):
