@@ -134,141 +134,185 @@ def transcribe_stream_live(engine, live) -> Optional[str]:
     return _stream_impl(engine, None, live)
 
 
-def _stream_impl(engine, samples: Optional[np.ndarray], live) -> Optional[str]:
-    cfg = engine.cfg
-    chunk_samples = int(engine.stream_chunk_sec * SAMPLE_RATE)
-    rollback = engine.stream_rollback
-    unfixed_chunks = engine.stream_unfixed_chunks
-    max_new = engine.stream_max_new_tokens or 32
+class ChunkWork:
+    """Per-chunk work order produced by StreamState.begin_chunk: everything
+    the prefill+decode middle needs, plus the bookkeeping finish_chunk
+    consumes.  The middle is pluggable — the solo driver runs it through the
+    engine's single-sequence KV-reuse path, the multi-stream coordinator
+    through the batch-native decoder — and must deliver the same greedy
+    tokens either way."""
 
-    engine.perf.reset()
-    engine.prepare_prompt()
-    tok = engine.tokenizer
-    forced = bool(engine._force_tokens)
+    __slots__ = ("ids", "audio_block", "audio_start", "enc_seq_len", "reused",
+                 "n_prefix", "n_prefix_full", "is_final", "full_end", "t0")
 
-    if live is None and engine.skip_silence:
-        samples = compact_silence(samples, engine.verbose)
 
-    enc_window_frames = min(max(cfg.enc_n_window_infer, 100), 800)
-    enc_window_samples = enc_window_frames * HOP_LENGTH
+class StreamState:
+    """Step-able streaming session: the state machine of stream_impl
+    (qwen_asr.c:1114-2219) with the model calls factored out.
 
-    no_cache_env = os.environ.get("QWEN_STREAM_NO_ENC_CACHE",
-                                  os.environ.get("SMOLVISION_STREAM_NO_ENC_CACHE", ""))
-    use_enc_cache = not (no_cache_env and no_cache_env != "0")
-    if live is not None and not use_enc_cache:
-        use_enc_cache = True  # live requires the cache (bounded memory)
+    Protocol per chunk:
+        work = state.begin_chunk()          # live ingest + encode + prompt
+        if work is None: continue           # chunk skipped (encode starve)
+        ... prefill (full or KV-delta) ...  # caller's choice of path
+        state.note_prefill(work, total_len, prefill_ms)
+        ... bounded greedy decode ...
+        state.finish_chunk(work, chunk_tokens, n_generated, decode_ms)
+    until not state.active(); then state.finalize().
 
-    # --silent + preloaded file: one full-context refinement pass
-    if engine.token_cb is None and live is None:
-        engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
-        text, _ = engine.transcribe_segment(samples)
-        return text
+    All constants and ordering preserved from qwen_asr.c:1369-1378 — the
+    commit/recovery logic is exactness-tested (tests/test_stream_logic.py).
+    """
 
-    if live is None:
-        engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
-        local = np.asarray(samples, dtype=np.float32)
-        local_base = 0
-        total_samples = len(local)
-        live_eof = True
-    else:
-        off, data, live_eof = live.snapshot_and_reset()
-        local = data
-        local_base = off
-        total_samples = local_base + len(local)
+    def __init__(self, engine, samples: Optional[np.ndarray], live):
+        self.engine = engine
+        cfg = engine.cfg
+        self.cfg = cfg
+        self.live = live
+        self.chunk_samples = int(engine.stream_chunk_sec * SAMPLE_RATE)
+        self.rollback = engine.stream_rollback
+        self.unfixed_chunks = engine.stream_unfixed_chunks
+        self.max_new = engine.stream_max_new_tokens or 32
 
-    raw_tokens: List[int] = []
-    stable_text: List[int] = []
-    emitted: List[int] = []
-    result_pieces: List[bytes] = []
-    stagnant_chunks = 0
-    chunk_idx = 0
-    audio_cursor = 0
-    enc_cache = _EncWindowCache()
-    prev_signature: Optional[List] = None
-    partial_uid = [1 << 40]  # fresh ids for re-encoded partial tails
-    prefill_total = 0
-    prefill_reused = 0
+        engine.perf.reset()
+        engine.prepare_prompt()
+        self.tok = engine.tokenizer
+        self.forced = bool(engine._force_tokens)
 
-    def reanchor():
+        if live is None and engine.skip_silence:
+            samples = compact_silence(samples, engine.verbose)
+
+        enc_window_frames = min(max(cfg.enc_n_window_infer, 100), 800)
+        self.enc_window_samples = enc_window_frames * HOP_LENGTH
+
+        no_cache_env = os.environ.get(
+            "QWEN_STREAM_NO_ENC_CACHE",
+            os.environ.get("SMOLVISION_STREAM_NO_ENC_CACHE", ""))
+        self.use_enc_cache = not (no_cache_env and no_cache_env != "0")
+        if live is not None and not self.use_enc_cache:
+            self.use_enc_cache = True  # live requires the cache (bounded memory)
+
+        if live is None:
+            engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
+            self.local = np.asarray(samples, dtype=np.float32)
+            self.local_base = 0
+            self.total_samples = len(self.local)
+            self.live_eof = True
+        else:
+            off, data, self.live_eof = live.snapshot_and_reset()
+            self.local = data
+            self.local_base = off
+            self.total_samples = self.local_base + len(self.local)
+
+        self.raw_tokens: List[int] = []
+        self.stable_text: List[int] = []
+        self.emitted: List[int] = []
+        self.result_pieces: List[bytes] = []
+        self.stagnant_chunks = 0
+        self.chunk_idx = 0
+        self.audio_cursor = 0
+        self.enc_cache = _EncWindowCache()
+        self.prev_signature: Optional[List] = None
+        self.partial_uid = 1 << 40  # fresh ids for re-encoded partial tails
+        self.prefill_total = 0
+        self.prefill_reused = 0
+
+    # ------------------------------------------------------------------
+
+    def active(self) -> bool:
+        return (self.audio_cursor < self.total_samples
+                or (self.live is not None and not self.live_eof))
+
+    def _reanchor(self):
         """Re-anchor text state to a short committed tail (qwen_asr.c:1194-1248)."""
-        nonlocal raw_tokens, stable_text, prev_signature
-        carry = min(len(emitted), RESET_CARRY_TOKENS)
-        tail = emitted[len(emitted) - carry :]
-        raw_tokens = ([] if forced else [TOKEN_ASR_TEXT]) + list(tail)
-        stable_text = list(tail)
-        prev_signature = None
+        carry = min(len(self.emitted), RESET_CARRY_TOKENS)
+        tail = self.emitted[len(self.emitted) - carry :]
+        self.raw_tokens = ([] if self.forced else [TOKEN_ASR_TEXT]) + list(tail)
+        self.stable_text = list(tail)
+        self.prev_signature = None
 
-    while audio_cursor < total_samples or (live is not None and not live_eof):
+    def begin_chunk(self) -> Optional[ChunkWork]:
+        """Live ingest, cursor advance, encoder windows + partial tail,
+        prompt build with prefix rollback, KV-reuse signature.  Returns None
+        when the chunk is skipped (encoder starvation / empty audio) — the
+        chunk index has already advanced in that case."""
+        engine = self.engine
+        live = self.live
         if live is not None:
-            want = audio_cursor + chunk_samples
-            live_eof = live.wait_for(want)
-            off, data, live_eof = live.snapshot_and_reset()
-            local_end = local_base + len(local)
+            want = self.audio_cursor + self.chunk_samples
+            self.live_eof = live.wait_for(want)
+            off, data, self.live_eof = live.snapshot_and_reset()
+            local_end = self.local_base + len(self.local)
             if local_end < off:
                 if engine.verbose >= 1:
                     print(f"Streaming (live): local buffer overrun, resyncing "
                           f"(local_end={local_end}, live_start={off})",
                           file=sys.stderr, flush=True)
-                local = data
-                local_base = off
+                self.local = data
+                self.local_base = off
             elif len(data):
                 skip = local_end - off
                 if skip < len(data):
-                    local = np.concatenate([local, data[skip:]])
-            total_samples = local_base + len(local)
-            engine.perf.audio_ms = 1000.0 * total_samples / SAMPLE_RATE
+                    self.local = np.concatenate([self.local, data[skip:]])
+            self.total_samples = self.local_base + len(self.local)
+            engine.perf.audio_ms = 1000.0 * self.total_samples / SAMPLE_RATE
 
-        chunk_t0 = time.monotonic() * 1000.0
-        audio_cursor = min(audio_cursor + chunk_samples, total_samples)
-        is_final = (live_eof if live is not None else True) and audio_cursor >= total_samples
+        w = ChunkWork()
+        w.t0 = time.monotonic() * 1000.0
+        self.audio_cursor = min(self.audio_cursor + self.chunk_samples,
+                                self.total_samples)
+        w.is_final = ((self.live_eof if live is not None else True)
+                      and self.audio_cursor >= self.total_samples)
 
         # ---- encoder: cached windows + partial tail -------------------
         t0 = time.monotonic() * 1000.0
-        full_end = (audio_cursor // enc_window_samples) * enc_window_samples
+        ews = self.enc_window_samples
+        w.full_end = (self.audio_cursor // ews) * ews
         segs = []       # list of (arr, seq, sig_tag)
-        enc_failed = False
-        if not use_enc_cache:
-            arr, seq = _encode_span(engine, local[: audio_cursor - local_base])
+        if not self.use_enc_cache:
+            arr, seq = _encode_span(
+                engine, self.local[: self.audio_cursor - self.local_base])
             if seq <= 0:
-                chunk_idx += 1
-                continue
-            partial_uid[0] += 1
-            segs = [(arr, seq, partial_uid[0])]
+                self.chunk_idx += 1
+                return None
+            self.partial_uid += 1
+            segs = [(arr, seq, self.partial_uid)]
             enc_seq_len = seq
         else:
-            while enc_cache.next_window_start < full_end:
-                ws = enc_cache.next_window_start
-                lo = ws - local_base
-                if lo < 0 or lo + enc_window_samples > len(local):
+            enc_failed = False
+            while self.enc_cache.next_window_start < w.full_end:
+                ws = self.enc_cache.next_window_start
+                lo = ws - self.local_base
+                if lo < 0 or lo + ews > len(self.local):
                     enc_failed = True
                     break
-                arr, seq = _encode_span(engine, local[lo : lo + enc_window_samples])
+                arr, seq = _encode_span(engine, self.local[lo : lo + ews])
                 if seq <= 0:
                     enc_failed = True
                     break
-                enc_cache.append(ws, arr, seq)
-                enc_cache.next_window_start += enc_window_samples
+                self.enc_cache.append(ws, arr, seq)
+                self.enc_cache.next_window_start += ews
             if enc_failed:
-                chunk_idx += 1
-                continue
-            evicted = enc_cache.evict_to(MAX_ENC_WINDOWS)
+                self.chunk_idx += 1
+                return None
+            evicted = self.enc_cache.evict_to(MAX_ENC_WINDOWS)
             if evicted:
                 _monitor(engine, "⟳")
 
             partial_arr, partial_seq = (None, 0)
-            if full_end < audio_cursor:
-                lo = full_end - local_base
+            if w.full_end < self.audio_cursor:
+                lo = w.full_end - self.local_base
                 partial_arr, partial_seq = _encode_span(
-                    engine, local[lo : audio_cursor - local_base])
+                    engine, self.local[lo : self.audio_cursor - self.local_base])
 
-            segs = [(arr, seq, uid) for (_, arr, seq, uid) in enc_cache.windows]
+            segs = [(arr, seq, uid)
+                    for (_, arr, seq, uid) in self.enc_cache.windows]
             if partial_seq > 0:
-                partial_uid[0] += 1
-                segs.append((partial_arr, partial_seq, partial_uid[0]))
+                self.partial_uid += 1
+                segs.append((partial_arr, partial_seq, self.partial_uid))
             enc_seq_len = sum(s[1] for s in segs)
             if enc_seq_len <= 0:
-                chunk_idx += 1
-                continue
+                self.chunk_idx += 1
+                return None
         engine.perf.encode_ms += time.monotonic() * 1000.0 - t0
         _monitor(engine, "▶")
 
@@ -278,69 +322,77 @@ def _stream_impl(engine, samples: Optional[np.ndarray], live) -> Optional[str]:
         acap = bucket(enc_seq_len, 16)
         if acap > enc_seq_len:
             audio_block = jnp.pad(audio_block, ((0, acap - enc_seq_len), (0, 0)))
+        w.audio_block = audio_block
+        w.enc_seq_len = enc_seq_len
 
         # ---- prompt + prefix rollback ---------------------------------
         n_prefix_full = 0
         n_prefix = 0
         prefix_offset = 0
-        if engine.past_text_conditioning and chunk_idx >= unfixed_chunks and raw_tokens:
-            n_prefix_full = max(len(raw_tokens) - rollback, 0)
+        if (engine.past_text_conditioning and self.chunk_idx >= self.unfixed_chunks
+                and self.raw_tokens):
+            n_prefix_full = max(len(self.raw_tokens) - self.rollback, 0)
             n_prefix = n_prefix_full
             if n_prefix > MAX_PREFIX_TOKENS:
                 n_prefix = MAX_PREFIX_TOKENS
                 prefix_offset = n_prefix_full - n_prefix
-        prefix_tokens = raw_tokens[prefix_offset : prefix_offset + n_prefix]
+        prefix_tokens = self.raw_tokens[prefix_offset : prefix_offset + n_prefix]
+        w.n_prefix = n_prefix
+        w.n_prefix_full = n_prefix_full
 
-        ids, audio_start = prompt_mod.build_stream_prompt(
-            cfg, enc_seq_len, engine._prompt_tokens, engine._force_tokens,
+        w.ids, w.audio_start = prompt_mod.build_stream_prompt(
+            self.cfg, enc_seq_len, engine._prompt_tokens, engine._force_tokens,
             prefix_tokens)
 
         # prompt signature for KV reuse (token ids + audio row identities)
-        signature: List = [("t", t) for t in ids[:audio_start]]
+        signature: List = [("t", t) for t in w.ids[: w.audio_start]]
         for (_, seq, uid) in segs:
             signature += [("a", uid, i) for i in range(seq)]
-        signature += [("t", t) for t in ids[audio_start + enc_seq_len :]]
+        signature += [("t", t) for t in w.ids[w.audio_start + enc_seq_len :]]
 
         reused = 0
-        if prev_signature is not None:
-            m = min(len(prev_signature), len(signature))
-            while reused < m and prev_signature[reused] == signature[reused]:
+        if self.prev_signature is not None:
+            m = min(len(self.prev_signature), len(signature))
+            while reused < m and self.prev_signature[reused] == signature[reused]:
                 reused += 1
+        w.reused = reused
+        self.prev_signature = signature
+        return w
 
-        # ---- prefill + bounded decode ---------------------------------
-        t0 = time.monotonic() * 1000.0
-        first, total_len = engine.prefill_with_reuse(
-            ids, audio_block, audio_start, enc_seq_len, reused)
-        prev_signature = signature
-        prefill_total += total_len
-        prefill_reused += min(reused, total_len - 1)
-        engine.perf.decode_ms += time.monotonic() * 1000.0 - t0
+    def note_prefill(self, w: ChunkWork, total_len: int, prefill_ms: float):
+        engine = self.engine
+        self.prefill_total += total_len
+        self.prefill_reused += min(w.reused, total_len - 1)
+        engine.perf.decode_ms += prefill_ms
         _monitor(engine, "·")
         if engine.verbose >= 2:
-            print(f"  Prefill: {total_len} tokens ({n_prefix} prefix, "
-                  f"reused {min(reused, total_len - 1)})", file=sys.stderr, flush=True)
+            print(f"  Prefill: {total_len} tokens ({w.n_prefix} prefix, "
+                  f"reused {min(w.reused, total_len - 1)})",
+                  file=sys.stderr, flush=True)
 
-        t0 = time.monotonic() * 1000.0
-        chunk_tokens: List[int] = []
-        n_generated = engine.decode_greedy(
-            first, total_len, max_new,
-            lambda t: (chunk_tokens.append(t) or True))
-        decode_ms = time.monotonic() * 1000.0 - t0
+    def finish_chunk(self, w: ChunkWork, chunk_tokens: List[int],
+                     n_generated: int, decode_ms: float):
+        """History update, text parse, commit frontier, recovery / periodic
+        resets, live buffer trim, perf accounting."""
+        engine = self.engine
         engine.perf.decode_ms += decode_ms
         # mirrors qwen_asr.c:2011 exactly: max-length detection looks only at
         # n_generated (a chunk whose max_new-th token is EOS still counts)
-        hit_max = n_generated >= max_new
-        _monitor(engine, "▸" if (n_generated and decode_ms / n_generated > 30) else "▪")
+        hit_max = n_generated >= self.max_new
+        _monitor(engine,
+                 "▸" if (n_generated and decode_ms / n_generated > 30) else "▪")
 
         # ---- history update with repeat-run suppression ----------------
+        n_prefix_full = w.n_prefix_full
         dropped_repeats = 0
         if chunk_tokens:
-            prev_tok = raw_tokens[n_prefix_full - 1] if n_prefix_full > 0 else None
+            prev_tok = (self.raw_tokens[n_prefix_full - 1]
+                        if n_prefix_full > 0 else None)
             prev_run = 0
             if prev_tok is not None:
                 prev_run = 1
                 for j in range(n_prefix_full - 2, -1, -1):
-                    if raw_tokens[j] != prev_tok:
+                    if self.raw_tokens[j] != prev_tok:
                         break
                     prev_run += 1
                     if prev_run >= MAX_REPEAT_TOKEN_RUN:
@@ -357,23 +409,23 @@ def _stream_impl(engine, samples: Optional[np.ndarray], live) -> Optional[str]:
                     prev_run = 1
                 kept.append(t)
             chunk_tokens = kept
-        raw_tokens = raw_tokens[:n_prefix_full] + chunk_tokens
+        self.raw_tokens = self.raw_tokens[:n_prefix_full] + chunk_tokens
 
         # ---- text region parse -----------------------------------------
         text_start = 0
-        if not forced:
+        if not self.forced:
             try:
-                text_start = raw_tokens.index(TOKEN_ASR_TEXT) + 1
+                text_start = self.raw_tokens.index(TOKEN_ASR_TEXT) + 1
             except ValueError:
                 text_start = 0
-        candidate = raw_tokens[text_start:]
+        candidate = self.raw_tokens[text_start:]
         n_text = len(candidate)
 
         # ---- commit frontier -------------------------------------------
-        if is_final:
+        if w.is_final:
             candidate_len = n_text
-        elif chunk_idx >= unfixed_chunks:
-            candidate_len = n_text - rollback
+        elif self.chunk_idx >= self.unfixed_chunks:
+            candidate_len = n_text - self.rollback
             if candidate_len <= 0 and n_text > 0:
                 candidate_len = n_text - 1
             candidate_len = max(candidate_len, 0)
@@ -382,72 +434,115 @@ def _stream_impl(engine, samples: Optional[np.ndarray], live) -> Optional[str]:
 
         cand = candidate[:candidate_len]
         reps, period = tail_repeat_blocks(cand, DEGEN_MAX_PERIOD)
-        advance = candidate_len - len(stable_text)
-        if not is_final and hit_max and advance <= 1:
-            stagnant_chunks += 1
+        advance = candidate_len - len(self.stable_text)
+        if not w.is_final and hit_max and advance <= 1:
+            self.stagnant_chunks += 1
         else:
-            stagnant_chunks = 0
+            self.stagnant_chunks = 0
 
         recovery = (
             (period > 0 and reps >= DEGEN_MIN_REPEATS)
-            or stagnant_chunks >= STALE_CHUNKS
+            or self.stagnant_chunks >= STALE_CHUNKS
             or dropped_repeats >= 8
         )
         if recovery:
-            reanchor()
-            enc_cache.clear(full_end)
-            stagnant_chunks = 0
+            self._reanchor()
+            self.enc_cache.clear(w.full_end)
+            self.stagnant_chunks = 0
             _monitor(engine, "!")
             if engine.verbose >= 2:
                 print("  Recovery reset applied", file=sys.stderr, flush=True)
         else:
             lcp = 0
-            m = min(len(stable_text), candidate_len)
-            while lcp < m and stable_text[lcp] == cand[lcp]:
+            m = min(len(self.stable_text), candidate_len)
+            while lcp < m and self.stable_text[lcp] == cand[lcp]:
                 lcp += 1
             emit_start = lcp
-            if emit_start < candidate_len and emitted:
-                max_ov = min(candidate_len - emit_start, len(emitted), OVERLAP_MAX_TOKENS)
+            if emit_start < candidate_len and self.emitted:
+                max_ov = min(candidate_len - emit_start, len(self.emitted),
+                             OVERLAP_MAX_TOKENS)
                 for k in range(max_ov, OVERLAP_MIN_TOKENS - 1, -1):
-                    if emitted[len(emitted) - k :] == cand[emit_start : emit_start + k]:
+                    if (self.emitted[len(self.emitted) - k :]
+                            == cand[emit_start : emit_start + k]):
                         emit_start += k
                         break
             for i in range(emit_start, candidate_len):
                 t = cand[i]
-                piece = tok.decode_piece(t)
+                piece = self.tok.decode_piece(t)
                 if engine.token_cb:
                     engine.token_cb(piece)
-                result_pieces.append(piece)
-                emitted.append(t)
+                self.result_pieces.append(piece)
+                self.emitted.append(t)
                 engine.perf.text_tokens += 1
-            stable_text = list(cand)
+            self.stable_text = list(cand)
 
             periodic = (
-                not is_final
+                not w.is_final
                 and engine.past_text_conditioning
-                and chunk_idx >= unfixed_chunks
-                and (chunk_idx + 1) % RESET_INTERVAL_CHUNKS == 0
+                and self.chunk_idx >= self.unfixed_chunks
+                and (self.chunk_idx + 1) % RESET_INTERVAL_CHUNKS == 0
             )
             if periodic:
-                reanchor()
-                enc_cache.clear(full_end)
+                self._reanchor()
+                self.enc_cache.clear(w.full_end)
                 if engine.verbose >= 2:
                     print("  Periodic reset applied", file=sys.stderr, flush=True)
 
         # live mode: drop consumed samples before full_end
-        if live is not None and use_enc_cache and full_end > local_base:
-            drop = min(full_end - local_base, len(local))
+        if (self.live is not None and self.use_enc_cache
+                and w.full_end > self.local_base):
+            drop = min(w.full_end - self.local_base, len(self.local))
             if drop > 0:
-                local = local[drop:]
-                local_base += drop
-                total_samples = local_base + len(local)
+                self.local = self.local[drop:]
+                self.local_base += drop
+                self.total_samples = self.local_base + len(self.local)
 
-        engine.perf.total_ms += time.monotonic() * 1000.0 - chunk_t0
-        chunk_idx += 1
+        engine.perf.total_ms += time.monotonic() * 1000.0 - w.t0
+        self.chunk_idx += 1
 
-    if engine.verbose >= 2 and prefill_total > 0:
-        pct = 100.0 * prefill_reused / prefill_total
-        print(f"  Prefill reuse: {prefill_reused}/{prefill_total} tokens ({pct:.1f}%)",
-              file=sys.stderr, flush=True)
+    def finalize(self) -> str:
+        engine = self.engine
+        if engine.verbose >= 2 and self.prefill_total > 0:
+            pct = 100.0 * self.prefill_reused / self.prefill_total
+            print(f"  Prefill reuse: {self.prefill_reused}/{self.prefill_total} "
+                  f"tokens ({pct:.1f}%)", file=sys.stderr, flush=True)
+        return (b"".join(self.result_pieces)
+                .decode("utf-8", errors="replace").strip())
 
-    return b"".join(result_pieces).decode("utf-8", errors="replace").strip()
+
+def run_solo_chunk(state: StreamState, w: ChunkWork):
+    """The solo prefill+decode middle: single-sequence KV-reuse prefill +
+    device-chunked greedy decode on the session's own engine view."""
+    engine = state.engine
+    t0 = time.monotonic() * 1000.0
+    first, total_len = engine.prefill_with_reuse(
+        w.ids, w.audio_block, w.audio_start, w.enc_seq_len, w.reused)
+    state.note_prefill(w, total_len, time.monotonic() * 1000.0 - t0)
+
+    t0 = time.monotonic() * 1000.0
+    chunk_tokens: List[int] = []
+    n_generated = engine.decode_greedy(
+        first, total_len, state.max_new,
+        lambda t: (chunk_tokens.append(t) or True))
+    decode_ms = time.monotonic() * 1000.0 - t0
+    state.finish_chunk(w, chunk_tokens, n_generated, decode_ms)
+
+
+def _stream_impl(engine, samples: Optional[np.ndarray], live) -> Optional[str]:
+    # --silent + preloaded file: one full-context refinement pass
+    if engine.token_cb is None and live is None:
+        engine.perf.reset()
+        engine.prepare_prompt()
+        if engine.skip_silence:
+            samples = compact_silence(samples, engine.verbose)
+        engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
+        text, _ = engine.transcribe_segment(samples)
+        return text
+
+    state = StreamState(engine, samples, live)
+    while state.active():
+        w = state.begin_chunk()
+        if w is None:
+            continue
+        run_solo_chunk(state, w)
+    return state.finalize()
