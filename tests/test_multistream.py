@@ -50,6 +50,49 @@ def test_concurrent_streams_match_solo(ms_engine):
         assert joined == t
 
 
+def test_batched_streams_match_solo_n8_conditioned(ms_engine):
+    """Phase-2 contract: 8 concurrent sessions with prefix conditioning ON
+    (rollback prompts differ per chunk), mixed durations (sessions drop out
+    of the batch at different rounds -> pad rows + batch re-bucketing) —
+    every session's output must EXACTLY equal its solo run."""
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    rng = np.random.default_rng(5)
+    clips = []
+    for i in range(8):
+        n = 3 + (i % 4)  # 3..6 s -> 2..3 chunks, staggered completion
+        t = np.arange(n * 16000) / 16000.0
+        sig = (0.25 * np.sin(2 * np.pi * (120 + 40 * i) * t)
+               * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t))
+               + 0.02 * rng.standard_normal(len(t)))
+        clips.append(sig.astype(np.float32))
+
+    ms_engine.past_text_conditioning = True
+    try:
+        solo = []
+        for c in clips:
+            s = ms.clone_session(ms_engine)
+            s.token_cb = lambda piece: None
+            solo.append(stream_mod.transcribe_stream(s, c))
+
+        texts = ms.run_streams_batched(ms_engine, clips)
+    finally:
+        ms_engine.past_text_conditioning = False
+    assert texts == solo
+
+
+def test_batched_equals_threaded(ms_engine, monkeypatch):
+    """Force the threaded path and compare with the batched coordinator."""
+    from smolvision_tpu.runtime import multistream as ms
+
+    clips = _clips()
+    batched = ms.run_streams_batched(ms_engine, clips)
+    monkeypatch.setenv("SMOLVISION_BATCH_STREAMS", "0")
+    threaded = ms.run_streams(ms_engine, clips)
+    assert batched == threaded
+
+
 def test_session_isolation(ms_engine):
     """A session's KV growth/callbacks must not leak into the parent."""
     from smolvision_tpu.runtime import multistream as ms
