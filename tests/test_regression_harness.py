@@ -69,3 +69,25 @@ def test_harness_runs_against_tiny_model(tiny_model_dir, speech_like_audio, tmp_
         capture_output=True, env=env, timeout=900, cwd=REPO)
     assert check.returncode == 0, check.stdout.decode() + check.stderr.decode()
     assert b"ALL PASS" in check.stdout
+
+
+@pytest.mark.slow
+def test_thinker_harness_text_cases_tiny_model(tiny_model_dir):
+    """The thinker case table runs end-to-end against the tiny synthetic
+    checkpoint: text-category cases in --lenient mode (synthetic weights
+    can't pass keyword checks; plumbing, rc, max-length bounds, and the
+    greedy-determinism check must all hold)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SMOLVISION_PLATFORM"] = "cpu"
+    binary = f"{sys.executable} -m smolvision_tpu.cli"
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "thinker_regression.py"),
+         "-d", tiny_model_dir, "--binary", binary,
+         "--category", "text", "--lenient"],
+        capture_output=True, env=env, timeout=1800, cwd=REPO)
+    assert r.returncode == 0, r.stdout.decode() + r.stderr.decode()
+    assert b"ALL PASS" in r.stdout
+    # all five text cases ran
+    assert r.stdout.count(b"PASS [text]") == 5
