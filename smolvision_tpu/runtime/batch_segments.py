@@ -295,10 +295,87 @@ def _encode_batch_device_mel(engine, segments: Sequence[np.ndarray]):
                             full_counts, partial_rows, partial_blocks)
 
 
+def _estimate_prompt_len(cfg, n_samples: int, overhead: int) -> int:
+    """Predict a segment's prompt length from its sample count (exact enough
+    for bucketing: mel frames -> conv token count -> + prompt overhead)."""
+    from smolvision_tpu.config import HOP_LENGTH, conv_out_width
+
+    frames = max(n_samples // HOP_LENGTH, 1)
+    chunk = cfg.enc_chunk_size
+    n_full = frames // chunk
+    rem = frames % chunk
+    tokens = n_full * cfg.tokens_per_chunk
+    if rem:
+        tokens += conv_out_width(conv_out_width(conv_out_width(rem)))
+    return tokens + overhead
+
+
+def _length_groups(engine, segments: Sequence[np.ndarray]) -> List[List[int]]:
+    """Partition segment indices into length-sorted sub-batches.
+
+    Mixed-duration batches pay B x (tcap_max - tcap_i) wasted prefill rows
+    per short segment; splitting pays one extra dispatch + possible compile
+    per group.  DP over length-sorted segments minimizes
+        sum_g (B_g * tcap_g + OVERHEAD)
+    with OVERHEAD (token-rows, SMOLVISION_SUBBATCH_OVERHEAD, default 8192)
+    standing in for the fixed per-group cost.  One group in == unchanged
+    behavior; rows are independent, so any grouping is token-exact.
+    """
+    import os
+
+    cfg = engine.cfg
+    ids, _ = prompt_mod.build_asr_prompt(
+        cfg, 16, engine._prompt_tokens, engine._force_tokens, None)
+    overhead_tok = len(ids) - 16
+
+    n = len(segments)
+    est = [(bucket128(_estimate_prompt_len(cfg, len(s), overhead_tok)), i)
+           for i, s in enumerate(segments)]
+    est.sort()
+    caps = [c for c, _ in est]
+    if caps[0] == caps[-1]:
+        return [list(range(n))]
+
+    OVERHEAD = int(os.environ.get("SMOLVISION_SUBBATCH_OVERHEAD", "8192"))
+    # dp[i]: min cost of grouping the first i sorted segments
+    dp = [0.0] + [float("inf")] * n
+    cut = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(i):
+            c = dp[j] + (i - j) * caps[i - 1] + OVERHEAD
+            if c < dp[i]:
+                dp[i] = c
+                cut[i] = j
+    groups = []
+    i = n
+    while i > 0:
+        j = cut[i]
+        groups.append([est[k][1] for k in range(j, i)])
+        i = j
+    groups.reverse()
+    return groups
+
+
 def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
                                 mesh=None) -> List[str]:
-    """Transcribe independent audio segments as one batch.  Returns texts in
-    order.  Uses engine.max_tokens as the per-segment decode cap."""
+    """Transcribe independent audio segments batched, in length-sorted
+    sub-batches when durations are mixed (short clips don't pay long clips'
+    prompt padding).  Returns texts in input order.  Uses engine.max_tokens
+    as the per-segment decode cap."""
+    groups = _length_groups(engine, segments)
+    if len(groups) == 1:
+        return _transcribe_segment_group(engine, segments, mesh)
+    texts: List[Optional[str]] = [None] * len(segments)
+    for idxs in groups:
+        out = _transcribe_segment_group(engine, [segments[i] for i in idxs], mesh)
+        for i, t in zip(idxs, out):
+            texts[i] = t
+    return texts  # type: ignore[return-value]
+
+
+def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
+                              mesh=None) -> List[str]:
+    """One batched transcription of segments sharing a prompt bucket."""
     import os
     import sys
     import time as _time

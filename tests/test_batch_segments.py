@@ -137,3 +137,42 @@ def test_batched_decode_chunk_contract(seg_engine):
         eng.dec_params, cfg, toks_eos, jnp.int32(16), kv, cap, z, z)
     assert int(count2) == 0
     np.testing.assert_array_equal(np.asarray(last2), np.asarray(toks_eos))
+
+
+def test_length_sorted_subbatches_match_sequential(seg_engine, monkeypatch):
+    """Mixed-duration batches split into length-sorted sub-batches; outputs
+    must stay token-identical to the sequential engine and input-ordered."""
+    import numpy as np
+
+    from smolvision_tpu.runtime import batch_segments as bs
+
+    eng = seg_engine
+    rng = np.random.default_rng(9)
+    # strongly mixed durations: 1 s vs 16 s prompts land in different
+    # 128-buckets; tiny OVERHEAD forces the DP to split
+    segs = [
+        (rng.standard_normal(16000) * 0.2).astype(np.float32),
+        (rng.standard_normal(16 * 16000) * 0.2).astype(np.float32),
+        (rng.standard_normal(16000) * 0.2).astype(np.float32),
+        (rng.standard_normal(16 * 16000) * 0.2).astype(np.float32),
+    ]
+    monkeypatch.setenv("SMOLVISION_SUBBATCH_OVERHEAD", "1")
+    groups = bs._length_groups(eng, segs)
+    assert len(groups) == 2
+    assert sorted(sum(groups, [])) == [0, 1, 2, 3]
+
+    texts = bs.transcribe_segments_batched(eng, segs)
+    for seg, text in zip(segs, texts):
+        ref, _ = eng.transcribe_segment(seg)
+        assert text == ref
+
+
+def test_same_length_segments_stay_one_group(seg_engine):
+    import numpy as np
+
+    from smolvision_tpu.runtime import batch_segments as bs
+
+    rng = np.random.default_rng(10)
+    segs = [(rng.standard_normal(16000) * 0.2).astype(np.float32)
+            for _ in range(4)]
+    assert bs._length_groups(seg_engine, segs) == [[0, 1, 2, 3]]

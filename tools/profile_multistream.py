@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Multi-stream streaming throughput: batched coordinator vs thread-per-session.
+
+Measures, on the real TPU with the synthetic 0.6B checkpoint, N=8 concurrent
+45 s streaming sessions (the VERDICT r1 'phase 2' target: aggregate
+streaming throughput scaling >= 4x over phase 1):
+  * phase 1 (threaded): SMOLVISION_BATCH_STREAMS=0, one host thread per
+    session — dispatch-serialized singles,
+  * phase 2 (batched): shared-clock rounds, one batched prefill + decode
+    dispatch per round for all sessions.
+
+Inputs vary per repetition (the axon tunnel memoizes identical dispatches).
+Run alone — never alongside another jax process.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".bench_cache", "jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+
+from smolvision_tpu.io.wav import load_wav
+from smolvision_tpu.runtime import multistream as ms
+from smolvision_tpu.runtime.engine import Engine
+
+BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-synthetic")
+CLIP = "/root/reference/samples/night_of_the_living_dead_1968/45s_dont_be_afraid_of_me.wav"
+N = 8
+REPS = 2
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    log(f"backend={jax.default_backend()}")
+    eng = Engine(BENCH_DIR, verbose=0)
+    eng.past_text_conditioning = True
+    base = load_wav(CLIP)
+    audio_s = len(base) / 16000.0
+    rng = np.random.default_rng(0)
+
+    def clips():
+        return [base + rng.normal(0, 1e-4, len(base)).astype(np.float32)
+                for _ in range(N)]
+
+    results = {}
+    for mode, env in (("batched", None), ("threaded", "0")):
+        if env is None:
+            os.environ.pop("SMOLVISION_BATCH_STREAMS", None)
+        else:
+            os.environ["SMOLVISION_BATCH_STREAMS"] = env
+        ms.run_streams(eng, clips())  # warmup (compiles)
+        best = float("inf")
+        for _ in range(REPS):
+            cs = clips()
+            t0 = time.monotonic()
+            ms.run_streams(eng, cs)
+            best = min(best, time.monotonic() - t0)
+        tput = N * audio_s / best
+        results[mode] = tput
+        log(f"{mode:9s}: {best:6.1f} s for {N} x {audio_s:.0f} s "
+            f"-> {tput:6.1f} s-speech/s ({tput / audio_s:.1f} streams realtime)")
+    os.environ.pop("SMOLVISION_BATCH_STREAMS", None)
+    log(f"scaling batched/threaded: {results['batched'] / results['threaded']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
