@@ -99,10 +99,14 @@ def main() -> int:
 
     import jax
 
-    # persistent compile cache: first-bucket compiles survive across runs
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".bench_cache", "jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persistent compile cache: CPU only — on the axon TPU backend a
+    # deserialized executable recompiles server-side on first EXECUTION,
+    # ~5x slower than a fresh compile (tools/probe_cache_load.py), so cache
+    # hits made repeat bench runs slower, not faster
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".bench_cache", "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
 

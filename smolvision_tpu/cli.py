@@ -87,8 +87,16 @@ def main(argv=None) -> int:
     if platform:
         jax.config.update("jax_platforms", platform)
 
-    cache_dir = os.environ.get("SMOLVISION_COMPILE_CACHE",
-                               os.path.expanduser("~/.cache/smolvision_jax"))
+    # Persistent compile cache: CPU-only by default.  On the axon TPU
+    # backend a deserialized executable defers server-side compilation to
+    # its FIRST EXECUTION, and that path is ~5x slower than a fresh compile
+    # (measured: 14.8 s vs 3.1 s for a decoder-shaped program,
+    # tools/probe_cache_load.py) — cache "hits" made warm CLI starts 2-4x
+    # SLOWER than cold ones.  An explicit SMOLVISION_COMPILE_CACHE=<dir>
+    # overrides the gating for experiments.
+    cache_dir = os.environ.get("SMOLVISION_COMPILE_CACHE")
+    if cache_dir is None and jax.default_backend() == "cpu":
+        cache_dir = os.path.expanduser("~/.cache/smolvision_jax")
     if cache_dir and cache_dir != "0":
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

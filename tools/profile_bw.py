@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO, ".bench_cache", "jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if jax.default_backend() == "cpu":  # axon deserialized-exec first-run is ~5x a fresh compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".bench_cache", "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 ITERS = 32
 

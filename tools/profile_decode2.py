@@ -27,9 +27,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO, ".bench_cache", "jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if jax.default_backend() == "cpu":  # axon deserialized-exec first-run is ~5x a fresh compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".bench_cache", "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from smolvision_tpu.models import qwen3_decoder as dec_mod
 from smolvision_tpu.runtime.engine import Engine
