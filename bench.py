@@ -197,6 +197,35 @@ def main() -> int:
             "vs_baseline": round(rtf / BASE_SEGMENTED, 2),
         })
 
+    # ---- offline with int8 decoder weights (--q8) -----------------------
+    # Outside the bf16 token-parity contract (ops/quant.py): reported as an
+    # extra line; the bf16 headline stays last.
+    if want("offline_q8"):
+        samples = load_wav(JFK)
+        audio_s = len(samples) / 16000.0
+        eng_q8 = Engine(model_dir, verbose=0, q8=True)
+        eng_q8.max_tokens = MAX_TOKENS
+        eng_q8.segment_sec = 0.0
+        t0 = time.monotonic()
+        segment_mod.transcribe_audio(eng_q8, _perturb(samples, rng))
+        log(f"bench: offline-q8 warmup {time.monotonic() - t0:.1f} s")
+        best_ms = float("inf")
+        for i in range(RUNS + 2):
+            segment_mod.transcribe_audio(eng_q8, _perturb(samples, rng))
+            ms = eng_q8.perf.total_ms
+            log(f"bench: offline-q8 run {i + 1}: {ms:.0f} ms "
+                f"(mel+enc {eng_q8.perf.encode_ms:.0f}, dec {eng_q8.perf.decode_ms:.0f})")
+            best_ms = min(best_ms, ms)
+        del eng_q8
+        rtf = audio_s / (best_ms / 1000.0)
+        results.append({
+            "metric": "jfk.wav offline realtime factor, int8 decoder weights "
+                      "(Qwen3-ASR-0.6B geometry, -S 0, --q8)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_OFFLINE, 2),
+        })
+
     # ---- offline headline: jfk.wav, -S 0 -------------------------------
     if want("offline"):
         samples = load_wav(JFK)

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--monitor", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--silent", action="store_true")
+    p.add_argument("--q8", action="store_true",
+                   help="int8 decoder weights: ~1.7x decode speed, small "
+                        "accuracy trade (outside the bf16 parity contract); "
+                        "also SMOLVISION_Q8=1")
     p.add_argument("--f32", action="store_true",
                    help="load weights in float32 (parity debugging; slower)")
     p.add_argument("--no-batch-segments", action="store_true",
@@ -114,6 +118,7 @@ def main(argv=None) -> int:
             param_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
             enc_window_sec=args.enc_window_sec if args.enc_window_sec >= 0 else None,
             verbose=verbosity,
+            q8=args.q8 or os.environ.get("SMOLVISION_Q8", "") == "1",
         )
     except Exception as e:
         # mirror the reference's one-line load failure (main.c:292-296)

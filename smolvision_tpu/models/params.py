@@ -197,3 +197,29 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str
         "final_norm": _put(np.asarray(reader.get(p + ".norm.weight")), f32),
         "lm_head": lm_head,
     }
+
+
+def quantize_decoder(params: Dict[str, Any], experts: bool = True) -> Dict[str, Any]:
+    """Opt-in (--q8) int8 quantization of the decoder's big matrices.
+
+    Quantizes wqkv/wo/w_gate_up/w_down, embed/lm_head (shared when tied —
+    ONE int8 copy serves both the gather and the matvec) and, when
+    `experts`, the MoE expert stacks.  Norms, biases and the router stay
+    f32; the KV cache is untouched.  See ops/quant.py for the numerics.
+    """
+    from smolvision_tpu.ops.quant import quantize_weight
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in ("wqkv", "wo", "w_gate_up", "w_down"):
+        if layers.get(k) is not None:
+            layers[k] = quantize_weight(layers[k])
+    if experts:
+        for k in ("e_gate", "e_up", "e_down"):
+            if layers.get(k) is not None:
+                layers[k] = quantize_weight(layers[k])
+    out["layers"] = layers
+    tied = params["lm_head"] is params["embed"]
+    out["embed"] = quantize_weight(params["embed"])
+    out["lm_head"] = out["embed"] if tied else quantize_weight(params["lm_head"])
+    return out

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from smolvision_tpu.config import ModelConfig
 from smolvision_tpu.ops.common import apply_rope_neox, rms_norm, rope_tables, silu
+from smolvision_tpu.ops.quant import QuantW, embed_rows, proj, qtake, wdtype
 
 
 # Kcap at which the Pallas decode-attention kernel (live-context block
@@ -50,7 +51,7 @@ def build_embeds(params, ids, audio, audio_start, audio_len):
     audio_start+audio_len, else embed[ids[i]].  This is the "replacement"
     splice of MODEL.md:336-349 as one gather + select.
     """
-    emb = params["embed"][ids].astype(jnp.float32)  # [Tcap, H]
+    emb = embed_rows(params["embed"], ids)  # [Tcap, H] f32
     Tcap = ids.shape[0]
     pos = jnp.arange(Tcap)
     rel = pos - audio_start
@@ -109,14 +110,21 @@ def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig, valid):
 
     disp = jnp.zeros((E, C, H), xc.dtype).at[flat_e, scat_pos].add(
         xc[tok_of], mode="drop")
-    wdt = lp["e_gate"].dtype
-    gate = jnp.einsum("ech,eih->eci", disp, lp["e_gate"],
-                      preferred_element_type=jnp.float32)
-    up = jnp.einsum("ech,eih->eci", disp, lp["e_up"],
-                    preferred_element_type=jnp.float32)
+    wdt = wdtype(lp["e_gate"])
+
+    def _emm(eq, x, w):
+        # capacity-dispatch einsums put the scale axes [E, O] around a
+        # middle C axis, so trailing-broadcast proj() does not apply
+        if isinstance(w, QuantW):
+            y = jnp.einsum(eq, x.astype(jnp.bfloat16), w.q.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            return y * w.s[:, None, :]
+        return jnp.einsum(eq, x, w, preferred_element_type=jnp.float32)
+
+    gate = _emm("ech,eih->eci", disp, lp["e_gate"])
+    up = _emm("ech,eih->eci", disp, lp["e_up"])
     act = (silu(gate) * up).astype(wdt)
-    down = jnp.einsum("eci,ehi->ech", act, lp["e_down"],
-                      preferred_element_type=jnp.float32)     # [E, C, H] f32
+    down = _emm("eci,ehi->ech", act, lp["e_down"])            # [E, C, H] f32
     gathered = down[flat_e, jnp.minimum(scat_pos, C - 1)]     # [TK, H]
     gathered = jnp.where(keep[:, None], gathered, 0.0)
     out = jnp.sum(gathered.reshape(T, K, H) * top_w[..., None], axis=1)
@@ -128,12 +136,12 @@ def _moe_dense(xc, lp, top_idx, top_w, cfg: ModelConfig):
     block — bandwidth-optimal when T >= E/K, and the exact fallback when
     capacity dispatch would drop."""
     E = cfg.num_experts
-    wdt = lp["e_gate"].dtype
+    wdt = wdtype(lp["e_gate"])
     route = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=jnp.float32) * top_w[..., None], axis=1)  # [T, E]
-    gate = jnp.einsum("th,eih->tei", xc, lp["e_gate"], preferred_element_type=jnp.float32)
-    up = jnp.einsum("th,eih->tei", xc, lp["e_up"], preferred_element_type=jnp.float32)
+    gate = proj("th,eih->tei", xc, lp["e_gate"])
+    up = proj("th,eih->tei", xc, lp["e_up"])
     act = (silu(gate) * up).astype(wdt)
-    down = jnp.einsum("tei,ehi->teh", act, lp["e_down"], preferred_element_type=jnp.float32)
+    down = proj("tei,ehi->teh", act, lp["e_down"])
     return jnp.einsum("te,teh->th", route, down)
 
 
@@ -155,20 +163,20 @@ def _moe_ffn(x, lp, cfg: ModelConfig, valid=None):
     if cfg.norm_topk_prob:
         top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
 
-    wdt = lp["e_gate"].dtype
+    wdt = wdtype(lp["e_gate"])
     xc = x.astype(wdt)
 
     if T <= 4:
         # Decode path: GATHER only the selected experts' weights — the dense
         # one-hot path below reads all E experts (~16x the bytes at top-8 of
         # 128).  Gather cost: T*K expert blocks per matrix.
-        g_w = lp["e_gate"][top_idx]                      # [T, K, MI, H]
-        u_w = lp["e_up"][top_idx]
-        d_w = lp["e_down"][top_idx]                      # [T, K, H, MI]
-        gate = jnp.einsum("th,tkih->tki", xc, g_w, preferred_element_type=jnp.float32)
-        up = jnp.einsum("th,tkih->tki", xc, u_w, preferred_element_type=jnp.float32)
+        g_w = qtake(lp["e_gate"], top_idx)               # [T, K, MI, H]
+        u_w = qtake(lp["e_up"], top_idx)
+        d_w = qtake(lp["e_down"], top_idx)               # [T, K, H, MI]
+        gate = proj("th,tkih->tki", xc, g_w)
+        up = proj("th,tkih->tki", xc, u_w)
         act = (silu(gate) * up).astype(wdt)
-        down = jnp.einsum("tki,tkhi->tkh", act, d_w, preferred_element_type=jnp.float32)
+        down = proj("tki,tkhi->tkh", act, d_w)
         return jnp.einsum("tk,tkh->th", top_w, down)
 
     if E >= MOE_DISPATCH_MIN_EXPERTS:
@@ -318,7 +326,7 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     positions = rope_start + jnp.arange(Tcap)
     kv_valid_len = start_pos + valid_len
     cos, sin = rope_tables(positions, D, cfg.rope_theta)
-    wdt = params["layers"]["wqkv"].dtype
+    wdt = wdtype(params["layers"]["wqkv"])
     kv_dt = kv.dtype
 
     # Attention strategy (both write the cache without traced-index updates):
@@ -356,7 +364,7 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
         lp, kv_layer = xs
         xn = rms_norm(h, lp["input_ln"], eps)
         xc = xn.astype(wdt)
-        qkv = jnp.einsum("th,oh->to", xc, lp["wqkv"], preferred_element_type=jnp.float32)
+        qkv = proj("th,oh->to", xc, lp["wqkv"])
         if lp.get("bqkv") is not None:
             qkv = qkv + lp["bqkv"]
         q, k, v = _split_qkv(qkv, tp, q_dim, kv_dim, H, KH, D)
@@ -385,19 +393,17 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
                                        start_pos, cfg, kv_min=kv_min)
             out_kv = (k.astype(kv_dt), v.astype(kv_dt))
         attn = attn.reshape(Tcap, H * D)
-        h = h + jnp.einsum("ta,oa->to", attn.astype(wdt), lp["wo"],
-                           preferred_element_type=jnp.float32)
+        h = h + proj("ta,oa->to", attn.astype(wdt), lp["wo"])
 
         xn = rms_norm(h, lp["post_ln"], eps)
         if lp.get("router") is not None:
             ffn = _moe_ffn(xn, lp, cfg, valid=row_valid)
         else:
             xc2 = xn.astype(wdt)
-            gate_up = jnp.einsum("th,ih->ti", xc2, lp["w_gate_up"],
-                                 preferred_element_type=jnp.float32)
+            gate_up = proj("th,ih->ti", xc2, lp["w_gate_up"])
             gate, up = _split_gate_up(gate_up, tp)
             act = (silu(gate) * up).astype(wdt)
-            ffn = jnp.einsum("ti,hi->th", act, lp["w_down"], preferred_element_type=jnp.float32)
+            ffn = proj("ti,hi->th", act, lp["w_down"])
         h = h + ffn
         return h, out_kv
 
@@ -510,7 +516,7 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
     eps = cfg.rms_norm_eps
     positions = rope_start[:, None] + jnp.arange(Tcap)[None, :]   # [B, T]
     cos, sin = rope_tables(positions, D, cfg.rope_theta)
-    wdt = params["layers"]["wqkv"].dtype
+    wdt = wdtype(params["layers"]["wqkv"])
     kv_dt = kv.dtype
 
     from smolvision_tpu.kernels import pallas_forced, use_pallas
@@ -535,8 +541,7 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
         lp, kv_layer = xs            # kv_layer [2, B, KH, K, D]
         xn = rms_norm(h, lp["input_ln"], eps)
         xc = xn.astype(wdt)
-        qkv = jnp.einsum("bth,oh->bto", xc, lp["wqkv"],
-                         preferred_element_type=jnp.float32)
+        qkv = proj("bth,oh->bto", xc, lp["wqkv"])
         if lp.get("bqkv") is not None:
             qkv = qkv + lp["bqkv"]
         q, k, v = _split_qkv(qkv, tp, q_dim, kv_dim, H, KH, D)
@@ -553,8 +558,7 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
             attn = _batched_attention_two_part(
                 q, k, v, kv_layer[0], kv_layer[1], start_pos, cfg, kv_min)
         attn = attn.reshape(B, Tcap, H * D)
-        h = h + jnp.einsum("bta,oa->bto", attn.astype(wdt), lp["wo"],
-                           preferred_element_type=jnp.float32)
+        h = h + proj("bta,oa->bto", attn.astype(wdt), lp["wo"])
 
         xn = rms_norm(h, lp["post_ln"], eps)
         if lp.get("router") is not None:
@@ -562,12 +566,10 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
                            valid=row_valid).reshape(B, Tcap, Hdim)
         else:
             xc2 = xn.astype(wdt)
-            gate_up = jnp.einsum("bth,ih->bti", xc2, lp["w_gate_up"],
-                                 preferred_element_type=jnp.float32)
+            gate_up = proj("bth,ih->bti", xc2, lp["w_gate_up"])
             gate, up = _split_gate_up(gate_up, tp)
             act = (silu(gate) * up).astype(wdt)
-            ffn = jnp.einsum("bti,hi->bth", act, lp["w_down"],
-                             preferred_element_type=jnp.float32)
+            ffn = proj("bti,hi->bth", act, lp["w_down"])
         h = h + ffn
         # fresh rows in cache layout [B, KH, T, D]
         out_kv = (jnp.transpose(k, (0, 2, 1, 3)).astype(kv_dt),
@@ -586,9 +588,8 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
 def batched_logits(params, cfg: ModelConfig, hidden_rows):
     """Final RMSNorm + lm_head for one row per batch element [B, H] -> [B, V]."""
     h = rms_norm(hidden_rows, params["final_norm"], cfg.rms_norm_eps)
-    wdt = params["lm_head"].dtype
-    return jnp.einsum("bh,vh->bv", h.astype(wdt), params["lm_head"],
-                      preferred_element_type=jnp.float32)
+    wdt = wdtype(params["lm_head"])
+    return proj("bh,vh->bv", h.astype(wdt), params["lm_head"])
 
 
 def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
@@ -634,7 +635,7 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
     def body(c):
         i, toks, kv_, buf_, done = c
         p = pos + i
-        embeds = params["embed"][toks][:, None, :].astype(jnp.float32)
+        embeds = embed_rows(params["embed"], toks)[:, None, :]
         hidden, kv_ = batched_decoder_forward(
             params, cfg, embeds, p, kv_, p - rope_offset, kv_min, tp=tp)
         logits = batched_logits(params, cfg, hidden[:, 0])
@@ -652,9 +653,8 @@ def logits_at(params, cfg: ModelConfig, hidden, row):
     """Final RMSNorm + lm_head logits for one row of the hidden states."""
     h = jax.lax.dynamic_index_in_dim(hidden, row, axis=0, keepdims=False)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    wdt = params["lm_head"].dtype
-    return jnp.einsum("h,vh->v", h.astype(wdt), params["lm_head"],
-                      preferred_element_type=jnp.float32)
+    wdt = wdtype(params["lm_head"])
+    return proj("h,vh->v", h.astype(wdt), params["lm_head"])
 
 
 def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
@@ -673,7 +673,7 @@ def decode_step(params, cfg: ModelConfig, token, pos, kv,
                 greedy: bool = True, rope_start=None, kv_min=None,
                 tp: int = 1) -> Tuple[Any, Any]:
     """One autoregressive step writing cache row `pos` (scalar int32)."""
-    embed = params["embed"][token][None].astype(jnp.float32)  # [1, H]
+    embed = embed_rows(params["embed"], token)[None]  # [1, H] f32
     hidden, kv = decoder_forward(params, cfg, embed, pos, jnp.int32(1), kv,
                                  rope_start=rope_start, kv_min=kv_min, tp=tp)
     logits = logits_at(params, cfg, hidden, jnp.int32(0))

@@ -73,7 +73,7 @@ class Engine:
 
     def __init__(self, model_dir: str, param_dtype=jnp.bfloat16,
                  kv_dtype=jnp.bfloat16, enc_window_sec: Optional[float] = None,
-                 verbose: int = 0):
+                 verbose: int = 0, q8: bool = False):
         self.model_dir = model_dir
         self.verbose = verbose
         self.reader = MultiSafetensors(model_dir)
@@ -94,6 +94,15 @@ class Engine:
         else:
             self.enc_params = params_mod.load_qwen3_encoder(self.reader, cfg, param_dtype)
         self.dec_params = params_mod.load_decoder(self.reader, cfg, param_dtype)
+        self.q8 = bool(q8)
+        if self.q8:
+            # int8 decoder weights (--q8): ~1.7x decode bandwidth for bounded
+            # quantization noise — OUTSIDE the bf16 token-parity contract
+            # (ops/quant.py).  Encoder stays bf16 (it is ~8% of the time).
+            self.dec_params = params_mod.quantize_decoder(self.dec_params)
+            if verbose >= 1:
+                print("int8 decoder weights active (--q8): output may differ "
+                      "from the bf16 parity path", file=sys.stderr, flush=True)
 
         # ---- generation settings (defaults mirror qwen_asr.c:257-272) ----
         self.segment_sec = 0.0
