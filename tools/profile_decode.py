@@ -31,6 +31,7 @@ if jax.default_backend() == "cpu":  # axon deserialized-exec first-run is ~5x a 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from smolvision_tpu.models import qwen3_decoder as dec_mod
+from smolvision_tpu.ops.quant import embed_rows, proj, wdtype
 from smolvision_tpu.runtime.engine import Engine
 
 BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-synthetic")
@@ -80,7 +81,7 @@ def timed_loop(name, step_fn, kv, params, cfg, extra_state=None):
 
 def main():
     log(f"backend={jax.default_backend()}")
-    eng = Engine(BENCH_DIR, verbose=0)
+    eng = Engine(BENCH_DIR, verbose=0, q8=os.environ.get("SMOLVISION_Q8") == "1")
     cfg = eng.cfg
     params = eng.dec_params
     log(f"model: {cfg.name} layers={cfg.dec_layers} hidden={cfg.dec_hidden} "
@@ -88,13 +89,14 @@ def main():
 
     # bf16 bytes touched per step
     lp = params["layers"]
+    wbytes = 1 if os.environ.get("SMOLVISION_Q8") == "1" else 2
     per_layer = sum(int(np.prod(lp[k].shape[1:])) for k in
                     ("wqkv", "wo", "w_gate_up", "w_down") if lp.get(k) is not None)
     lm = int(np.prod(params["lm_head"].shape))
     tot = per_layer * cfg.dec_layers + lm
-    log(f"weights/step: layers {per_layer * cfg.dec_layers * 2 / 1e9:.2f} GB + "
-        f"lm_head {lm * 2 / 1e9:.2f} GB = {tot * 2 / 1e9:.2f} GB "
-        f"-> SoL ~{tot * 2 / 819e6:.2f} ms/step @819GB/s")
+    log(f"weights/step: layers {per_layer * cfg.dec_layers * wbytes / 1e9:.2f} GB + "
+        f"lm_head {lm * wbytes / 1e9:.2f} GB = {tot * wbytes / 1e9:.2f} GB "
+        f"-> SoL ~{tot * wbytes / 819e6:.2f} ms/step @819GB/s")
 
     kv = dec_mod.make_kv_cache(cfg, KCAP, jnp.bfloat16)
 
@@ -106,7 +108,7 @@ def main():
 
     # 2. no lm_head: feed hidden sum back as a token surrogate
     def no_lm(p, t, pos, kv):
-        embed = p["embed"][t][None].astype(jnp.float32)
+        embed = embed_rows(p["embed"], t)[None]
         hidden, kv = dec_mod.decoder_forward(p, cfg, embed, pos, jnp.int32(1), kv)
         return (jnp.sum(hidden) > 0).astype(jnp.int32) + t, kv
 
@@ -114,30 +116,25 @@ def main():
 
     # 3. lm_head only
     def lm_only(p, t, pos, kv):
-        h = p["embed"][t].astype(jnp.float32)
-        logits = jnp.einsum("h,vh->v", h.astype(p["lm_head"].dtype), p["lm_head"],
-                            preferred_element_type=jnp.float32)
+        h = embed_rows(p["embed"], t)
+        logits = proj("h,vh->v", h.astype(wdtype(p["lm_head"])), p["lm_head"])
         return jnp.argmax(logits).astype(jnp.int32), kv
 
     kv = timed_loop("lm_head argmax only", lm_only, kv, params, cfg)
 
     # 4. matvec chain only (no attention/norm/rope): qkv, o, gate_up, down
     def mv_only(p, t, pos, kv):
-        h = p["embed"][t][None].astype(jnp.float32)
+        h = embed_rows(p["embed"], t)[None]
 
         def layer(h, lp):
-            wdt = lp["wqkv"].dtype
-            qkv = jnp.einsum("th,oh->to", h.astype(wdt), lp["wqkv"],
-                             preferred_element_type=jnp.float32)
+            wdt = wdtype(lp["wqkv"])
+            qkv = proj("th,oh->to", h.astype(wdt), lp["wqkv"])
             attn = qkv[:, : cfg.dec_heads * cfg.dec_head_dim]
-            h = h + jnp.einsum("ta,oa->to", attn.astype(wdt), lp["wo"],
-                               preferred_element_type=jnp.float32)
-            gu = jnp.einsum("th,ih->ti", h.astype(wdt), lp["w_gate_up"],
-                            preferred_element_type=jnp.float32)
+            h = h + proj("ta,oa->to", attn.astype(wdt), lp["wo"])
+            gu = proj("th,ih->ti", h.astype(wdt), lp["w_gate_up"])
             I = gu.shape[-1] // 2
             act = (jax.nn.silu(gu[:, :I]) * gu[:, I:]).astype(wdt)
-            h = h + jnp.einsum("ti,hi->th", act, lp["w_down"],
-                               preferred_element_type=jnp.float32)
+            h = h + proj("ti,hi->th", act, lp["w_down"])
             return h, None
 
         h, _ = jax.lax.scan(layer, h, p["layers"])
