@@ -45,7 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=-1)
     p.add_argument("--seed", type=int, default=0, help="sampling seed (thinker)")
     p.add_argument("--moe-preload", action="store_true",
-                   help="accepted for compatibility (weights are device-resident)")
+                   help="accepted for compatibility (weights are device-resident; "
+                        "with --moe-offload: touch all expert pages up front)")
+    p.add_argument("--moe-offload", action="store_true",
+                   help="MoE experts stay on HOST and stream per layer "
+                        "(runs checkpoints whose experts exceed device HBM, "
+                        "e.g. 30B on one chip; docs/MOE_30B_PLAN.md Plan B)")
     p.add_argument("--monitor", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--silent", action="store_true")
@@ -119,6 +124,7 @@ def main(argv=None) -> int:
             enc_window_sec=args.enc_window_sec if args.enc_window_sec >= 0 else None,
             verbose=verbosity,
             q8=args.q8 or os.environ.get("SMOLVISION_Q8", "") == "1",
+            moe_offload=args.moe_offload,
         )
     except Exception as e:
         # mirror the reference's one-line load failure (main.c:292-296)
@@ -126,6 +132,8 @@ def main(argv=None) -> int:
               f"{type(e).__name__}: {e}", file=sys.stderr)
         return 1
     eng.monitor = args.monitor
+    if args.moe_offload and not eng.moe_offload and verbosity >= 1:
+        print("--moe-offload: model is not MoE; ignored", file=sys.stderr)
 
     if args.segment_sec >= 0:
         eng.segment_sec = args.segment_sec
@@ -154,11 +162,18 @@ def main(argv=None) -> int:
     eng.seed = args.seed
     if args.no_batch_segments:
         eng.batch_segments = False
-    if args.moe_preload and verbosity >= 1:
-        note = ("MoE experts are device-resident (loaded at startup); "
-                "--moe-preload is implicit on TPU"
-                if eng.cfg.is_moe else "--moe-preload: model is not MoE")
-        print(note, file=sys.stderr)
+    if args.moe_preload:
+        if eng.moe_offload:
+            gb = eng.expert_store.preload() / 1e9
+            if verbosity >= 1:
+                # mirrors the reference's preload report (qwen_asr_decoder.c:354)
+                print(f"MoE preload: touched {gb:.1f} GB of host expert pages",
+                      file=sys.stderr)
+        elif verbosity >= 1:
+            note = ("MoE experts are device-resident (loaded at startup); "
+                    "--moe-preload is implicit on TPU"
+                    if eng.cfg.is_moe else "--moe-preload: model is not MoE")
+            print(note, file=sys.stderr)
     if args.prompt:
         eng.set_prompt(args.prompt)
     if args.language:

@@ -112,9 +112,14 @@ def load_q25_encoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict
     }
 
 
-def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str, Any]:
+def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16,
+                 experts_on_host: bool = False) -> Dict[str, Any]:
     """Qwen3 / Q25 decoder weights (shared layout; optional biases / qk norms
-    are None when the family lacks them)."""
+    are None when the family lacks them).
+
+    experts_on_host: MoE only — leave e_gate/e_up/e_down on the host (the
+    caller builds a models/moe_offload.HostExpertStore over the same reader);
+    only the router stays resident.  Plan B of docs/MOE_30B_PLAN.md."""
     p = DEC_PREFIX
     f32 = jnp.float32
     L = cfg.dec_layers
@@ -157,21 +162,25 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16) -> Dict[str
             raise NotImplementedError("mixed dense/MoE layers (sparse_step > 1)")
         E = cfg.num_experts
         layers["router"] = _stack(reader, p + ".layers.{i}.mlp.gate.weight", L, f32)
-        layers["e_gate"] = _put(
-            np.stack([
-                np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.gate_proj.weight")) for e in range(E)])
-                for i in range(L)
-            ]), param_dtype)
-        layers["e_up"] = _put(
-            np.stack([
-                np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.up_proj.weight")) for e in range(E)])
-                for i in range(L)
-            ]), param_dtype)
-        layers["e_down"] = _put(
-            np.stack([
-                np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.down_proj.weight")) for e in range(E)])
-                for i in range(L)
-            ]), param_dtype)
+        if experts_on_host:
+            # Plan B: experts stay as host mmap views (HostExpertStore)
+            layers["e_gate"] = layers["e_up"] = layers["e_down"] = None
+        else:
+            layers["e_gate"] = _put(
+                np.stack([
+                    np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.gate_proj.weight")) for e in range(E)])
+                    for i in range(L)
+                ]), param_dtype)
+            layers["e_up"] = _put(
+                np.stack([
+                    np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.up_proj.weight")) for e in range(E)])
+                    for i in range(L)
+                ]), param_dtype)
+            layers["e_down"] = _put(
+                np.stack([
+                    np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.down_proj.weight")) for e in range(E)])
+                    for i in range(L)
+                ]), param_dtype)
         layers["w_gate_up"] = layers["w_down"] = None
     else:
         # gate+up fused the same way (reference fuses them interleaved at

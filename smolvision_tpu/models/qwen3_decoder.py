@@ -131,6 +131,18 @@ def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig, valid):
     return out, n_dropped
 
 
+def moe_apply_gathered(xc, g_w, u_w, d_w, top_w, wdt):
+    """Per-token gathered expert SwiGLU mix: xc [T, H], expert blocks
+    [T, K, MI, H] / [T, K, H, MI], router weights top_w [T, K] -> [T, H] f32.
+    Shared by the resident T<=4 decode gather path and the host-offload
+    engine (models/moe_offload.py), which passes host-fetched blocks."""
+    gate = proj("th,tkih->tki", xc, g_w)
+    up = proj("th,tkih->tki", xc, u_w)
+    act = (silu(gate) * up).astype(wdt)
+    down = proj("tki,tkhi->tkh", act, d_w)
+    return jnp.einsum("tk,tkh->th", top_w, down)
+
+
 def _moe_dense(xc, lp, top_idx, top_w, cfg: ModelConfig):
     """Exact dense one-hot routing: every expert computed once over the whole
     block — bandwidth-optimal when T >= E/K, and the exact fallback when
@@ -173,11 +185,7 @@ def _moe_ffn(x, lp, cfg: ModelConfig, valid=None):
         g_w = qtake(lp["e_gate"], top_idx)               # [T, K, MI, H]
         u_w = qtake(lp["e_up"], top_idx)
         d_w = qtake(lp["e_down"], top_idx)               # [T, K, H, MI]
-        gate = proj("th,tkih->tki", xc, g_w)
-        up = proj("th,tkih->tki", xc, u_w)
-        act = (silu(gate) * up).astype(wdt)
-        down = proj("tki,tkhi->tkh", act, d_w)
-        return jnp.einsum("tk,tkh->th", top_w, down)
+        return moe_apply_gathered(xc, g_w, u_w, d_w, top_w, wdt)
 
     if E >= MOE_DISPATCH_MIN_EXPERTS:
         # Prefill with many experts (the 30B path: E=128, K=8): capacity
@@ -297,6 +305,61 @@ def _attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
     return out.reshape(T, H, D)
 
 
+def _attn_block(lp, h, kv_layer, cfg: ModelConfig, cos, sin, start_pos,
+                valid_len, kv_min, tp, wdt, kv_dt, flash, flash_decode):
+    """One layer's attention half: input RMSNorm -> fused QKV -> per-head
+    Q/K norm -> RoPE -> causal GQA attention vs the cache -> o-proj residual.
+
+    Shared by the fused layer scan (decoder_forward) and the host-offload
+    MoE per-layer jits (models/moe_offload.py) so the math has exactly one
+    home.  Returns (h + attn_out, out_kv) where out_kv is the full updated
+    [2, K, KH, D] cache pair under `flash`, else the fresh (k, v) rows.
+    """
+    Tcap = h.shape[0]
+    H = cfg.dec_heads
+    KH = cfg.dec_kv_heads
+    D = cfg.dec_head_dim
+    eps = cfg.rms_norm_eps
+
+    from smolvision_tpu.kernels.flash_attention import (
+        causal_cache_flash_attention,
+        decode_flash_attention,
+    )
+
+    xn = rms_norm(h, lp["input_ln"], eps)
+    xc = xn.astype(wdt)
+    qkv = proj("th,oh->to", xc, lp["wqkv"])
+    if lp.get("bqkv") is not None:
+        qkv = qkv + lp["bqkv"]
+    q, k, v = _split_qkv(qkv, tp, H * D, KH * D, H, KH, D)
+    if lp.get("q_norm") is not None:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
+    q = apply_rope_neox(q, cos, sin)
+    k = apply_rope_neox(k, cos, sin)
+
+    if flash:
+        k_cache = jax.lax.dynamic_update_slice(
+            kv_layer[0], k.astype(kv_dt), (start_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            kv_layer[1], v.astype(kv_dt), (start_pos, 0, 0))
+        attn = causal_cache_flash_attention(
+            q, k_cache, v_cache, start_pos, start_pos + valid_len,
+            gqa_groups=H // KH, kv_min=kv_min)
+        out_kv = jnp.stack([k_cache, v_cache])
+    elif flash_decode:
+        attn = decode_flash_attention(
+            q[0], k[0], v[0], kv_layer[0], kv_layer[1], start_pos,
+            kv_min=kv_min, gqa_groups=H // KH)[None]
+        out_kv = (k.astype(kv_dt), v.astype(kv_dt))
+    else:
+        attn = _attention_two_part(q, k, v, kv_layer[0], kv_layer[1],
+                                   start_pos, cfg, kv_min=kv_min)
+        out_kv = (k.astype(kv_dt), v.astype(kv_dt))
+    attn = attn.reshape(Tcap, H * D)
+    return h + proj("ta,oa->to", attn.astype(wdt), lp["wo"]), out_kv
+
+
 def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
                     rope_start=None, kv_min=None, tp: int = 1):
     """Run the layer stack over `embeds` [Tcap, H] written into cache rows
@@ -336,10 +399,6 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     #  * prefill on TPU: per-layer cache update + Pallas causal flash kernel
     #    (the [T, K] score matrix never hits HBM).
     from smolvision_tpu.kernels import pallas_forced, use_pallas
-    from smolvision_tpu.kernels.flash_attention import (
-        causal_cache_flash_attention,
-        decode_flash_attention,
-    )
 
     Kcap = kv.shape[2]
     kcap_ok = Kcap % min(128, Kcap) == 0
@@ -354,46 +413,15 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     flash_decode = (use_pallas() and Tcap == 1 and kcap_ok
                     and (Kcap >= FLASH_DECODE_MIN_KCAP or pallas_forced()))
 
-    q_dim = H * D
-    kv_dim = KH * D
     # rows >= valid_len are junk and rows below kv_min are left-pad: neither
     # may consume MoE expert capacity
     row_valid = (jnp.arange(Tcap) < valid_len) & (start_pos + jnp.arange(Tcap) >= kv_min)
 
     def layer(h, xs):
         lp, kv_layer = xs
-        xn = rms_norm(h, lp["input_ln"], eps)
-        xc = xn.astype(wdt)
-        qkv = proj("th,oh->to", xc, lp["wqkv"])
-        if lp.get("bqkv") is not None:
-            qkv = qkv + lp["bqkv"]
-        q, k, v = _split_qkv(qkv, tp, q_dim, kv_dim, H, KH, D)
-        if lp.get("q_norm") is not None:
-            q = rms_norm(q, lp["q_norm"], eps)
-            k = rms_norm(k, lp["k_norm"], eps)
-        q = apply_rope_neox(q, cos, sin)
-        k = apply_rope_neox(k, cos, sin)
-
-        if flash:
-            k_cache = jax.lax.dynamic_update_slice(
-                kv_layer[0], k.astype(kv_dt), (start_pos, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                kv_layer[1], v.astype(kv_dt), (start_pos, 0, 0))
-            attn = causal_cache_flash_attention(
-                q, k_cache, v_cache, start_pos, start_pos + valid_len,
-                gqa_groups=H // KH, kv_min=kv_min)
-            out_kv = jnp.stack([k_cache, v_cache])
-        elif flash_decode:
-            attn = decode_flash_attention(
-                q[0], k[0], v[0], kv_layer[0], kv_layer[1], start_pos,
-                kv_min=kv_min, gqa_groups=H // KH)[None]
-            out_kv = (k.astype(kv_dt), v.astype(kv_dt))
-        else:
-            attn = _attention_two_part(q, k, v, kv_layer[0], kv_layer[1],
-                                       start_pos, cfg, kv_min=kv_min)
-            out_kv = (k.astype(kv_dt), v.astype(kv_dt))
-        attn = attn.reshape(Tcap, H * D)
-        h = h + proj("ta,oa->to", attn.astype(wdt), lp["wo"])
+        h, out_kv = _attn_block(lp, h, kv_layer, cfg, cos, sin, start_pos,
+                                valid_len, kv_min, tp, wdt, kv_dt,
+                                flash, flash_decode)
 
         xn = rms_norm(h, lp["post_ln"], eps)
         if lp.get("router") is not None:

@@ -73,7 +73,7 @@ class Engine:
 
     def __init__(self, model_dir: str, param_dtype=jnp.bfloat16,
                  kv_dtype=jnp.bfloat16, enc_window_sec: Optional[float] = None,
-                 verbose: int = 0, q8: bool = False):
+                 verbose: int = 0, q8: bool = False, moe_offload: bool = False):
         self.model_dir = model_dir
         self.verbose = verbose
         self.reader = MultiSafetensors(model_dir)
@@ -93,7 +93,32 @@ class Engine:
             self.enc_params = params_mod.load_q25_encoder(self.reader, cfg, param_dtype)
         else:
             self.enc_params = params_mod.load_qwen3_encoder(self.reader, cfg, param_dtype)
-        self.dec_params = params_mod.load_decoder(self.reader, cfg, param_dtype)
+        # Plan B host-offload (docs/MOE_30B_PLAN.md): experts stay as host
+        # mmap views and stream per layer; everything else stays resident.
+        # This is how a 30B MoE (58 GB of experts) executes on one chip.
+        self.moe_offload = bool(moe_offload) and cfg.is_moe
+        self.dec_params = params_mod.load_decoder(
+            self.reader, cfg, param_dtype, experts_on_host=self.moe_offload)
+        self.expert_store = None
+        self._dec_layers_list = None
+        self._kv_list = None
+        self._kv_list_cap = 0
+        if self.moe_offload:
+            from smolvision_tpu.models.moe_offload import HostExpertStore
+            from smolvision_tpu.ops.quant import qtake
+
+            self.expert_store = HostExpertStore(self.reader, cfg)
+            layers = self.dec_params["layers"]
+            keys = [k for k in ("input_ln", "post_ln", "wqkv", "bqkv",
+                                "q_norm", "k_norm", "wo", "router")
+                    if layers.get(k) is not None]
+            self._dec_layers_list = [
+                {k: qtake(layers[k], l) for k in keys}
+                for l in range(cfg.dec_layers)
+            ]
+            if verbose >= 1:
+                print("MoE host-offload active: experts stream from host "
+                      "mmap per layer", file=sys.stderr, flush=True)
         self.q8 = bool(q8)
         if self.q8:
             # int8 decoder weights (--q8): ~1.7x decode bandwidth for bounded
@@ -119,7 +144,9 @@ class Engine:
         self.top_k = 40
         self.seed = 0
         self.max_tokens = 2048
-        self.batch_segments = True  # batch independent -S segments on device
+        # batch independent -S segments on device (offload engines decode
+        # through the host-streaming path, which has no batched formulation)
+        self.batch_segments = not self.moe_offload
 
         self.prompt_text: Optional[str] = None
         self.force_language: Optional[str] = None
@@ -143,6 +170,19 @@ class Engine:
     def _build_jits(self):
         cfg = self.cfg
         wts = cfg.window_token_size()
+
+        if self.moe_offload:
+            from smolvision_tpu.models.moe_offload import build_offload_fns
+            from smolvision_tpu.ops.quant import embed_rows
+
+            self._offload_fns = build_offload_fns(cfg)
+            self._embed_one = jax.jit(
+                lambda p, t: embed_rows(p["embed"], t)[None])
+            self._final_argmax = jax.jit(
+                lambda p, hidden, row: jnp.argmax(
+                    dec_mod.logits_at(p, cfg, hidden, row)).astype(jnp.int32))
+            self._final_logits = jax.jit(
+                lambda p, hidden, row: dec_mod.logits_at(p, cfg, hidden, row))
 
         self._conv_stem = jax.jit(lambda p, chunks: enc_mod.conv_stem(p, chunks, cfg))
         self._enc_tf = jax.jit(
@@ -289,6 +329,40 @@ class Engine:
     def reset_kv(self):
         self._kv = None
         self._kv_cap = 0
+        self._kv_list = None
+        self._kv_list_cap = 0
+
+    def _ensure_kv_list(self, needed: int):
+        """Per-layer KV caches for the host-offload path ([2, cap, KH, D]
+        each, donated to the per-layer jit so updates stay in place)."""
+        cfg = self.cfg
+        cap = bucket(needed, 256)
+        shape = (2, cap, cfg.dec_kv_heads, cfg.dec_head_dim)
+        if self._kv_list is None:
+            self._kv_list = [jnp.zeros(shape, self.kv_dtype)
+                             for _ in range(cfg.dec_layers)]
+            self._kv_list_cap = cap
+        elif cap > self._kv_list_cap:
+            old = self._kv_list_cap
+            self._kv_list = [
+                jnp.zeros(shape, self.kv_dtype).at[:, :old].set(kv_l)
+                for kv_l in self._kv_list
+            ]
+            self._kv_list_cap = cap
+        return self._kv_list
+
+    def _offload_forward_ids(self, embeds, start_pos: int, valid_len: int,
+                             tcap: int, greedy: bool):
+        """Prefill/step through the host-offload layer loop; returns
+        (token | logits) for the last valid row."""
+        from smolvision_tpu.models import moe_offload as off_mod
+
+        kvl = self._ensure_kv_list(start_pos + tcap + KV_HEADROOM)
+        hidden, self._kv_list = off_mod.offload_forward(
+            self._dec_layers_list, self.expert_store, self.cfg,
+            self._offload_fns, embeds, start_pos, valid_len, kvl)
+        fn = self._final_argmax if greedy else self._final_logits
+        return fn(self.dec_params, hidden, jnp.int32(valid_len - 1))
 
     def _ensure_kv(self, needed: int):
         """Static cache sized to a pow2 bucket; grows by copy when exceeded."""
@@ -381,12 +455,15 @@ class Engine:
         tcap = bucket(total, 64)
         ids_arr = np.zeros(tcap, dtype=np.int32)
         ids_arr[:total] = np.asarray(ids, dtype=np.int32)
-        kv = self._ensure_kv(start_pos + tcap + KV_HEADROOM)
         if audio is None:
             audio = jnp.zeros((16, self.cfg.dec_hidden), dtype=jnp.float32)
             audio_start, n_audio = -1_000_000, 0
         embeds = self._build_embeds(self.dec_params, jnp.asarray(ids_arr), audio,
                                     jnp.int32(audio_start), jnp.int32(n_audio))
+        if self.moe_offload:
+            out = self._offload_forward_ids(embeds, start_pos, total, tcap, greedy)
+            return out, start_pos + total
+        kv = self._ensure_kv(start_pos + tcap + KV_HEADROOM)
         fn = self._prefill_greedy if greedy else self._prefill_logits
         out, self._kv = fn(self.dec_params, embeds, jnp.int32(start_pos),
                            jnp.int32(total), kv)
@@ -414,6 +491,10 @@ class Engine:
         embeds = self._build_embeds(self.dec_params, jnp.asarray(ids_arr), audio,
                                     jnp.int32(audio_start), jnp.int32(n_audio))
         delta = self._slice_rows(embeds, jnp.int32(reused), delta_cap)
+        if self.moe_offload:
+            out = self._offload_forward_ids(delta, reused, delta_len,
+                                            delta_cap, greedy)
+            return out, total
         kv = self._ensure_kv(reused + delta_cap + KV_HEADROOM)
         fn = self._prefill_greedy if greedy else self._prefill_logits
         out, self._kv = fn(self.dec_params, delta, jnp.int32(reused),
@@ -429,6 +510,9 @@ class Engine:
         the C loop (qwen_asr.c:788-818).  Gating never alters the generated
         sequence, so running the model a chunk ahead of the host is exact.
         Returns the iteration count (C's n_generated)."""
+        if self.moe_offload:
+            return self._decode_greedy_offload(first_token, start_pos,
+                                               max_tokens, on_token)
         from collections import deque
 
         pos = start_pos
@@ -484,6 +568,30 @@ class Engine:
                 break
             if not on_token(tid):
                 break
+        return n
+
+    def _offload_step(self, token: int, pos: int, greedy: bool = True):
+        """One host-offload decode step (per-token host loop — the expert
+        gather needs the router scores on host, see models/moe_offload.py)."""
+        embed = self._embed_one(self.dec_params, jnp.int32(token))
+        return self._offload_forward_ids(embed, pos, 1, 1, greedy)
+
+    def _decode_greedy_offload(self, first_token, start_pos: int,
+                               max_tokens: int, on_token) -> int:
+        """Per-token greedy loop for the host-offload path; same callback /
+        EOS / count semantics as the chunked decode_greedy."""
+        pos = start_pos
+        cur = int(jax.device_get(first_token))
+        n = 0
+        while n < max_tokens:
+            n += 1
+            if cur in EOS_TOKEN_IDS:
+                break
+            if not on_token(cur):
+                break
+            nxt = self._offload_step(cur, pos, greedy=True)
+            pos += 1
+            cur = int(jax.device_get(nxt))
         return n
 
     # ------------------------------------------------------------------
@@ -607,7 +715,27 @@ class Engine:
         t0 = _now_ms()
         max_tokens = self.thinker_max_tokens
 
-        if use_sampling:
+        if use_sampling and self.moe_offload:
+            # Host-offload: per-token loop, host-side sampler (same math as
+            # the device chunk: per-occurrence repetition penalty, temp,
+            # top-k, multinomial — runtime/sampling.py).
+            token = sampler.sample(np.asarray(out))
+            n = 0
+            while n < max_tokens:
+                n += 1
+                if token in EOS_TOKEN_IDS:
+                    break
+                piece = tok.decode_piece(token)
+                if piece:
+                    pieces.append(piece)
+                    n_text += 1
+                    if self.token_cb:
+                        self.token_cb(piece)
+                sampler.observe(token)
+                logits = self._offload_step(token, pos, greedy=False)
+                pos += 1
+                token = sampler.sample(np.asarray(logits))
+        elif use_sampling:
             # First token sampled on host (one logits download); the rest run
             # in device-side sampled chunks — no per-token logits transfers.
             token = sampler.sample(np.asarray(out))

@@ -39,9 +39,14 @@ class Sampler:
         if self.repetition_penalty != 1.0 and self.recent:
             ids = np.asarray([t for t in self.recent if 0 <= t < vocab], dtype=np.int64)
             if ids.size:
-                vals = logits[ids]
-                logits[ids] = np.where(vals > 0.0, vals / self.repetition_penalty,
-                                       vals * self.repetition_penalty)
+                # PER OCCURRENCE, like the reference's loop (qwen_asr.c:2255-2263):
+                # a token seen n times is penalized penalty^n (sign never flips,
+                # so the exponent form is exact) — matching the device-side
+                # _sample_chunk counts formulation.
+                uniq, counts = np.unique(ids, return_counts=True)
+                factor = self.repetition_penalty ** counts.astype(np.float32)
+                vals = logits[uniq]
+                logits[uniq] = np.where(vals > 0.0, vals / factor, vals * factor)
 
         if self.temperature > 0.0 and self.temperature != 1.0:
             logits /= self.temperature
