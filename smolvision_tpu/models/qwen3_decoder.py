@@ -157,7 +157,7 @@ def _moe_dense(xc, lp, top_idx, top_w, cfg: ModelConfig):
     return jnp.einsum("te,teh->th", route, down)
 
 
-def _moe_ffn(x, lp, cfg: ModelConfig, valid=None):
+def _moe_ffn(x, lp, cfg: ModelConfig, valid=None, ep: bool = False):
     """MoE FFN: dense router -> top-k -> softmax -> expert SwiGLU mix.
 
     Matches moe_forward_single (qwen_asr_decoder.c:362-451) / the python spec
@@ -165,6 +165,12 @@ def _moe_ffn(x, lp, cfg: ModelConfig, valid=None):
     norm_topk_prob renormalization.
     x: [T, H] f32; valid: optional [T] bool (pad rows — only the capacity
     dispatch path has cross-token contention, so it alone consumes it).
+    ep: static flag for EXPERT-PARALLEL execution (expert axis sharded on a
+    mesh): decode then routes through the dense one-hot formulation, which
+    GSPMD lowers to owner-compute — every shard runs ITS experts over the
+    [T, H] activations and the weighted sum psums [T, H] over ICI (~16 KB)
+    instead of gathering ~37 MB of remote expert blocks per layer
+    (docs/MOE_30B_PLAN.md Plan A).  Identical math either way.
     """
     T = x.shape[0]
     E = cfg.num_experts
@@ -178,10 +184,12 @@ def _moe_ffn(x, lp, cfg: ModelConfig, valid=None):
     wdt = wdtype(lp["e_gate"])
     xc = x.astype(wdt)
 
-    if T <= 4:
-        # Decode path: GATHER only the selected experts' weights — the dense
-        # one-hot path below reads all E experts (~16x the bytes at top-8 of
-        # 128).  Gather cost: T*K expert blocks per matrix.
+    if T <= 4 and not ep:
+        # Single-chip decode path: GATHER only the selected experts' weights
+        # — the dense one-hot path below reads all E experts (~16x the bytes
+        # at top-8 of 128).  Gather cost: T*K expert blocks per matrix.
+        # (Under EP sharding the gather crosses shards; ep=True uses the
+        # dense owner-compute formulation instead.)
         g_w = qtake(lp["e_gate"], top_idx)               # [T, K, MI, H]
         u_w = qtake(lp["e_up"], top_idx)
         d_w = qtake(lp["e_down"], top_idx)               # [T, K, H, MI]
@@ -361,7 +369,8 @@ def _attn_block(lp, h, kv_layer, cfg: ModelConfig, cos, sin, start_pos,
 
 
 def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
-                    rope_start=None, kv_min=None, tp: int = 1):
+                    rope_start=None, kv_min=None, tp: int = 1,
+                    ep: bool = False):
     """Run the layer stack over `embeds` [Tcap, H] written into cache rows
     start_pos..start_pos+Tcap-1.
 
@@ -425,7 +434,7 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
         xn = rms_norm(h, lp["post_ln"], eps)
         if lp.get("router") is not None:
-            ffn = _moe_ffn(xn, lp, cfg, valid=row_valid)
+            ffn = _moe_ffn(xn, lp, cfg, valid=row_valid, ep=ep)
         else:
             xc2 = xn.astype(wdt)
             gate_up = proj("th,ih->ti", xc2, lp["w_gate_up"])
@@ -525,7 +534,7 @@ def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
 
 def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
                             rope_start, kv_min, fresh_prefill: bool = False,
-                            tp: int = 1):
+                            tp: int = 1, ep: bool = False):
     """Run the layer stack over `embeds` [B, Tcap, H] written into cache rows
     start_pos..start_pos+Tcap-1 (batch-uniform scalar — left-padded layout).
 
@@ -591,7 +600,7 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
         xn = rms_norm(h, lp["post_ln"], eps)
         if lp.get("router") is not None:
             ffn = _moe_ffn(xn.reshape(B * Tcap, Hdim), lp, cfg,
-                           valid=row_valid).reshape(B, Tcap, Hdim)
+                           valid=row_valid, ep=ep).reshape(B, Tcap, Hdim)
         else:
             xc2 = xn.astype(wdt)
             gate_up = proj("bth,ih->bti", xc2, lp["w_gate_up"])
@@ -621,14 +630,14 @@ def batched_logits(params, cfg: ModelConfig, hidden_rows):
 
 
 def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
-                    greedy: bool = True, tp: int = 1):
+                    greedy: bool = True, tp: int = 1, ep: bool = False):
     """Serving prefill: start_pos = 0, every row valid through Tcap (the
     left-padded layout puts each row's last prompt token at Tcap-1).
     embeds [B, Tcap, H]; kv [L, 2, B, KH, K, D].  Returns (tokens|logits, kv')."""
     B, Tcap, _ = embeds.shape
     hidden, kv = batched_decoder_forward(
         params, cfg, embeds, jnp.int32(0), kv, rope_start, kv_min,
-        fresh_prefill=True, tp=tp)
+        fresh_prefill=True, tp=tp, ep=ep)
     logits = batched_logits(params, cfg, hidden[:, Tcap - 1])
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
@@ -637,7 +646,7 @@ def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
 
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                          n_steps_cap: int, rope_offset, kv_min, n_steps=None,
-                         tp: int = 1):
+                         tp: int = 1, ep: bool = False):
     """Greedy-decode up to n_steps tokens for every batch row, exiting early
     once EVERY row has emitted an EOS (rows that finish first keep decoding
     garbage into the buffer until then — the host truncates at EOS).
@@ -665,7 +674,7 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
         p = pos + i
         embeds = embed_rows(params["embed"], toks)[:, None, :]
         hidden, kv_ = batched_decoder_forward(
-            params, cfg, embeds, p, kv_, p - rope_offset, kv_min, tp=tp)
+            params, cfg, embeds, p, kv_, p - rope_offset, kv_min, tp=tp, ep=ep)
         logits = batched_logits(params, cfg, hidden[:, 0])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         buf_ = jax.lax.dynamic_update_slice(buf_, nxt[:, None], (0, i))
@@ -687,10 +696,11 @@ def logits_at(params, cfg: ModelConfig, hidden, row):
 
 def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
             greedy: bool = True, rope_start=None, kv_min=None,
-            tp: int = 1) -> Tuple[Any, Any]:
+            tp: int = 1, ep: bool = False) -> Tuple[Any, Any]:
     """Prefill the bucket; return (first_token | logits, kv')."""
     hidden, kv = decoder_forward(params, cfg, embeds, start_pos, valid_len, kv,
-                                 rope_start=rope_start, kv_min=kv_min, tp=tp)
+                                 rope_start=rope_start, kv_min=kv_min, tp=tp,
+                                 ep=ep)
     logits = logits_at(params, cfg, hidden, valid_len - 1)
     if greedy:
         return jnp.argmax(logits).astype(jnp.int32), kv
@@ -699,11 +709,12 @@ def prefill(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
 def decode_step(params, cfg: ModelConfig, token, pos, kv,
                 greedy: bool = True, rope_start=None, kv_min=None,
-                tp: int = 1) -> Tuple[Any, Any]:
+                tp: int = 1, ep: bool = False) -> Tuple[Any, Any]:
     """One autoregressive step writing cache row `pos` (scalar int32)."""
     embed = embed_rows(params["embed"], token)[None]  # [1, H] f32
     hidden, kv = decoder_forward(params, cfg, embed, pos, jnp.int32(1), kv,
-                                 rope_start=rope_start, kv_min=kv_min, tp=tp)
+                                 rope_start=rope_start, kv_min=kv_min, tp=tp,
+                                 ep=ep)
     logits = logits_at(params, cfg, hidden, jnp.int32(0))
     if greedy:
         return jnp.argmax(logits).astype(jnp.int32), kv

@@ -23,7 +23,8 @@ make_batched_kv = dec_mod.make_batched_kv
 
 
 def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start=None,
-                    kv_min=None, greedy: bool = True, tp: int = 1):
+                    kv_min=None, greedy: bool = True, tp: int = 1,
+                    ep: bool = False):
     """Serving prefill at start_pos 0: embeds [B, Tcap, H] (left-padded: each
     row's last prompt token at Tcap-1), kv [L, 2, B, KH, K, D];
     rope_start/kv_min [B] default to zeros (no left-padding).
@@ -34,12 +35,12 @@ def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start=None,
     if kv_min is None:
         kv_min = jnp.zeros((B,), jnp.int32)
     return dec_mod.batched_prefill(params, cfg, embeds, kv, rope_start,
-                                   kv_min, greedy=greedy, tp=tp)
+                                   kv_min, greedy=greedy, tp=tp, ep=ep)
 
 
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                          n_steps_cap: int, rope_offset=None, kv_min=None,
-                         n_steps=None, tp: int = 1):
+                         n_steps=None, tp: int = 1, ep: bool = False):
     """Greedy-decode up to n_steps (traced, <= static n_steps_cap) tokens for
     every batch row, with on-device all-rows-EOS early exit.
 
@@ -54,7 +55,7 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
         kv_min = jnp.zeros_like(tokens)
     return dec_mod.batched_decode_chunk(params, cfg, tokens, pos, kv,
                                         n_steps_cap, rope_offset, kv_min,
-                                        n_steps=n_steps, tp=tp)
+                                        n_steps=n_steps, tp=tp, ep=ep)
 
 
 def trim_eos(row) -> list:

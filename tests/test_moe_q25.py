@@ -354,3 +354,31 @@ def test_moe_capacity_dispatch_pads_dont_crowd_out_real_tokens():
     assert np.all(np.abs(out[n_pad:]).sum(axis=1) > 0.0)
     # pad rows receive nothing
     assert np.all(np.abs(out[:n_pad]) == 0.0)
+
+
+def test_moe_ffn_ep_owner_compute_matches_gather():
+    """ep=True (expert-parallel owner-compute: dense one-hot) computes the
+    same FFN output as the single-chip decode gather path — it is the same
+    math routed through all-experts einsums so GSPMD can psum per-shard
+    contributions (docs/MOE_30B_PLAN.md Plan A decode)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.models import qwen3_decoder as dm
+
+    T, K, E, H, MI = 2, 2, 8, 32, 16
+    cfg = dataclasses.replace(QWEN3_ASR_06B, is_moe=True, num_experts=E,
+                              num_experts_per_tok=K, moe_intermediate=MI,
+                              norm_topk_prob=True)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((T, H)).astype(np.float32))
+    lp = {
+        "router": jnp.asarray(rng.standard_normal((E, H)).astype(np.float32)),
+        "e_gate": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_up": jnp.asarray(rng.standard_normal((E, MI, H)).astype(np.float32) * 0.1),
+        "e_down": jnp.asarray(rng.standard_normal((E, H, MI)).astype(np.float32) * 0.1),
+    }
+    gather = np.asarray(dm._moe_ffn(x, lp, cfg, ep=False))
+    owner = np.asarray(dm._moe_ffn(x, lp, cfg, ep=True))
+    np.testing.assert_allclose(owner, gather, rtol=1e-5, atol=1e-6)
