@@ -148,8 +148,20 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
             continue
         if len(works) == 1:
             st, w = works[0]
+            if not getattr(st, "_solo_kv_valid", False):
+                # Every earlier round for this session ran through the
+                # BATCHED cache: its solo engine view's KV has never seen
+                # this prompt, so w.reused (the signature LCP vs last
+                # round's prompt) would reuse zeroed/stale rows.  Reset and
+                # prefill fully; subsequent consecutive solo rounds reuse
+                # normally.
+                st.engine.reset_kv()
+                w.reused = 0
+                st._solo_kv_valid = True
             stream_mod.run_solo_chunk(st, w)
             continue
+        for st, _ in works:
+            st._solo_kv_valid = False
         _run_batched_chunks(engine, works)
 
     return [st.finalize() for st in states]

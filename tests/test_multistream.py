@@ -132,3 +132,54 @@ def test_cli_multi_file_stream(tiny_model_dir, tmp_path):
     lines = r.stdout.decode().splitlines()
     assert len(lines) == 2
     assert lines[0] == lines[1]  # same file -> identical sessions
+
+
+def test_batched_chunks_match_solo_raw_tokens(ms_engine, monkeypatch):
+    """NON-VACUOUS exactness: random tiny checkpoints usually commit no
+    final text (no <asr_text>, recovery resets), so comparing transcripts
+    can pass vacuously.  Compare the RAW per-chunk token sequences instead —
+    the actual contract is that StreamState sees byte-identical model
+    outputs in batched and solo execution.  Mixed durations make the last
+    session fall back to run_solo_chunk after batched rounds (the stale-
+    solo-KV path: its view's cache never saw the batched rounds and must be
+    reset + fully re-prefilled)."""
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    clips = _clips()  # 3/4/5 s -> sessions drain at different rounds
+    ms_engine.past_text_conditioning = True
+
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append((id(self), list(chunk_tokens)))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    solo_runs = []
+    for c in clips:
+        s = ms.clone_session(ms_engine)
+        s.token_cb = lambda piece: None
+        log.clear()
+        stream_mod.transcribe_stream(s, c)
+        solo_runs.append([t for _, t in log])
+
+    log.clear()
+    ms.run_streams(ms_engine, clips)
+    per = {}
+    order = []
+    for sid, toks in log:
+        if sid not in per:
+            order.append(sid)
+            per[sid] = []
+        per[sid].append(toks)
+    batched_runs = [per[sid] for sid in order]
+
+    ms_engine.past_text_conditioning = False
+    assert len(batched_runs) == len(solo_runs)
+    # sessions appear in source order in both runs (coordinator iterates
+    # states in order; solo loop is explicit)
+    for i, (s, b) in enumerate(zip(solo_runs, batched_runs)):
+        assert s == b, f"session {i}: solo {s} vs batched {b}"
