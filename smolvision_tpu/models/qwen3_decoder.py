@@ -644,6 +644,31 @@ def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
     return logits, kv
 
 
+def batched_prefill_delta(params, cfg: ModelConfig, embeds, start_pos, kv,
+                          rope_start, kv_min, greedy: bool = True,
+                          tp: int = 1, ep: bool = False):
+    """Streaming-serving TAIL prefill: the block writes cache rows
+    [start_pos, start_pos+T) for every row, with each row's LAST prompt
+    token at start_pos+T-1 (left-padded ends align at Tcap).
+
+    Per-row frozen context is [kv_min[b], start_pos) — the rows kept by
+    batched KV reuse (runtime/multistream.py): the coordinator picks the
+    batch-uniform start_pos = min_b(pad_b + reused_b), so every row's
+    kept prefix fully covers [kv_min[b], start_pos) and rows with deeper
+    reuse simply recompute a few kept tokens (bit-identical by greedy
+    determinism).  rope position of block row j for sequence b is
+    start_pos + j - pad_b (rope_start[b] = start_pos - pad_b).
+
+    Returns (tokens | logits, kv')."""
+    B, T, _ = embeds.shape
+    hidden, kv = batched_decoder_forward(
+        params, cfg, embeds, start_pos, kv, rope_start, kv_min, tp=tp, ep=ep)
+    logits = batched_logits(params, cfg, hidden[:, T - 1])
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
+    return logits, kv
+
+
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                          n_steps_cap: int, rope_offset, kv_min, n_steps=None,
                          tp: int = 1, ep: bool = False):

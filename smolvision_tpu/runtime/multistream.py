@@ -121,12 +121,15 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
 
     Every session keeps its own StreamState (encoder window cache, commit
     frontier, recovery logic — runtime/stream.py); only the model-call
-    middle of each chunk is replaced.  The batched middle re-prefills each
-    session's FULL prompt every chunk (no per-session KV reuse: the
-    left-padded batch layout re-aligns rows each round) — recompute is
-    token-exact vs the cached path by construction (pinned by the
-    stream-cache and KV-reuse equivalence tests), and one batched prefill
-    of N prompts costs far less than N single prefills on TPU.
+    middle of each chunk is replaced.  The batched middle REUSES each
+    session's KV across rounds (_BatchKV): sessions keep a FIXED batch row
+    for their lifetime; each round the kept rows are realigned to the new
+    left-padded layout with one index-gather over the cache, and only the
+    tail block below the shallowest per-row reuse point is re-prefilled
+    (token-exact by greedy determinism — rows with deeper reuse recompute a
+    few kept tokens into identical values).  SMOLVISION_MSTREAM_NO_REUSE=1
+    forces the round-1 behavior (full re-prefill every round) — the
+    degraded path the equivalence tests compare against.
     """
     states = []
     for i, src in enumerate(sources):
@@ -134,6 +137,9 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
         cb = (lambda piece, _i=i: on_token(_i, piece)) if on_token else (lambda piece: None)
         view.token_cb = cb
         states.append(stream_mod.StreamState(view, np.asarray(src, np.float32), None))
+
+    cache = _BatchKV(len(states))
+    row_of = {id(st): r for r, st in enumerate(states)}
 
     while True:
         works = []
@@ -158,19 +164,65 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
                 st.engine.reset_kv()
                 w.reused = 0
                 st._solo_kv_valid = True
+            cache.valid[row_of[id(st)]] = False   # batched row now stale
             stream_mod.run_solo_chunk(st, w)
             continue
         for st, _ in works:
             st._solo_kv_valid = False
-        _run_batched_chunks(engine, works)
+        _run_batched_chunks(engine, works, cache, row_of)
 
     return [st.finalize() for st in states]
 
 
-def _run_batched_chunks(engine, works):
-    """One shared-clock round: batch every active session's (full-prompt
-    prefill + bounded greedy decode) through the batch-native decoder, then
-    feed each session's tokens back into its own StreamState.
+class _BatchKV:
+    """Round-persistent batched KV cache: each session owns a fixed row.
+
+    lens[r] = prompt length whose KV rows are currently held for row r
+    (left-padded: rows [tcap - lens[r], tcap)); valid[r] = those rows match
+    the session's last prompt signature (cleared when the session runs
+    solo, skips a round — its tail rows get clobbered by the shared block
+    write — or has not participated yet)."""
+
+    def __init__(self, n_sessions: int):
+        self.B = max(2, 1 << (max(1, n_sessions) - 1).bit_length())
+        self.kv = None
+        self.tcap = 0
+        self.kcap = 0
+        self.lens = [0] * self.B
+        self.valid = [False] * self.B
+
+
+def _mstream_jits(engine):
+    """Jitted realign + delta-prefill for the batched coordinator."""
+    cached = getattr(engine, "_mstream_jits_cache", None)
+    if cached is not None:
+        return cached
+    import jax
+    import jax.numpy as jnp
+
+    from smolvision_tpu.models import qwen3_decoder as dec_mod
+
+    cfg = engine.cfg
+
+    def realign(old_kv, idx):
+        # old_kv [L, 2, B, KH, Ko, D]; idx [B, Kn] -> [L, 2, B, KH, Kn, D]
+        return jnp.take_along_axis(
+            old_kv, idx[None, None, :, None, :, None], axis=4)
+
+    realign_j = jax.jit(realign)
+    prefill_delta_j = jax.jit(
+        lambda p, e, s, k, rs, km: dec_mod.batched_prefill_delta(
+            p, cfg, e, s, k, rs, km, greedy=True),
+        donate_argnums=(3,))
+    engine._mstream_jits_cache = (realign_j, prefill_delta_j)
+    return engine._mstream_jits_cache
+
+
+def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
+    """One shared-clock round: realign kept KV rows to this round's layout,
+    batch every active session's (delta prefill + bounded greedy decode)
+    through the batch-native decoder, then feed each session's tokens back
+    into its own StreamState.
 
     Exact-token contract: the reconstruction below replays Engine.
     decode_greedy's loop semantics per row (first token from prefill, EOS
@@ -189,103 +241,161 @@ def _run_batched_chunks(engine, works):
     from smolvision_tpu.runtime.buckets import bucket, bucket128
 
     cfg = engine.cfg
-    H = cfg.dec_hidden
+    no_reuse = os.environ.get("SMOLVISION_MSTREAM_NO_REUSE", "") == "1"
     max_new = max(st.max_new for st, _ in works)
-    B_real = len(works)
-    B = max(2, 1 << (B_real - 1).bit_length())   # pow2 batch bucket
+    B = cache.B
 
-    tcap = bucket128(max(len(w.ids) for _, w in works))
+    tcap = max(cache.tcap, bucket128(max(len(w.ids) for _, w in works)))
+    kcap = bucket128(tcap + max_new + 1)
     acap = bucket(max(w.enc_seq_len for _, w in works), 16)
 
     t_pre0 = time.monotonic() * 1000.0
 
-    # left-padded layout (see batch_segments.py): cache index = logical
-    # position + pad; rope_start = -pad; kv_min = pad masks pad rows
-    pads = [tcap - len(w.ids) for _, w in works]
+    # ---- per-row layout + effective reuse ------------------------------
+    active = {row_of[id(st)]: (st, w) for st, w in works}
+    pads_new = [0] * B
+    reused_eff = [0] * B
+    for r in range(B):
+        if r in active:
+            st, w = active[r]
+            n = len(w.ids)
+            pads_new[r] = tcap - n
+            if cache.valid[r] and not no_reuse:
+                reused_eff[r] = max(0, min(w.reused, cache.lens[r], n - 1))
+        else:
+            # row keeps its previous geometry; its tail rows get clobbered
+            # by the shared block write below, so it must re-prefill fully
+            # next time it participates
+            pads_new[r] = tcap - cache.lens[r] if cache.lens[r] else tcap - 1
+
+    # ---- realign kept rows to the new layout ---------------------------
+    realign_j, prefill_delta_j = _mstream_jits(engine)
+    if cache.kv is None or engine.kv_dtype != cache.kv.dtype:
+        cache.kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
+    else:
+        pads_old = [cache.tcap - l if l else cache.tcap - 1 for l in cache.lens]
+        shifts = [pads_new[r] - pads_old[r] for r in range(B)]
+        if kcap != cache.kcap or any(s != 0 for s in shifts):
+            ko = cache.kv.shape[4]
+            idx = np.empty((B, kcap), dtype=np.int32)
+            base = np.arange(kcap, dtype=np.int32)
+            for r in range(B):
+                idx[r] = np.clip(base - shifts[r], 0, ko - 1)
+            cache.kv = realign_j(cache.kv, jnp.asarray(idx))
+
+    # ---- assemble the round's inputs -----------------------------------
     ids_arr = np.zeros((B, tcap), dtype=np.int32)
     astart = np.full((B,), -1_000_000, dtype=np.int32)
     alen = np.zeros((B,), dtype=np.int32)
-    rope_start = np.zeros((B,), dtype=np.int32)
-    kv_min = np.full((B,), tcap - 1, dtype=np.int32)
-    audio_rows = []
-    for b, (st, w) in enumerate(works):
-        ids_arr[b, pads[b] :] = np.asarray(w.ids, dtype=np.int32)
-        astart[b] = w.audio_start + pads[b]
-        alen[b] = w.enc_seq_len
-        rope_start[b] = -pads[b]
-        kv_min[b] = pads[b]
+    audio_rows = [None] * B
+    a0 = None
+    for r, (st, w) in active.items():
+        ids_arr[r, pads_new[r] :] = np.asarray(w.ids, dtype=np.int32)
+        astart[r] = w.audio_start + pads_new[r]
+        alen[r] = w.enc_seq_len
         blk = w.audio_block
         if blk.shape[0] < acap:
             blk = jnp.pad(blk, ((0, acap - blk.shape[0]), (0, 0)))
         elif blk.shape[0] > acap:
             blk = blk[:acap]
-        audio_rows.append(blk)
-    # inactive pad rows duplicate row 0 (rows are independent in the batched
-    # decoder; their outputs are discarded)
-    for b in range(B_real, B):
-        ids_arr[b] = ids_arr[0]
-        astart[b] = astart[0]
-        alen[b] = alen[0]
-        rope_start[b] = rope_start[0]
-        kv_min[b] = kv_min[0]
-        audio_rows.append(audio_rows[0])
+        audio_rows[r] = blk
+        if a0 is None:
+            a0 = r
+    for r in range(B):
+        # inactive rows duplicate an active row's inputs (independent rows;
+        # outputs discarded) — their cache tail is clobbered, so invalidate
+        if r not in active:
+            ids_arr[r] = ids_arr[a0]
+            astart[r] = astart[a0]
+            alen[r] = alen[a0]
+            audio_rows[r] = audio_rows[a0]
+            cache.valid[r] = False
     audio_stack = jnp.stack(audio_rows)
 
-    kcap = bucket128(tcap + max_new + 1)
-    cache = getattr(engine, "_mstream_kv", None)
-    if cache is not None and cache[0] == (B, kcap):
-        kv = cache[1]   # stale contents are never attended (kv_min/start_pos)
-    else:
-        kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
+    # batch-uniform delta block [S, tcap): down to the shallowest reuse
+    # point among ACTIVE rows (deeper-reuse rows recompute kept tokens —
+    # identical values by determinism); width bucketed to bound shapes
+    s_rows = [pads_new[r] + reused_eff[r] for r in active]
+    S = min(s_rows)
+    blk_w = min(tcap, bucket(tcap - S, 64))
+    S = tcap - blk_w
 
-    build, prefill, decode = _batched_jits(engine)
+    build, _prefill_full, decode = _batched_jits(engine)
+    rope_start = np.asarray([S - pads_new[r] for r in range(B)], dtype=np.int32)
+    kv_min = np.asarray(pads_new, dtype=np.int32)
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    jnp.asarray(astart), jnp.asarray(alen))
-    first, kv = prefill(engine.dec_params, embeds, kv,
-                        jnp.asarray(rope_start), jnp.asarray(kv_min))
-    first_host = np.asarray(jax.device_get(first))
-    prefill_ms = (time.monotonic() * 1000.0 - t_pre0) / B_real
+    embeds_blk = jax.lax.slice_in_dim(embeds, S, tcap, axis=1)
+    first, kv = prefill_delta_j(engine.dec_params, embeds_blk, jnp.int32(S),
+                                cache.kv, jnp.asarray(rope_start),
+                                jnp.asarray(kv_min))
+    B_real = len(works)
+    prefill_ms = (time.monotonic() * 1000.0 - t_pre0) / B_real  # async (dispatch)
 
-    for b, (st, w) in enumerate(works):
-        w.reused = 0   # batched middle re-prefills fully; no KV reuse stats
+    for r, (st, w) in active.items():
+        w.reused = reused_eff[r]   # actual reuse for the stats line
         st.note_prefill(w, len(w.ids), prefill_ms)
 
     t_dec0 = time.monotonic() * 1000.0
-    rows = [[int(first_host[b])] for b in range(B)]
-    done = [int(first_host[b]) in EOS_TOKEN_IDS for b in range(B)]
+    # The first decode chunk is dispatched BEFORE the first token is
+    # fetched: its value rides back on the same tunnel round trip (~27 ms
+    # saved per round — same trick as Engine.decode_greedy).  If every row's
+    # first token is EOS the chunk's device-side early-exit returns count 0.
+    first_host = None
+    rows = {}
+    done = [r not in active for r in range(B)]
     tokens = first
     pos = tcap
     produced = 1
-    rope_offset = jnp.asarray(pads + [pads[0]] * (B - B_real), dtype=np.int32)
+    rope_offset = jnp.asarray(kv_min)          # pad of each row
     kv_min_dev = jnp.asarray(kv_min)
-    while produced < max_new and not all(done):
+    while produced < max_new:
         steps = min(BATCH_DECODE_CHUNK, max_new - produced)
         buf, count, tokens, kv = decode(engine.dec_params, tokens,
                                         jnp.int32(pos), kv, rope_offset,
                                         kv_min_dev, jnp.int32(steps))
-        buf_host, count = jax.device_get((buf, count))
+        if first_host is None:
+            first_host, buf_host, count = jax.device_get((first, buf, count))
+            first_host = np.asarray(first_host)
+            rows = {r: [int(first_host[r])] for r in active}
+            for r in active:
+                done[r] = int(first_host[r]) in EOS_TOKEN_IDS
+        else:
+            buf_host, count = jax.device_get((buf, count))
         count = int(count)
         if count == 0:
             break
-        for b in range(B):
-            if done[b]:
+        for r in active:
+            if done[r]:
                 continue
-            for t in buf_host[b][:count]:
+            for t in buf_host[r][:count]:
                 t = int(t)
-                rows[b].append(t)
+                rows[r].append(t)
                 if t in EOS_TOKEN_IDS:
-                    done[b] = True
+                    done[r] = True
                     break
         pos += count
         produced += count
-    engine._mstream_kv = ((B, kcap), kv)
+        if all(done):
+            break
+    if first_host is None:   # max_new == 1 or immediate exit: plain fetch
+        first_host = np.asarray(jax.device_get(first))
+        rows = {r: [int(first_host[r])] for r in active}
     decode_ms = (time.monotonic() * 1000.0 - t_dec0) / B_real
 
+    # ---- persist the round's cache state -------------------------------
+    cache.kv = kv
+    cache.tcap = tcap
+    cache.kcap = kcap
+    for r, (st, w) in active.items():
+        cache.lens[r] = len(w.ids)
+        cache.valid[r] = True
+
     # replay decode_greedy's consumption semantics per session
-    for b, (st, w) in enumerate(works):
+    for r, (st, w) in active.items():
         chunk_tokens = []
         n = 0
-        for t in rows[b]:
+        for t in rows[r]:
             if n >= st.max_new:
                 break
             n += 1

@@ -183,3 +183,34 @@ def test_batched_chunks_match_solo_raw_tokens(ms_engine, monkeypatch):
     # states in order; solo loop is explicit)
     for i, (s, b) in enumerate(zip(solo_runs, batched_runs)):
         assert s == b, f"session {i}: solo {s} vs batched {b}"
+
+
+def test_batched_reuse_off_matches_reuse_on(ms_engine, monkeypatch):
+    """SMOLVISION_MSTREAM_NO_REUSE=1 (full re-prefill every round) and the
+    default KV-reuse path must produce identical per-chunk tokens — the
+    batched analog of the stream-cache ON/OFF equivalence contract."""
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    clips = _clips()
+    ms_engine.past_text_conditioning = True
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append(list(chunk_tokens))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    runs = []
+    for env in ("1", None):
+        if env is None:
+            monkeypatch.delenv("SMOLVISION_MSTREAM_NO_REUSE", raising=False)
+        else:
+            monkeypatch.setenv("SMOLVISION_MSTREAM_NO_REUSE", env)
+        log.clear()
+        ms.run_streams(ms_engine, clips)
+        runs.append(list(log))
+    ms_engine.past_text_conditioning = False
+    assert runs[0] == runs[1]

@@ -47,7 +47,8 @@ def log(m):
 
 def main():
     log(f"backend={jax.default_backend()}")
-    eng = Engine(BENCH_DIR, verbose=0)
+    eng = Engine(BENCH_DIR, verbose=0,
+                 q8=os.environ.get("SMOLVISION_Q8", "") == "1")
     eng.past_text_conditioning = True
     base = load_wav(CLIP)
     audio_s = len(base) / 16000.0
@@ -56,6 +57,30 @@ def main():
     def clips():
         return [base + rng.normal(0, 1e-4, len(base)).astype(np.float32)
                 for _ in range(N)]
+
+    # stage attribution for the batched coordinator: encoder+prompt side
+    # (begin_chunk) vs the batched model middle
+    import time as _time
+
+    from smolvision_tpu.runtime import stream as _stream
+
+    stage = {"begin": 0.0, "middle": 0.0}
+    _orig_begin = _stream.StreamState.begin_chunk
+    _orig_mid = ms._run_batched_chunks
+
+    def _begin(self):
+        t0 = _time.monotonic()
+        w = _orig_begin(self)
+        stage["begin"] += _time.monotonic() - t0
+        return w
+
+    def _mid(*a, **k):
+        t0 = _time.monotonic()
+        _orig_mid(*a, **k)
+        stage["middle"] += _time.monotonic() - t0
+
+    _stream.StreamState.begin_chunk = _begin
+    ms._run_batched_chunks = _mid
 
     results = {}
     for mode, env in (("batched", None), ("threaded", "0")):
@@ -67,9 +92,16 @@ def main():
         best = float("inf")
         for _ in range(REPS):
             cs = clips()
+            stage["begin"] = stage["middle"] = 0.0
             t0 = time.monotonic()
             ms.run_streams(eng, cs)
-            best = min(best, time.monotonic() - t0)
+            took = time.monotonic() - t0
+            if took < best:
+                best = took
+                if mode == "batched":
+                    log(f"  begin_chunk(enc+prompt) {stage['begin']:.1f} s, "
+                        f"batched middle {stage['middle']:.1f} s, "
+                        f"other {took - stage['begin'] - stage['middle']:.1f} s")
         tput = N * audio_s / best
         results[mode] = tput
         log(f"{mode:9s}: {best:6.1f} s for {N} x {audio_s:.0f} s "
