@@ -142,12 +142,14 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
     row_of = {id(st): r for r, st in enumerate(states)}
 
     while True:
+        act = [st for st in states if st.active()]
+        if len(act) > 1:
+            _pre_encode_round(engine, act)
         works = []
-        for st in states:
-            if st.active():
-                w = st.begin_chunk()
-                if w is not None:
-                    works.append((st, w))
+        for st in act:
+            w = st.begin_chunk()
+            if w is not None:
+                works.append((st, w))
         if not works:
             if not any(st.active() for st in states):
                 break
@@ -172,6 +174,58 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
         _run_batched_chunks(engine, works, cache, row_of)
 
     return [st.finalize() for st in states]
+
+
+def _pre_encode_round(engine, states):
+    """Batch the round's encoder work across sessions.
+
+    begin_chunk encodes each session's newly-completed 8 s windows and its
+    partial tail SERIALLY (~10 ms of device work per call — ~100 ms/round
+    for 8 sessions).  For preloaded audio the spans each session will
+    encode are deterministic (cursor advance is pure arithmetic), so the
+    coordinator predicts them, encodes ALL of them in one batched
+    conv+transformer pass (runtime/batch_segments._encode_batch) and hands
+    the results to begin_chunk via the span-checked _pre_windows/_pre_tail
+    hooks — any prediction miss falls back to the solo encode silently.
+    SMOLVISION_MSTREAM_NO_BATCH_ENC=1 disables.
+    """
+    if os.environ.get("SMOLVISION_MSTREAM_NO_BATCH_ENC", "") == "1":
+        return
+    from smolvision_tpu.ops.mel import log_mel
+    from smolvision_tpu.runtime.batch_segments import _encode_batch
+
+    reqs = []   # (state, key, samples)
+    for st in states:
+        if st.live is not None or not st.use_enc_cache:
+            continue
+        cursor = min(st.audio_cursor + st.chunk_samples, st.total_samples)
+        ews = st.enc_window_samples
+        full_end = (cursor // ews) * ews
+        ws = st.enc_cache.next_window_start
+        while ws < full_end:
+            lo = ws - st.local_base
+            if lo < 0 or lo + ews > len(st.local):
+                break
+            reqs.append((st, ("win", ws), st.local[lo : lo + ews]))
+            ws += ews
+        if full_end < cursor:
+            lo = full_end - st.local_base
+            if 0 <= lo and cursor - st.local_base <= len(st.local):
+                reqs.append((st, ("tail", (full_end, cursor)),
+                             st.local[lo : cursor - st.local_base]))
+    if len(reqs) < 2:
+        return
+    mels = [log_mel(s) for _, _, s in reqs]
+    stack, n_toks = _encode_batch(engine, mels)
+    for i, (st, key, _) in enumerate(reqs):
+        if n_toks[i] <= 0:
+            continue
+        if key[0] == "win":
+            if getattr(st, "_pre_windows", None) is None:
+                st._pre_windows = {}
+            st._pre_windows[key[1]] = (stack[i], n_toks[i])
+        else:
+            st._pre_tail = (key[1], stack[i], n_toks[i])
 
 
 class _BatchKV:
@@ -204,12 +258,26 @@ def _mstream_jits(engine):
 
     cfg = engine.cfg
 
-    def realign(old_kv, idx):
-        # old_kv [L, 2, B, KH, Ko, D]; idx [B, Kn] -> [L, 2, B, KH, Kn, D]
-        return jnp.take_along_axis(
-            old_kv, idx[None, None, :, None, :, None], axis=4)
+    def realign(old_kv, starts, kcap_new):
+        # Per-row shift as B unrolled dynamic slices over a zero-padded
+        # copy — plain bandwidth-bound copies (~3 ms total).  A
+        # take_along_axis gather with per-row indices lowers
+        # catastrophically on TPU (~140 ms measured — same family as the
+        # batch-varying-DUS scatter landmine).
+        # old_kv [L, 2, B, KH, Ko, D]; starts [B] = old index of new row 0.
+        B_ = old_kv.shape[2]
+        # pad BOTH sides so any shift direction resolves to a valid start
+        # (a shrunk-but-partially-reused prompt shifts rows rightward)
+        padded = jnp.pad(old_kv,
+                         [(0, 0)] * 4 + [(kcap_new, kcap_new)] + [(0, 0)])
+        rows = [
+            jax.lax.dynamic_slice_in_dim(padded[:, :, r], starts[r],
+                                         kcap_new, axis=3)
+            for r in range(B_)
+        ]
+        return jnp.stack(rows, axis=2)
 
-    realign_j = jax.jit(realign)
+    realign_j = jax.jit(realign, static_argnums=(2,))
     prefill_delta_j = jax.jit(
         lambda p, e, s, k, rs, km: dec_mod.batched_prefill_delta(
             p, cfg, e, s, k, rs, km, greedy=True),
@@ -242,6 +310,24 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
 
     cfg = engine.cfg
     no_reuse = os.environ.get("SMOLVISION_MSTREAM_NO_REUSE", "") == "1"
+    # SMOLVISION_MSTREAM_DEBUG=1: per-phase stderr marks with device-fetch
+    # fences (exact but slows the round; default mode is async)
+    dbg = os.environ.get("SMOLVISION_MSTREAM_DEBUG", "") == "1"
+    _t = [time.monotonic()]
+
+    def mark(name, sync=None):
+        if not dbg:
+            return
+        import sys as _sys
+
+        import jax as _jax
+
+        if sync is not None:
+            _jax.device_get(sync)
+        now = time.monotonic()
+        print(f"    [mstream] {name}: {(now - _t[0]) * 1000:.1f} ms",
+              file=_sys.stderr, flush=True)
+        _t[0] = now
     max_new = max(st.max_new for st, _ in works)
     B = cache.B
 
@@ -268,6 +354,8 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             # next time it participates
             pads_new[r] = tcap - cache.lens[r] if cache.lens[r] else tcap - 1
 
+    mark("host-setup")
+
     # ---- realign kept rows to the new layout ---------------------------
     realign_j, prefill_delta_j = _mstream_jits(engine)
     if cache.kv is None or engine.kv_dtype != cache.kv.dtype:
@@ -275,13 +363,16 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     else:
         pads_old = [cache.tcap - l if l else cache.tcap - 1 for l in cache.lens]
         shifts = [pads_new[r] - pads_old[r] for r in range(B)]
-        if kcap != cache.kcap or any(s != 0 for s in shifts):
-            ko = cache.kv.shape[4]
-            idx = np.empty((B, kcap), dtype=np.int32)
-            base = np.arange(kcap, dtype=np.int32)
-            for r in range(B):
-                idx[r] = np.clip(base - shifts[r], 0, ko - 1)
-            cache.kv = realign_j(cache.kv, jnp.asarray(idx))
+        # only rows whose kept content matters constrain the realign:
+        # inactive rows are invalidated below regardless
+        act_shifts = {shifts[r] for r in active}
+        if kcap != cache.kcap or any(s != 0 for s in act_shifts):
+            # start (into the both-sides-padded copy) = kcap - shift;
+            # valid for either shift direction
+            starts = np.asarray([kcap - shifts[r] for r in range(B)],
+                                dtype=np.int32)
+            cache.kv = realign_j(cache.kv, jnp.asarray(starts), kcap)
+            mark("realign", cache.kv[0, 0, 0, 0, 0, 0])
 
     # ---- assemble the round's inputs -----------------------------------
     ids_arr = np.zeros((B, tcap), dtype=np.int32)
@@ -311,6 +402,7 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             audio_rows[r] = audio_rows[a0]
             cache.valid[r] = False
     audio_stack = jnp.stack(audio_rows)
+    mark("inputs", audio_stack[0, 0, 0])
 
     # batch-uniform delta block [S, tcap): down to the shallowest reuse
     # point among ACTIVE rows (deeper-reuse rows recompute kept tokens —
@@ -326,9 +418,11 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    jnp.asarray(astart), jnp.asarray(alen))
     embeds_blk = jax.lax.slice_in_dim(embeds, S, tcap, axis=1)
+    mark("build", embeds_blk[0, 0, 0])
     first, kv = prefill_delta_j(engine.dec_params, embeds_blk, jnp.int32(S),
                                 cache.kv, jnp.asarray(rope_start),
                                 jnp.asarray(kv_min))
+    mark("prefill", first[0])
     B_real = len(works)
     prefill_ms = (time.monotonic() * 1000.0 - t_pre0) / B_real  # async (dispatch)
 
@@ -381,6 +475,7 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     if first_host is None:   # max_new == 1 or immediate exit: plain fetch
         first_host = np.asarray(jax.device_get(first))
         rows = {r: [int(first_host[r])] for r in active}
+    mark("decode")
     decode_ms = (time.monotonic() * 1000.0 - t_dec0) / B_real
 
     # ---- persist the round's cache state -------------------------------
@@ -403,3 +498,4 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
                 break
             chunk_tokens.append(t)
         st.finish_chunk(w, chunk_tokens, n, decode_ms)
+    mark("feedback")

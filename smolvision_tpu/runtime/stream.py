@@ -285,7 +285,13 @@ class StreamState:
                 if lo < 0 or lo + ews > len(self.local):
                     enc_failed = True
                     break
-                arr, seq = _encode_span(engine, self.local[lo : lo + ews])
+                pre = getattr(self, "_pre_windows", None)
+                pw = pre.pop(ws, None) if pre else None
+                if pw is not None:
+                    # batched round pre-encode (runtime/multistream.py)
+                    arr, seq = pw
+                else:
+                    arr, seq = _encode_span(engine, self.local[lo : lo + ews])
                 if seq <= 0:
                     enc_failed = True
                     break
@@ -300,9 +306,17 @@ class StreamState:
 
             partial_arr, partial_seq = (None, 0)
             if w.full_end < self.audio_cursor:
-                lo = w.full_end - self.local_base
-                partial_arr, partial_seq = _encode_span(
-                    engine, self.local[lo : self.audio_cursor - self.local_base])
+                pre = getattr(self, "_pre_tail", None)
+                if pre is not None and pre[0] == (w.full_end, self.audio_cursor):
+                    # batched round pre-encode (runtime/multistream.py)
+                    partial_arr, partial_seq = pre[1], pre[2]
+                else:
+                    lo = w.full_end - self.local_base
+                    partial_arr, partial_seq = _encode_span(
+                        engine, self.local[lo : self.audio_cursor - self.local_base])
+            # pre-encodes are single-round: never reuse stale entries
+            self._pre_tail = None
+            self._pre_windows = None
 
             segs = [(arr, seq, uid)
                     for (_, arr, seq, uid) in self.enc_cache.windows]
