@@ -143,6 +143,7 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
 
     while True:
         act = [st for st in states if st.active()]
+        _compact_rows(engine, cache, row_of, act)
         if len(act) > 1:
             _pre_encode_round(engine, act)
         works = []
@@ -174,6 +175,44 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
         _run_batched_chunks(engine, works, cache, row_of)
 
     return [st.finalize() for st in states]
+
+
+def _compact_rows(engine, cache: "_BatchKV", row_of, act_states):
+    """Shrink the batch bucket when enough sessions have drained.
+
+    Mixed-duration fleets otherwise keep paying the original B for every
+    decode step after short sessions finish.  Surviving sessions' rows are
+    copied into a fresh smaller cache (per-row static slices — a plain
+    copy) and re-numbered 0..n-1; triggered only when the pow2 bucket
+    actually halves, so at most log2(B) compactions per run.
+    """
+    n = len(act_states)
+    if n == 0 or cache.kv is None:
+        return
+    new_b = max(2, 1 << (n - 1).bit_length())
+    if new_b >= cache.B:
+        return
+    import jax
+    import jax.numpy as jnp
+
+    keep = []
+    for i, st in enumerate(act_states):
+        keep.append(row_of[id(st)])
+    while len(keep) < new_b:          # pad rows: duplicate row 0 (garbage)
+        keep.append(keep[0])
+
+    def compact(old_kv):
+        return jnp.stack([old_kv[:, :, r] for r in keep], axis=2)
+
+    cache.kv = jax.jit(compact)(cache.kv)
+    cache.lens = [cache.lens[r] for r in keep]
+    cache.valid = [cache.valid[r] for r in keep]
+    for i in range(new_b - len(act_states)):
+        cache.valid[len(act_states) + i] = False
+    cache.B = new_b
+    row_of.clear()
+    for i, st in enumerate(act_states):
+        row_of[id(st)] = i
 
 
 def _pre_encode_round(engine, states):
