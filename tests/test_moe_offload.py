@@ -121,3 +121,21 @@ def test_offload_transcribe_segment_matches(engines, speech_like_audio):
     t0, n0 = res.transcribe_segment(speech_like_audio)
     t1, n1 = off.transcribe_segment(speech_like_audio)
     assert (t0, n0) == (t1, n1)
+
+
+def test_offload_with_q8(tiny_moe_model_dir, speech_like_audio):
+    """--moe-offload composes with --q8: resident weights quantize, experts
+    stay in the host store (checkpoint dtype), the gathered-block einsum
+    path takes plain arrays."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.ops.quant import QuantW
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_moe_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32, moe_offload=True, q8=True)
+    assert eng.moe_offload and eng.q8
+    assert isinstance(eng.dec_params["layers"]["wqkv"], QuantW)
+    assert eng.dec_params["layers"]["e_gate"] is None
+    text, _ = eng.transcribe_segment(speech_like_audio)
+    assert isinstance(text, str)
