@@ -183,12 +183,13 @@ def main() -> int:
         })
 
     # ---- multi-stream: 8 concurrent 45 s streaming sessions ------------
-    # NOT in the default set: the batched coordinator's warmup compiles a
-    # ladder of (tcap, delta, B) buckets and has been measured anywhere from
-    # 5 to 17 MINUTES under the axon server's compile variance — too risky
-    # for the driver's budget.  Run with SMOLVISION_BENCH_ONLY=multistream.
-    # Measured 2026-08-17: 55.5 s_speech_per_s (11.8x the C engine's
-    # single-stream 4.69x), warm runs 6.5-7.7 s for 8 x 45 s.
+    # NOT in the default set: the batched coordinator's first-touch warmup
+    # compiles a ladder of (tcap, delta, B) buckets; the concurrent prewarm
+    # (multistream._prewarm_batched) cut it 1032 s -> 187 s, but that is
+    # still the bench's most variance-exposed config — run it explicitly
+    # with SMOLVISION_BENCH_ONLY=multistream.  Measured 2026-08-17:
+    # 56.0 s_speech_per_s (11.9x the C engine's single-stream 4.69x),
+    # warm runs 6.4-8.1 s for 8 x 45 s.
     if "multistream" in only:
         from smolvision_tpu.runtime import multistream as ms_mod
 

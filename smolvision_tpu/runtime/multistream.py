@@ -140,6 +140,10 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
 
     cache = _BatchKV(len(states))
     row_of = {id(st): r for r, st in enumerate(states)}
+    if len(states) > 1:
+        _prewarm_batched(engine, cache.B,
+                         max(len(np.asarray(s)) for s in sources),
+                         max(st.max_new for st in states))
 
     while True:
         act = [st for st in states if st.active()]
@@ -175,6 +179,87 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
         _run_batched_chunks(engine, works, cache, row_of)
 
     return [st.finalize() for st in states]
+
+
+def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
+    """Issue the coordinator's program ladder to the compile service UP
+    FRONT, concurrently.
+
+    The coordinator discovers its shapes round-by-round (tcap grows as
+    prompts grow), so without this the big prefill/decode compiles
+    SERIALIZE across rounds — measured warmups of 6-17 min.  Server-side
+    compiles overlap when issued concurrently (docs/COLDSTART.md,
+    tools/probe_parallel_compile.py) and the compile service caches by
+    program, so lowering the ladder here and firing .compile() from a
+    thread pool lets the server crunch every shape while the early rounds
+    execute.  Traces run serially (single-core host); only the compile
+    RPCs fan out.  SMOLVISION_MSTREAM_NO_PREWARM=1 disables.
+    """
+    if os.environ.get("SMOLVISION_MSTREAM_NO_PREWARM", "") == "1":
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        # only the axon remote-compile service returns from .compile()
+        # before the real compile finishes; a local backend would BLOCK
+        # here for the whole ladder (and CPU tests would crawl)
+        return
+
+    from smolvision_tpu.runtime.batch_segments import _batched_jits
+    from smolvision_tpu.runtime.buckets import bucket128
+
+    cfg = engine.cfg
+    key = (B, max_src_samples // 16000, max_new, str(engine.kv_dtype))
+    warmed = getattr(engine, "_mstream_prewarmed", None)
+    if warmed is None:
+        warmed = engine._mstream_prewarmed = set()
+    if key in warmed:
+        return
+    warmed.add(key)
+    _, prefill_delta_j = _mstream_jits(engine)
+    _, _, decode_j = _batched_jits(engine)
+
+    # prompt-length ceiling from the audio length: template+suffix+prefix
+    # (~190 tokens) + up to MAX_ENC_WINDOWS' worth of audio tokens
+    ews = cfg.enc_n_window_infer * 160   # frames -> samples (8 s default)
+    n_win = min(4, max(1, (max_src_samples + ews - 1) // ews))
+    wts = cfg.window_token_size()
+    est = 190 + (n_win + 1) * wts
+    top = bucket128(est)
+
+    H = cfg.dec_hidden
+    KH = cfg.dec_kv_heads
+    D = cfg.dec_head_dim
+    L = cfg.dec_layers
+    f32 = jnp.float32
+    i32 = jnp.int32
+    S = jax.ShapeDtypeStruct
+    pshape = jax.tree_util.tree_map(
+        lambda x: S(x.shape, x.dtype), engine.dec_params)
+
+    lowered = []
+    seen = set()
+    for tcap in range(128, top + 1, 128):
+        kcap = bucket128(tcap + max_new + 1)
+        kv_s = S((L, 2, B, KH, kcap, D), engine.kv_dtype)
+        if ("dec", kcap) not in seen:
+            seen.add(("dec", kcap))
+            lowered.append(decode_j.lower(
+                pshape, S((B,), i32), S((), i32), kv_s, S((B,), i32),
+                S((B,), i32), S((), i32)))
+        for blk in (64, 128, 256, tcap):
+            blk = min(blk, tcap)
+            if ("pf", blk, kcap) in seen:
+                continue
+            seen.add(("pf", blk, kcap))
+            lowered.append(prefill_delta_j.lower(
+                pshape, S((B, blk, H), f32), S((), i32), kv_s,
+                S((B,), i32), S((B,), i32)))
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda lw: lw.compile(), lowered))
 
 
 def _compact_rows(engine, cache: "_BatchKV", row_of, act_states):
