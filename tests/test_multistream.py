@@ -214,3 +214,15 @@ def test_batched_reuse_off_matches_reuse_on(ms_engine, monkeypatch):
         runs.append(list(log))
     ms_engine.past_text_conditioning = False
     assert runs[0] == runs[1]
+
+
+def test_prewarm_noop_on_cpu(ms_engine):
+    """_prewarm_batched must return immediately off-TPU (a local backend
+    would block on the whole compile ladder)."""
+    import time
+
+    from smolvision_tpu.runtime import multistream as ms
+
+    t0 = time.monotonic()
+    ms._prewarm_batched(ms_engine, 8, 16000 * 45, 32)
+    assert time.monotonic() - t0 < 2.0
