@@ -226,3 +226,63 @@ def test_prewarm_noop_on_cpu(ms_engine):
     t0 = time.monotonic()
     ms._prewarm_batched(ms_engine, 8, 16000 * 45, 32)
     assert time.monotonic() - t0 < 2.0
+
+
+def test_batched_matches_solo_with_eviction(tiny_model_dir, monkeypatch):
+    """Encoder-window EVICTION rounds drop the oldest window's audio rows
+    mid-prompt: the signature LCP collapses to the pre-audio template
+    tokens, forcing a deep recompute over reused rows — prompt-composition
+    churn no other test reaches (short clips never evict).  1 s windows
+    make 6-8 s clips evict; raw per-chunk tokens must still equal solo
+    exactly.  (A NET prompt shrink with nonzero reuse — the rightward-
+    shift realign branch — is practically unreachable: evictions keep the
+    window count constant and recovery resets clear the signature first;
+    the two-sided realign padding covers it defensively regardless.)"""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32, enc_window_sec=1.0)
+    eng.stream_max_new_tokens = 6
+    eng.max_tokens = 16
+    eng.past_text_conditioning = True
+
+    rng = np.random.default_rng(33)
+    clips = []
+    for n in (6, 8):                       # > 4 windows at 1 s -> evictions
+        t = np.arange(n * 16000) / 16000.0
+        sig = (0.3 * np.sin(2 * np.pi * (180 + 25 * n) * t)
+               + 0.02 * rng.standard_normal(len(t)))
+        clips.append(sig.astype(np.float32))
+
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append((id(self), list(chunk_tokens)))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    solo = []
+    for c in clips:
+        s = ms.clone_session(eng)
+        s.token_cb = lambda piece: None
+        log.clear()
+        stream_mod.transcribe_stream(s, c)
+        solo.append([t for _, t in log])
+
+    log.clear()
+    ms.run_streams(eng, clips)
+    per, order = {}, []
+    for sid, toks in log:
+        if sid not in per:
+            order.append(sid)
+            per[sid] = []
+        per[sid].append(toks)
+    batched = [per[sid] for sid in order]
+    for i, (s, b) in enumerate(zip(solo, batched)):
+        assert s == b, f"session {i}: solo {s} vs batched {b}"
