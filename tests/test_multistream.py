@@ -286,3 +286,95 @@ def test_batched_matches_solo_with_eviction(tiny_model_dir, monkeypatch):
     batched = [per[sid] for sid in order]
     for i, (s, b) in enumerate(zip(solo, batched)):
         assert s == b, f"session {i}: solo {s} vs batched {b}"
+
+
+def test_batched_q8_matches_solo_q8(tiny_model_dir, monkeypatch):
+    """QuantW weights flow through every batched-coordinator path (delta
+    prefill, decode chunks, realign, pre-encode): per-chunk tokens of a q8
+    batched run must equal q8 solo runs."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32, q8=True)
+    eng.stream_max_new_tokens = 6
+    eng.max_tokens = 16
+    eng.past_text_conditioning = True
+    clips = _clips()
+
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append((id(self), list(chunk_tokens)))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    solo = []
+    for c in clips:
+        s = ms.clone_session(eng)
+        s.token_cb = lambda piece: None
+        log.clear()
+        stream_mod.transcribe_stream(s, c)
+        solo.append([t for _, t in log])
+    log.clear()
+    ms.run_streams(eng, clips)
+    per, order = {}, []
+    for sid, toks in log:
+        if sid not in per:
+            order.append(sid)
+            per[sid] = []
+        per[sid].append(toks)
+    batched = [per[sid] for sid in order]
+    for i, (s, b) in enumerate(zip(solo, batched)):
+        assert s == b, f"session {i}: solo {s} vs batched {b}"
+
+
+def test_batched_deep_compaction_matches_solo(ms_engine, monkeypatch):
+    """Five mixed-duration sessions (B bucket 8) drain down through TWO
+    compactions (8 -> 4 -> 2); per-chunk tokens must stay equal to solo."""
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    rng = np.random.default_rng(77)
+    clips = []
+    for n in (3, 3, 4, 5, 7):
+        t = np.arange(n * 16000) / 16000.0
+        sig = (0.3 * np.sin(2 * np.pi * (140 + 20 * n) * t)
+               + 0.02 * rng.standard_normal(len(t)))
+        clips.append(sig.astype(np.float32))
+    ms_engine.past_text_conditioning = True
+
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append((id(self), list(chunk_tokens)))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    solo = []
+    for c in clips:
+        s = ms.clone_session(ms_engine)
+        s.token_cb = lambda piece: None
+        log.clear()
+        stream_mod.transcribe_stream(s, c)
+        solo.append([t for _, t in log])
+    log.clear()
+    ms.run_streams(ms_engine, clips)
+    ms_engine.past_text_conditioning = False
+    per, order = {}, []
+    for sid, toks in log:
+        if sid not in per:
+            order.append(sid)
+            per[sid] = []
+        per[sid].append(toks)
+    batched = [per[sid] for sid in order]
+    assert len(batched) == len(solo)
+    for i, (s, b) in enumerate(zip(solo, batched)):
+        assert s == b, f"session {i}: solo {s} vs batched {b}"
