@@ -478,7 +478,8 @@ def make_batched_kv(cfg: ModelConfig, batch: int, kv_cap: int, dtype=jnp.bfloat1
 
 
 def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
-                                cfg: ModelConfig, kv_min):
+                                cfg: ModelConfig, kv_min, prompt_max=None,
+                                region_start=None):
     """Batched causal GQA attention: frozen cache prefix [kv_min[b],
     start_pos) + fresh in-block rows, merged by online softmax.
 
@@ -506,6 +507,13 @@ def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
     cache_cols = jnp.arange(Kcap)
     mask_a = ((cache_cols[None, :] < start_pos)
               & (cache_cols[None, :] >= kv_min[:, None]))        # [B, K]
+    if prompt_max is not None:
+        # NATURAL layout (multistream KV reuse): live rows are the prompt
+        # region [0, prompt_max[b]) plus the shared decode region
+        # [region_start, start_pos); [prompt_max[b], region_start) is
+        # end-pad garbage
+        mask_a = mask_a & ((cache_cols[None, :] < prompt_max[:, None])
+                           | (cache_cols[None, :] >= region_start))
     mask_a = mask_a[:, None, None, None, :]
     sa = jnp.where(mask_a, sa, -jnp.inf)
 
@@ -534,7 +542,8 @@ def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
 
 def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
                             rope_start, kv_min, fresh_prefill: bool = False,
-                            tp: int = 1, ep: bool = False):
+                            tp: int = 1, ep: bool = False, prompt_max=None,
+                            region_start=None):
     """Run the layer stack over `embeds` [B, Tcap, H] written into cache rows
     start_pos..start_pos+Tcap-1 (batch-uniform scalar — left-padded layout).
 
@@ -566,10 +575,15 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
              and Tcap % min(128, Tcap) == 0
              and (Tcap >= BATCHED_FLASH_MIN_T or pallas_forced()))
 
-    # left-pad rows (cache position < kv_min[b]) must not consume MoE
-    # expert capacity — flattened [B*Tcap] validity for _moe_ffn
-    row_valid = ((start_pos + jnp.arange(Tcap))[None, :]
-                 >= kv_min[:, None]).reshape(B * Tcap)
+    # pad rows must not consume MoE expert capacity — flattened [B*Tcap]
+    # validity for _moe_ffn (left-pad rows below kv_min; with a natural
+    # layout, also end-pad rows in [prompt_max[b], region_start))
+    pos_blk = (start_pos + jnp.arange(Tcap))[None, :]
+    row_valid = pos_blk >= kv_min[:, None]
+    if prompt_max is not None:
+        row_valid = row_valid & ((pos_blk < prompt_max[:, None])
+                                 | (pos_blk >= region_start))
+    row_valid = row_valid.reshape(B * Tcap)
 
     q_dim = H * D
     kv_dim = KH * D
@@ -593,7 +607,8 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
                                                   gqa_groups=H // KH)
         else:
             attn = _batched_attention_two_part(
-                q, k, v, kv_layer[0], kv_layer[1], start_pos, cfg, kv_min)
+                q, k, v, kv_layer[0], kv_layer[1], start_pos, cfg, kv_min,
+                prompt_max=prompt_max, region_start=region_start)
         attn = attn.reshape(B, Tcap, H * D)
         h = h + proj("bta,oa->bto", attn.astype(wdt), lp["wo"])
 
@@ -646,7 +661,8 @@ def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start, kv_min,
 
 def batched_prefill_delta(params, cfg: ModelConfig, embeds, start_pos, kv,
                           rope_start, kv_min, greedy: bool = True,
-                          tp: int = 1, ep: bool = False):
+                          tp: int = 1, ep: bool = False, last_rows=None,
+                          prompt_max=None, region_start=None):
     """Streaming-serving TAIL prefill: the block writes cache rows
     [start_pos, start_pos+T) for every row, with each row's LAST prompt
     token at start_pos+T-1 (left-padded ends align at Tcap).
@@ -662,8 +678,15 @@ def batched_prefill_delta(params, cfg: ModelConfig, embeds, start_pos, kv,
     Returns (tokens | logits, kv')."""
     B, T, _ = embeds.shape
     hidden, kv = batched_decoder_forward(
-        params, cfg, embeds, start_pos, kv, rope_start, kv_min, tp=tp, ep=ep)
-    logits = batched_logits(params, cfg, hidden[:, T - 1])
+        params, cfg, embeds, start_pos, kv, rope_start, kv_min, tp=tp, ep=ep,
+        prompt_max=prompt_max, region_start=region_start)
+    if last_rows is None:
+        h_last = hidden[:, T - 1]     # left-padded: ends align at T-1
+    else:
+        # natural layout: row b's last prompt token sits at last_rows[b]
+        h_last = jnp.take_along_axis(
+            hidden, last_rows[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = batched_logits(params, cfg, h_last)
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
     return logits, kv
@@ -671,7 +694,8 @@ def batched_prefill_delta(params, cfg: ModelConfig, embeds, start_pos, kv,
 
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                          n_steps_cap: int, rope_offset, kv_min, n_steps=None,
-                         tp: int = 1, ep: bool = False):
+                         tp: int = 1, ep: bool = False, prompt_max=None,
+                         region_start=None):
     """Greedy-decode up to n_steps tokens for every batch row, exiting early
     once EVERY row has emitted an EOS (rows that finish first keep decoding
     garbage into the buffer until then — the host truncates at EOS).
@@ -699,7 +723,8 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
         p = pos + i
         embeds = embed_rows(params["embed"], toks)[:, None, :]
         hidden, kv_ = batched_decoder_forward(
-            params, cfg, embeds, p, kv_, p - rope_offset, kv_min, tp=tp, ep=ep)
+            params, cfg, embeds, p, kv_, p - rope_offset, kv_min, tp=tp, ep=ep,
+            prompt_max=prompt_max, region_start=region_start)
         logits = batched_logits(params, cfg, hidden[:, 0])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         buf_ = jax.lax.dynamic_update_slice(buf_, nxt[:, None], (0, i))

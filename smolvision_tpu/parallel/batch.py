@@ -40,7 +40,8 @@ def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start=None,
 
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                          n_steps_cap: int, rope_offset=None, kv_min=None,
-                         n_steps=None, tp: int = 1, ep: bool = False):
+                         n_steps=None, tp: int = 1, ep: bool = False,
+                         prompt_max=None, region_start=None):
     """Greedy-decode up to n_steps (traced, <= static n_steps_cap) tokens for
     every batch row, with on-device all-rows-EOS early exit.
 
@@ -55,7 +56,9 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
         kv_min = jnp.zeros_like(tokens)
     return dec_mod.batched_decode_chunk(params, cfg, tokens, pos, kv,
                                         n_steps_cap, rope_offset, kv_min,
-                                        n_steps=n_steps, tp=tp, ep=ep)
+                                        n_steps=n_steps, tp=tp, ep=ep,
+                                        prompt_max=prompt_max,
+                                        region_start=region_start)
 
 
 def trim_eos(row) -> list:

@@ -122,14 +122,14 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
     Every session keeps its own StreamState (encoder window cache, commit
     frontier, recovery logic — runtime/stream.py); only the model-call
     middle of each chunk is replaced.  The batched middle REUSES each
-    session's KV across rounds (_BatchKV): sessions keep a FIXED batch row
-    for their lifetime; each round the kept rows are realigned to the new
-    left-padded layout with one index-gather over the cache, and only the
-    tail block below the shallowest per-row reuse point is re-prefilled
-    (token-exact by greedy determinism — rows with deeper reuse recompute a
-    few kept tokens into identical values).  SMOLVISION_MSTREAM_NO_REUSE=1
-    forces the round-1 behavior (full re-prefill every round) — the
-    degraded path the equivalence tests compare against.
+    session's KV across rounds (_BatchKV, NATURAL layout): sessions keep a
+    FIXED batch row and their prompt KV sits at its logical positions, so
+    kept rows never move; only the tail block below the shallowest per-row
+    reuse point is re-prefilled (token-exact by greedy determinism — rows
+    with deeper reuse recompute a few kept tokens into identical values),
+    and the bounded decodes run in a shared decode region past the prompt
+    cap.  SMOLVISION_MSTREAM_NO_REUSE=1 forces full re-prefill every round
+    — the degraded path the equivalence tests compare against.
     """
     states = []
     for i, src in enumerate(sources):
@@ -219,8 +219,7 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
     if key in warmed:
         return
     warmed.add(key)
-    _, prefill_delta_j = _mstream_jits(engine)
-    _, _, decode_j = _batched_jits(engine)
+    _, prefill_delta_j, decode_j = _mstream_jits(engine)
 
     # prompt-length ceiling from the audio length: template+suffix+prefix
     # (~190 tokens) + up to MAX_ENC_WINDOWS' worth of audio tokens
@@ -240,24 +239,29 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
     pshape = jax.tree_util.tree_map(
         lambda x: S(x.shape, x.dtype), engine.dec_params)
 
+    from smolvision_tpu.runtime.batch_segments import BATCH_DECODE_CHUNK
+    from smolvision_tpu.runtime.buckets import bucket
+
+    dec_w = max(BATCH_DECODE_CHUNK, bucket(max_new, 64))
     lowered = []
     seen = set()
-    for tcap in range(128, top + 1, 128):
-        kcap = bucket128(tcap + max_new + 1)
+    for pcap in range(128, top + 1, 128):
+        kcap = pcap + dec_w
         kv_s = S((L, 2, B, KH, kcap, D), engine.kv_dtype)
         if ("dec", kcap) not in seen:
             seen.add(("dec", kcap))
             lowered.append(decode_j.lower(
                 pshape, S((B,), i32), S((), i32), kv_s, S((B,), i32),
-                S((B,), i32), S((), i32)))
-        for blk in (64, 128, 256, tcap):
-            blk = min(blk, tcap)
+                S((B,), i32), S((B,), i32), S((), i32), S((), i32)))
+        for blk in (64, 128, 256, pcap):
+            blk = min(blk, pcap)
             if ("pf", blk, kcap) in seen:
                 continue
             seen.add(("pf", blk, kcap))
             lowered.append(prefill_delta_j.lower(
                 pshape, S((B, blk, H), f32), S((), i32), kv_s,
-                S((B,), i32), S((B,), i32)))
+                S((B,), i32), S((B,), i32), S((B,), i32), S((B,), i32),
+                S((), i32)))
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(lambda lw: lw.compile(), lowered))
 
@@ -353,25 +357,30 @@ def _pre_encode_round(engine, states):
 
 
 class _BatchKV:
-    """Round-persistent batched KV cache: each session owns a fixed row.
+    """Round-persistent batched KV cache in the NATURAL layout: each session
+    owns a fixed row, and its prompt KV lives at its LOGICAL positions
+    [0, lens[r]) — rows never move between rounds (no realign).  The shared
+    decode region sits at [pcap, kcap): every round's bounded decode writes
+    there batch-uniformly and is overwritten next round.  End-pad garbage in
+    [lens[r], pcap) is masked out of attention via prompt_max.  Growing pcap
+    is ONE contiguous block copy (positions are absolute), preserving reuse.
 
-    lens[r] = prompt length whose KV rows are currently held for row r
-    (left-padded: rows [tcap - lens[r], tcap)); valid[r] = those rows match
-    the session's last prompt signature (cleared when the session runs
-    solo, skips a round — its tail rows get clobbered by the shared block
-    write — or has not participated yet)."""
+    valid[r] = row r's kept rows match its session's last prompt signature
+    (cleared when the session runs solo, or skips a round — the shared block
+    write clobbers its rows — or has not participated yet)."""
 
     def __init__(self, n_sessions: int):
         self.B = max(2, 1 << (max(1, n_sessions) - 1).bit_length())
         self.kv = None
-        self.tcap = 0
+        self.pcap = 0
         self.kcap = 0
         self.lens = [0] * self.B
         self.valid = [False] * self.B
 
 
 def _mstream_jits(engine):
-    """Jitted realign + delta-prefill for the batched coordinator."""
+    """Jitted cache-grow + delta-prefill + decode for the batched
+    coordinator (natural layout)."""
     cached = getattr(engine, "_mstream_jits_cache", None)
     if cached is not None:
         return cached
@@ -379,42 +388,46 @@ def _mstream_jits(engine):
     import jax.numpy as jnp
 
     from smolvision_tpu.models import qwen3_decoder as dec_mod
+    from smolvision_tpu.parallel import batch as pbatch
+    from smolvision_tpu.runtime.batch_segments import BATCH_DECODE_CHUNK
 
     cfg = engine.cfg
 
-    def realign(old_kv, starts, kcap_new):
-        # Per-row shift as B unrolled dynamic slices over a zero-padded
-        # copy — plain bandwidth-bound copies (~3 ms total).  A
-        # take_along_axis gather with per-row indices lowers
-        # catastrophically on TPU (~140 ms measured — same family as the
-        # batch-varying-DUS scatter landmine).
-        # old_kv [L, 2, B, KH, Ko, D]; starts [B] = old index of new row 0.
-        B_ = old_kv.shape[2]
-        # pad BOTH sides so any shift direction resolves to a valid start
-        # (a shrunk-but-partially-reused prompt shifts rows rightward)
-        padded = jnp.pad(old_kv,
-                         [(0, 0)] * 4 + [(kcap_new, kcap_new)] + [(0, 0)])
-        rows = [
-            jax.lax.dynamic_slice_in_dim(padded[:, :, r], starts[r],
-                                         kcap_new, axis=3)
-            for r in range(B_)
-        ]
-        return jnp.stack(rows, axis=2)
+    def grow(old_kv, kcap_new):
+        # positions are absolute in the natural layout: growing the cache
+        # is ONE contiguous block copy, reuse preserved
+        new = jnp.zeros(old_kv.shape[:4] + (kcap_new,) + old_kv.shape[5:],
+                        old_kv.dtype)
+        return jax.lax.dynamic_update_slice(
+            new, old_kv, (0, 0, 0, 0, 0, 0))
 
-    realign_j = jax.jit(realign, static_argnums=(2,))
+    grow_j = jax.jit(grow, static_argnums=(1,))
     prefill_delta_j = jax.jit(
-        lambda p, e, s, k, rs, km: dec_mod.batched_prefill_delta(
-            p, cfg, e, s, k, rs, km, greedy=True),
+        lambda p, e, s, k, rs, km, lr, pm, rg: dec_mod.batched_prefill_delta(
+            p, cfg, e, s, k, rs, km, greedy=True, last_rows=lr,
+            prompt_max=pm, region_start=rg),
         donate_argnums=(3,))
-    engine._mstream_jits_cache = (realign_j, prefill_delta_j)
+    decode_j = jax.jit(
+        lambda p, t, pos, k, off, km, pm, rg, ns: pbatch.batched_decode_chunk(
+            p, cfg, t, pos, k, BATCH_DECODE_CHUNK, rope_offset=off,
+            kv_min=km, n_steps=ns, prompt_max=pm, region_start=rg),
+        donate_argnums=(3,))
+    engine._mstream_jits_cache = (grow_j, prefill_delta_j, decode_j)
     return engine._mstream_jits_cache
 
 
 def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
-    """One shared-clock round: realign kept KV rows to this round's layout,
-    batch every active session's (delta prefill + bounded greedy decode)
-    through the batch-native decoder, then feed each session's tokens back
-    into its own StreamState.
+    """One shared-clock round: batch every active session's (delta prefill +
+    bounded greedy decode) through the batch-native decoder in the NATURAL
+    cache layout, then feed each session's tokens back into its StreamState.
+
+    Layout per row b: prompt KV at logical positions [0, len_b) (kept rows
+    NEVER move between rounds), end-pad garbage [len_b, pcap) masked via
+    prompt_max, the shared decode region at [pcap, kcap) rewritten each
+    round.  Only the tail block [S, S+W) below the shallowest per-row reuse
+    point re-prefills (S = min over active rows of reused_b) — rows with
+    deeper reuse recompute kept tokens into bit-identical values, so
+    exactness vs solo holds by greedy determinism.
 
     Exact-token contract: the reconstruction below replays Engine.
     decode_greedy's loop semantics per row (first token from prefill, EOS
@@ -452,62 +465,47 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
         print(f"    [mstream] {name}: {(now - _t[0]) * 1000:.1f} ms",
               file=_sys.stderr, flush=True)
         _t[0] = now
+
     max_new = max(st.max_new for st, _ in works)
     B = cache.B
-
-    tcap = max(cache.tcap, bucket128(max(len(w.ids) for _, w in works)))
-    kcap = bucket128(tcap + max_new + 1)
+    max_len = max(len(w.ids) for _, w in works)
+    pcap = max(cache.pcap, bucket128(max_len))
+    kcap = pcap + max(BATCH_DECODE_CHUNK, bucket(max_new, 64))
     acap = bucket(max(w.enc_seq_len for _, w in works), 16)
 
     t_pre0 = time.monotonic() * 1000.0
 
-    # ---- per-row layout + effective reuse ------------------------------
+    # ---- per-row reuse --------------------------------------------------
     active = {row_of[id(st)]: (st, w) for st, w in works}
-    pads_new = [0] * B
+    lens_new = [0] * B
     reused_eff = [0] * B
-    for r in range(B):
-        if r in active:
-            st, w = active[r]
-            n = len(w.ids)
-            pads_new[r] = tcap - n
-            if cache.valid[r] and not no_reuse:
-                reused_eff[r] = max(0, min(w.reused, cache.lens[r], n - 1))
-        else:
-            # row keeps its previous geometry; its tail rows get clobbered
-            # by the shared block write below, so it must re-prefill fully
-            # next time it participates
-            pads_new[r] = tcap - cache.lens[r] if cache.lens[r] else tcap - 1
+    for r, (st, w) in active.items():
+        n = len(w.ids)
+        lens_new[r] = n
+        if cache.valid[r] and not no_reuse:
+            reused_eff[r] = max(0, min(w.reused, cache.lens[r], n - 1))
 
     mark("host-setup")
 
-    # ---- realign kept rows to the new layout ---------------------------
-    realign_j, prefill_delta_j = _mstream_jits(engine)
+    grow_j, prefill_delta_j, decode_j = _mstream_jits(engine)
     if cache.kv is None or engine.kv_dtype != cache.kv.dtype:
         cache.kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
-    else:
-        pads_old = [cache.tcap - l if l else cache.tcap - 1 for l in cache.lens]
-        shifts = [pads_new[r] - pads_old[r] for r in range(B)]
-        # only rows whose kept content matters constrain the realign:
-        # inactive rows are invalidated below regardless
-        act_shifts = {shifts[r] for r in active}
-        if kcap != cache.kcap or any(s != 0 for s in act_shifts):
-            # start (into the both-sides-padded copy) = kcap - shift;
-            # valid for either shift direction
-            starts = np.asarray([kcap - shifts[r] for r in range(B)],
-                                dtype=np.int32)
-            cache.kv = realign_j(cache.kv, jnp.asarray(starts), kcap)
-            mark("realign", cache.kv[0, 0, 0, 0, 0, 0])
+    elif kcap > cache.kcap:
+        cache.kv = grow_j(cache.kv, kcap)
+        mark("grow", cache.kv[0, 0, 0, 0, 0, 0])
 
-    # ---- assemble the round's inputs -----------------------------------
-    ids_arr = np.zeros((B, tcap), dtype=np.int32)
+    # ---- assemble the round's inputs (natural layout: no left pad) -----
+    ids_arr = np.zeros((B, pcap), dtype=np.int32)
     astart = np.full((B,), -1_000_000, dtype=np.int32)
     alen = np.zeros((B,), dtype=np.int32)
+    prompt_max = np.zeros((B,), dtype=np.int32)
     audio_rows = [None] * B
     a0 = None
     for r, (st, w) in active.items():
-        ids_arr[r, pads_new[r] :] = np.asarray(w.ids, dtype=np.int32)
-        astart[r] = w.audio_start + pads_new[r]
+        ids_arr[r, : lens_new[r]] = np.asarray(w.ids, dtype=np.int32)
+        astart[r] = w.audio_start
         alen[r] = w.enc_seq_len
+        prompt_max[r] = lens_new[r]
         blk = w.audio_block
         if blk.shape[0] < acap:
             blk = jnp.pad(blk, ((0, acap - blk.shape[0]), (0, 0)))
@@ -518,7 +516,8 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             a0 = r
     for r in range(B):
         # inactive rows duplicate an active row's inputs (independent rows;
-        # outputs discarded) — their cache tail is clobbered, so invalidate
+        # outputs discarded; prompt_max 0 masks their rows) — their kept
+        # rows are clobbered by the shared block write, so invalidate
         if r not in active:
             ids_arr[r] = ids_arr[a0]
             astart[r] = astart[a0]
@@ -526,26 +525,31 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             audio_rows[r] = audio_rows[a0]
             cache.valid[r] = False
     audio_stack = jnp.stack(audio_rows)
-    mark("inputs", audio_stack[0, 0, 0])
 
-    # batch-uniform delta block [S, tcap): down to the shallowest reuse
+    # batch-uniform delta block [S, S+W): down to the shallowest reuse
     # point among ACTIVE rows (deeper-reuse rows recompute kept tokens —
-    # identical values by determinism); width bucketed to bound shapes
-    s_rows = [pads_new[r] + reused_eff[r] for r in active]
-    S = min(s_rows)
-    blk_w = min(tcap, bucket(tcap - S, 64))
-    S = tcap - blk_w
+    # identical values by determinism).  S is FLOORED to a 64 multiple and
+    # W bucketed: the eager embeds slice below bakes its start into the
+    # compiled program, so an unbucketed S would trigger a fresh tiny
+    # compile (~70-90 ms over the tunnel) nearly every round.
+    S = (min(reused_eff[r] for r in active) // 64) * 64
+    W = min(bucket(max_len - S, 64), pcap - S)
 
-    build, _prefill_full, decode = _batched_jits(engine)
-    rope_start = np.asarray([S - pads_new[r] for r in range(B)], dtype=np.int32)
-    kv_min = np.asarray(pads_new, dtype=np.int32)
+    build, _prefill_full, _decode_lp = _batched_jits(engine)
+    rope_start = np.full((B,), S, dtype=np.int32)   # logical == cache pos
+    kv_min = np.zeros((B,), dtype=np.int32)
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    jnp.asarray(astart), jnp.asarray(alen))
-    embeds_blk = jax.lax.slice_in_dim(embeds, S, tcap, axis=1)
-    mark("build", embeds_blk[0, 0, 0])
+    embeds_blk = jax.lax.dynamic_slice_in_dim(embeds, S, W, axis=1)
+    last_rows = np.asarray(
+        [max(0, lens_new[r] - 1 - S) if r in active else 0 for r in range(B)],
+        dtype=np.int32)
+    pm_dev = jnp.asarray(prompt_max)
+    rg_dev = jnp.int32(pcap)
     first, kv = prefill_delta_j(engine.dec_params, embeds_blk, jnp.int32(S),
                                 cache.kv, jnp.asarray(rope_start),
-                                jnp.asarray(kv_min))
+                                jnp.asarray(kv_min), jnp.asarray(last_rows),
+                                pm_dev, rg_dev)
     mark("prefill", first[0])
     B_real = len(works)
     prefill_ms = (time.monotonic() * 1000.0 - t_pre0) / B_real  # async (dispatch)
@@ -563,15 +567,18 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     rows = {}
     done = [r not in active for r in range(B)]
     tokens = first
-    pos = tcap
+    pos = pcap                                     # shared decode region
     produced = 1
-    rope_offset = jnp.asarray(kv_min)          # pad of each row
+    rope_offset = jnp.asarray(
+        [pcap - lens_new[r] if r in active else pcap for r in range(B)],
+        dtype=np.int32)                            # rope pos = len_b + step
     kv_min_dev = jnp.asarray(kv_min)
     while produced < max_new:
         steps = min(BATCH_DECODE_CHUNK, max_new - produced)
-        buf, count, tokens, kv = decode(engine.dec_params, tokens,
-                                        jnp.int32(pos), kv, rope_offset,
-                                        kv_min_dev, jnp.int32(steps))
+        buf, count, tokens, kv = decode_j(engine.dec_params, tokens,
+                                          jnp.int32(pos), kv, rope_offset,
+                                          kv_min_dev, pm_dev, rg_dev,
+                                          jnp.int32(steps))
         if first_host is None:
             first_host, buf_host, count = jax.device_get((first, buf, count))
             first_host = np.asarray(first_host)
@@ -604,10 +611,10 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
 
     # ---- persist the round's cache state -------------------------------
     cache.kv = kv
-    cache.tcap = tcap
+    cache.pcap = pcap
     cache.kcap = kcap
     for r, (st, w) in active.items():
-        cache.lens[r] = len(w.ids)
+        cache.lens[r] = lens_new[r]
         cache.valid[r] = True
 
     # replay decode_greedy's consumption semantics per session
