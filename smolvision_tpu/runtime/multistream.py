@@ -253,7 +253,7 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
             lowered.append(decode_j.lower(
                 pshape, S((B,), i32), S((), i32), kv_s, S((B,), i32),
                 S((B,), i32), S((B,), i32), S((), i32), S((), i32)))
-        for blk in (64, 128, 256, pcap):
+        for blk in (64, 128, 256, 512, pcap):
             blk = min(blk, pcap)
             if ("pf", blk, kcap) in seen:
                 continue
