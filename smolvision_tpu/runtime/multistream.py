@@ -8,9 +8,10 @@ counters, callback, streaming state).
 
 Two execution modes:
   * BATCHED (default for preloaded audio): sessions advance chunk-by-chunk
-    on a shared clock; each round, every active session's prompt prefill and
+    on a shared clock; each round, every active session's delta prefill and
     bounded decode run as ONE batch through the batch-native decoder
-    (models/qwen3_decoder.py batched_*, left-padded layout).  The streaming
+    (models/qwen3_decoder.py batched_*, natural layout: prompt KV at
+    logical positions, shared decode region).  The streaming
     state machine (runtime/stream.StreamState) is untouched — the batch
     coordinator only replaces the model-call middle of each chunk, and
     per-session tokens are EXACTLY those of a solo run (tested): greedy
