@@ -184,12 +184,13 @@ def main() -> int:
 
     # ---- multi-stream: 8 concurrent 45 s streaming sessions ------------
     # NOT in the default set: the batched coordinator's first-touch warmup
-    # compiles a ladder of (tcap, delta, B) buckets; the concurrent prewarm
-    # (multistream._prewarm_batched) cut it 1032 s -> 187 s, but that is
-    # still the bench's most variance-exposed config — run it explicitly
-    # with SMOLVISION_BENCH_ONLY=multistream.  Measured 2026-08-17:
-    # 56.0 s_speech_per_s (11.9x the C engine's single-stream 4.69x),
-    # warm runs 6.4-8.1 s for 8 x 45 s.
+    # compiles a ladder of (pcap, delta, B) buckets; the concurrent prewarm
+    # (multistream._prewarm_batched) cut it 1032 s -> ~190-315 s, but this
+    # remains the bench's most variance-exposed config — run it explicitly
+    # with SMOLVISION_BENCH_ONLY=multistream.  Measured 2026-08-17 across
+    # several runs: 47.6-59.1 s_speech_per_s (10-12.6x the C engine's
+    # single-stream 4.69x); warm 8x45s runs span 6.1-14.8 s with the axon
+    # server's period-to-period variance.
     if "multistream" in only:
         from smolvision_tpu.runtime import multistream as ms_mod
 
