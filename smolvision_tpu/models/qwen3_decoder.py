@@ -695,7 +695,7 @@ def batched_prefill_delta(params, cfg: ModelConfig, embeds, start_pos, kv,
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                          n_steps_cap: int, rope_offset, kv_min, n_steps=None,
                          tp: int = 1, ep: bool = False, prompt_max=None,
-                         region_start=None):
+                         region_start=None, row_active=None):
     """Greedy-decode up to n_steps tokens for every batch row, exiting early
     once EVERY row has emitted an EOS (rows that finish first keep decoding
     garbage into the buffer until then — the host truncates at EOS).
@@ -703,8 +703,10 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
     tokens [B]; pos scalar cache row (batch-uniform); rope position of row b
     = pos - rope_offset[b].  n_steps_cap is the static buffer width; n_steps
     (traced, defaults to the cap) bounds the loop so short tails don't pay
-    for full chunks.  Returns (buf [B, n_steps_cap], count, last_tokens [B],
-    kv')."""
+    for full chunks.  row_active [B] bool (optional) marks pad/duplicate
+    rows as pre-done so the early exit waits only on real rows — pad rows
+    decode promptless garbage that may never emit EOS.  Returns
+    (buf [B, n_steps_cap], count, last_tokens [B], kv')."""
     from smolvision_tpu.config import EOS_TOKEN_IDS
 
     B = tokens.shape[0]
@@ -713,6 +715,8 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
         n_steps = jnp.int32(n_steps_cap)
     buf0 = jnp.zeros((B, n_steps_cap), jnp.int32)
     done0 = jnp.any(tokens[:, None] == eos[None, :], axis=1)
+    if row_active is not None:
+        done0 = done0 | ~row_active
 
     def cond(c):
         i, _, _, _, done = c

@@ -41,7 +41,7 @@ def batched_prefill(params, cfg: ModelConfig, embeds, kv, rope_start=None,
 def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                          n_steps_cap: int, rope_offset=None, kv_min=None,
                          n_steps=None, tp: int = 1, ep: bool = False,
-                         prompt_max=None, region_start=None):
+                         prompt_max=None, region_start=None, row_active=None):
     """Greedy-decode up to n_steps (traced, <= static n_steps_cap) tokens for
     every batch row, with on-device all-rows-EOS early exit.
 
@@ -58,7 +58,8 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                                         n_steps_cap, rope_offset, kv_min,
                                         n_steps=n_steps, tp=tp, ep=ep,
                                         prompt_max=prompt_max,
-                                        region_start=region_start)
+                                        region_start=region_start,
+                                        row_active=row_active)
 
 
 def trim_eos(row) -> list:

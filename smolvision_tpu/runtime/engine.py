@@ -103,6 +103,17 @@ class Engine:
         self._dec_layers_list = None
         self._kv_list = None
         self._kv_list_cap = 0
+        self.q8 = bool(q8)
+        if self.q8:
+            # int8 decoder weights (--q8): ~1.7x decode bandwidth for bounded
+            # quantization noise — OUTSIDE the bf16 token-parity contract
+            # (ops/quant.py).  Encoder stays bf16 (it is ~8% of the time).
+            # Must run BEFORE the offload layer list is sliced below so the
+            # offload hot path sees the int8 weights too.
+            self.dec_params = params_mod.quantize_decoder(self.dec_params)
+            if verbose >= 1:
+                print("int8 decoder weights active (--q8): output may differ "
+                      "from the bf16 parity path", file=sys.stderr, flush=True)
         if self.moe_offload:
             from smolvision_tpu.models.moe_offload import HostExpertStore
             from smolvision_tpu.ops.quant import qtake
@@ -116,18 +127,15 @@ class Engine:
                 {k: qtake(layers[k], l) for k in keys}
                 for l in range(cfg.dec_layers)
             ]
+            # The per-layer slices above are the only consumers of the stacked
+            # [L, ...] arrays in offload mode (the remaining jits read only
+            # embed / final_norm / lm_head) — drop the stacks so the non-expert
+            # weights are not resident twice (~2.5 GB at 30B scale).
+            for k in keys:
+                layers[k] = None
             if verbose >= 1:
                 print("MoE host-offload active: experts stream from host "
                       "mmap per layer", file=sys.stderr, flush=True)
-        self.q8 = bool(q8)
-        if self.q8:
-            # int8 decoder weights (--q8): ~1.7x decode bandwidth for bounded
-            # quantization noise — OUTSIDE the bf16 token-parity contract
-            # (ops/quant.py).  Encoder stays bf16 (it is ~8% of the time).
-            self.dec_params = params_mod.quantize_decoder(self.dec_params)
-            if verbose >= 1:
-                print("int8 decoder weights active (--q8): output may differ "
-                      "from the bf16 parity path", file=sys.stderr, flush=True)
 
         # ---- generation settings (defaults mirror qwen_asr.c:257-272) ----
         self.segment_sec = 0.0

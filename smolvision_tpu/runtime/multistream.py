@@ -253,7 +253,8 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
             seen.add(("dec", kcap))
             lowered.append(decode_j.lower(
                 pshape, S((B,), i32), S((), i32), kv_s, S((B,), i32),
-                S((B,), i32), S((B,), i32), S((), i32), S((), i32)))
+                S((B,), i32), S((B,), i32), S((), i32), S((), i32),
+                S((B,), jnp.bool_)))
         for blk in (64, 128, 256, 512, pcap):
             blk = min(blk, pcap)
             if ("pf", blk, kcap) in seen:
@@ -409,9 +410,11 @@ def _mstream_jits(engine):
             prompt_max=pm, region_start=rg),
         donate_argnums=(3,))
     decode_j = jax.jit(
-        lambda p, t, pos, k, off, km, pm, rg, ns: pbatch.batched_decode_chunk(
-            p, cfg, t, pos, k, BATCH_DECODE_CHUNK, rope_offset=off,
-            kv_min=km, n_steps=ns, prompt_max=pm, region_start=rg),
+        lambda p, t, pos, k, off, km, pm, rg, ns, act: (
+            pbatch.batched_decode_chunk(
+                p, cfg, t, pos, k, BATCH_DECODE_CHUNK, rope_offset=off,
+                kv_min=km, n_steps=ns, prompt_max=pm, region_start=rg,
+                row_active=act)),
         donate_argnums=(3,))
     engine._mstream_jits_cache = (grow_j, prefill_delta_j, decode_j)
     return engine._mstream_jits_cache
@@ -574,12 +577,16 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
         [pcap - lens_new[r] if r in active else pcap for r in range(B)],
         dtype=np.int32)                            # rope pos = len_b + step
     kv_min_dev = jnp.asarray(kv_min)
+    # pad rows decode promptless garbage that rarely hits EOS: mask them out
+    # of the device-side all-rows-EOS early exit (ADVICE r2)
+    act_dev = jnp.asarray(
+        np.array([r in active for r in range(B)], dtype=np.bool_))
     while produced < max_new:
         steps = min(BATCH_DECODE_CHUNK, max_new - produced)
         buf, count, tokens, kv = decode_j(engine.dec_params, tokens,
                                           jnp.int32(pos), kv, rope_offset,
                                           kv_min_dev, pm_dev, rg_dev,
-                                          jnp.int32(steps))
+                                          jnp.int32(steps), act_dev)
         if first_host is None:
             first_host, buf_host, count = jax.device_get((first, buf, count))
             first_host = np.asarray(first_host)

@@ -298,6 +298,10 @@ class StreamState:
                 self.enc_cache.append(ws, arr, seq)
                 self.enc_cache.next_window_start += ews
             if enc_failed:
+                # pre-encodes are single-round: clear on EVERY exit path so a
+                # failed round cannot leak stale entries into the next one
+                self._pre_tail = None
+                self._pre_windows = None
                 self.chunk_idx += 1
                 return None
             evicted = self.enc_cache.evict_to(MAX_ENC_WINDOWS)

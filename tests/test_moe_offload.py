@@ -135,7 +135,12 @@ def test_offload_with_q8(tiny_moe_model_dir, speech_like_audio):
     eng = Engine(tiny_moe_model_dir, param_dtype=jnp.float32,
                  kv_dtype=jnp.float32, moe_offload=True, q8=True)
     assert eng.moe_offload and eng.q8
-    assert isinstance(eng.dec_params["layers"]["wqkv"], QuantW)
+    # the HOT PATH (per-layer offload list) carries the int8 weights; the
+    # stacked [L, ...] copies are dropped so nothing is resident twice
+    assert isinstance(eng._dec_layers_list[0]["wqkv"], QuantW)
+    assert isinstance(eng._dec_layers_list[0]["wo"], QuantW)
+    assert eng.dec_params["layers"]["wqkv"] is None
     assert eng.dec_params["layers"]["e_gate"] is None
+    assert isinstance(eng.dec_params["lm_head"], QuantW)
     text, _ = eng.transcribe_segment(speech_like_audio)
     assert isinstance(text, str)
