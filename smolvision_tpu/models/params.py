@@ -158,30 +158,74 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16,
         layers["q_norm"] = layers["k_norm"] = None
 
     if cfg.is_moe:
-        if cfg.decoder_sparse_step != 1:
-            raise NotImplementedError("mixed dense/MoE layers (sparse_step > 1)")
+        # Per-layer expert presence is resolved from tensor names, like the
+        # reference (qwen_asr_decoder.c:91-125): a layer is MoE iff its
+        # router tensor exists.  decoder_sparse_step > 1 checkpoints
+        # interleave dense FFN layers between MoE layers.
+        is_moe_l = [reader.has(f"{p}.layers.{i}.mlp.gate.weight")
+                    for i in range(L)]
+        mixed = not all(is_moe_l)
+        if mixed and experts_on_host:
+            raise NotImplementedError(
+                "--moe-offload with mixed dense/MoE layers (sparse_step > 1)")
         E = cfg.num_experts
-        layers["router"] = _stack(reader, p + ".layers.{i}.mlp.gate.weight", L, f32)
+        H = cfg.dec_hidden
+        MI = cfg.moe_intermediate
+
+        def _router(i):
+            if is_moe_l[i]:
+                return np.asarray(reader.get(f"{p}.layers.{i}.mlp.gate.weight"))
+            return np.zeros((E, H), np.float32)
+
+        def _expert(i, which, shape):
+            if is_moe_l[i]:
+                return np.stack([
+                    np.asarray(reader.get(
+                        f"{p}.layers.{i}.mlp.experts.{e}.{which}.weight"))
+                    for e in range(E)])
+            return np.zeros((E,) + shape, np.float32)
+
+        layers["router"] = _put(np.stack([_router(i) for i in range(L)]), f32)
         if experts_on_host:
             # Plan B: experts stay as host mmap views (HostExpertStore)
             layers["e_gate"] = layers["e_up"] = layers["e_down"] = None
         else:
             layers["e_gate"] = _put(
-                np.stack([
-                    np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.gate_proj.weight")) for e in range(E)])
-                    for i in range(L)
-                ]), param_dtype)
+                np.stack([_expert(i, "gate_proj", (MI, H)) for i in range(L)]),
+                param_dtype)
             layers["e_up"] = _put(
-                np.stack([
-                    np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.up_proj.weight")) for e in range(E)])
-                    for i in range(L)
-                ]), param_dtype)
+                np.stack([_expert(i, "up_proj", (MI, H)) for i in range(L)]),
+                param_dtype)
             layers["e_down"] = _put(
-                np.stack([
-                    np.stack([np.asarray(reader.get(f"{p}.layers.{i}.mlp.experts.{e}.down_proj.weight")) for e in range(E)])
-                    for i in range(L)
-                ]), param_dtype)
-        layers["w_gate_up"] = layers["w_down"] = None
+                np.stack([_expert(i, "down_proj", (H, MI)) for i in range(L)]),
+                param_dtype)
+        if mixed:
+            # dense interleave: real FFN weights on dense layers, zero blocks
+            # on MoE layers; the scan dispatches per layer on moe_mask
+            inter = cfg.dec_intermediate
+
+            def _gu(i):
+                if is_moe_l[i]:
+                    return np.zeros((2 * inter, H), np.float32)
+                return np.concatenate([
+                    np.asarray(reader.get(f"{p}.layers.{i}.mlp.gate_proj.weight")),
+                    np.asarray(reader.get(f"{p}.layers.{i}.mlp.up_proj.weight")),
+                ], axis=0)
+
+            def _down(i):
+                if is_moe_l[i]:
+                    return np.zeros((H, inter), np.float32)
+                return np.asarray(reader.get(f"{p}.layers.{i}.mlp.down_proj.weight"))
+
+            layers["w_gate_up"] = _put(np.stack([_gu(i) for i in range(L)]),
+                                       param_dtype)
+            layers["w_down"] = _put(np.stack([_down(i) for i in range(L)]),
+                                    param_dtype)
+            layers["moe_mask"] = _put(
+                np.asarray(is_moe_l, np.bool_), jnp.bool_)
+        else:
+            layers["w_gate_up"] = layers["w_down"] = None
+            layers["moe_mask"] = None
     else:
         # gate+up fused the same way (reference fuses them interleaved at
         # load, qwen_asr_decoder.c:140-152; we stack [gate; up] blocks).
@@ -193,6 +237,7 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16,
         ]), param_dtype)
         layers["w_down"] = _stack(reader, p + ".layers.{i}.mlp.down_proj.weight", L, param_dtype)
         layers["router"] = layers["e_gate"] = layers["e_up"] = layers["e_down"] = None
+        layers["moe_mask"] = None
 
     embed = _put(np.asarray(reader.get(p + ".embed_tokens.weight")), param_dtype)
     if cfg.tied_embeddings:

@@ -368,6 +368,36 @@ def _attn_block(lp, h, kv_layer, cfg: ModelConfig, cos, sin, start_pos,
     return h + proj("ta,oa->to", attn.astype(wdt), lp["wo"]), out_kv
 
 
+def _dense_ffn(xn, lp, tp, wdt, ein_up, ein_down):
+    """Fused-SwiGLU dense FFN on [T, H] activations."""
+    xc2 = xn.astype(wdt)
+    gate_up = proj(ein_up, xc2, lp["w_gate_up"])
+    gate, up = _split_gate_up(gate_up, tp)
+    act = (silu(gate) * up).astype(wdt)
+    return proj(ein_down, act, lp["w_down"])
+
+
+def _ffn_block(xn, lp, cfg: ModelConfig, row_valid, ep, tp, wdt,
+               ein_up, ein_down):
+    """Per-layer FFN dispatch shared by the single and batched scans.
+
+    Uniform stacks pick one branch statically.  Mixed dense/MoE stacks
+    (decoder_sparse_step > 1 — per-layer presence probed from tensor names
+    like the reference, qwen_asr_decoder.c:91-125) carry BOTH weight sets
+    (zero-filled on the inactive side) plus a scanned per-layer `moe_mask`
+    scalar; lax.cond executes only the live branch per layer.  The mask is
+    identical on every shard, so the branch is uniform under pjit."""
+    if lp.get("moe_mask") is not None:
+        return jax.lax.cond(
+            lp["moe_mask"],
+            lambda x: _moe_ffn(x, lp, cfg, valid=row_valid, ep=ep),
+            lambda x: _dense_ffn(x, lp, tp, wdt, ein_up, ein_down),
+            xn)
+    if lp.get("router") is not None:
+        return _moe_ffn(xn, lp, cfg, valid=row_valid, ep=ep)
+    return _dense_ffn(xn, lp, tp, wdt, ein_up, ein_down)
+
+
 def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
                     rope_start=None, kv_min=None, tp: int = 1,
                     ep: bool = False):
@@ -433,14 +463,8 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
                                 flash, flash_decode)
 
         xn = rms_norm(h, lp["post_ln"], eps)
-        if lp.get("router") is not None:
-            ffn = _moe_ffn(xn, lp, cfg, valid=row_valid, ep=ep)
-        else:
-            xc2 = xn.astype(wdt)
-            gate_up = proj("th,ih->ti", xc2, lp["w_gate_up"])
-            gate, up = _split_gate_up(gate_up, tp)
-            act = (silu(gate) * up).astype(wdt)
-            ffn = proj("ti,hi->th", act, lp["w_down"])
+        ffn = _ffn_block(xn, lp, cfg, row_valid, ep, tp, wdt,
+                         "th,ih->ti", "ti,hi->th")
         h = h + ffn
         return h, out_kv
 
@@ -508,12 +532,16 @@ def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
     mask_a = ((cache_cols[None, :] < start_pos)
               & (cache_cols[None, :] >= kv_min[:, None]))        # [B, K]
     if prompt_max is not None:
-        # NATURAL layout (multistream KV reuse): live rows are the prompt
-        # region [0, prompt_max[b]) plus the shared decode region
-        # [region_start, start_pos); [prompt_max[b], region_start) is
-        # end-pad garbage
+        # NATURAL layout (multistream KV reuse / continuous serving): live
+        # rows are the prompt region [0, prompt_max[b]) plus the shared
+        # decode region [region_start, start_pos); [prompt_max[b],
+        # region_start) is end-pad garbage.  region_start may be per-row
+        # ([B]): a row admitted mid-flight at clock c has garbage decode
+        # rows below c, so its region floor is c (runtime/serving.py).
+        rs = jnp.asarray(region_start)
+        rs = rs[:, None] if rs.ndim == 1 else rs
         mask_a = mask_a & ((cache_cols[None, :] < prompt_max[:, None])
-                           | (cache_cols[None, :] >= region_start))
+                           | (cache_cols[None, :] >= rs))
     mask_a = mask_a[:, None, None, None, :]
     sa = jnp.where(mask_a, sa, -jnp.inf)
 
@@ -581,8 +609,10 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
     pos_blk = (start_pos + jnp.arange(Tcap))[None, :]
     row_valid = pos_blk >= kv_min[:, None]
     if prompt_max is not None:
+        rs_ = jnp.asarray(region_start)
+        rs_ = rs_[:, None] if rs_.ndim == 1 else rs_   # scalar or per-row [B]
         row_valid = row_valid & ((pos_blk < prompt_max[:, None])
-                                 | (pos_blk >= region_start))
+                                 | (pos_blk >= rs_))
     row_valid = row_valid.reshape(B * Tcap)
 
     q_dim = H * D
@@ -613,15 +643,9 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
         h = h + proj("bta,oa->bto", attn.astype(wdt), lp["wo"])
 
         xn = rms_norm(h, lp["post_ln"], eps)
-        if lp.get("router") is not None:
-            ffn = _moe_ffn(xn.reshape(B * Tcap, Hdim), lp, cfg,
-                           valid=row_valid, ep=ep).reshape(B, Tcap, Hdim)
-        else:
-            xc2 = xn.astype(wdt)
-            gate_up = proj("bth,ih->bti", xc2, lp["w_gate_up"])
-            gate, up = _split_gate_up(gate_up, tp)
-            act = (silu(gate) * up).astype(wdt)
-            ffn = proj("bti,hi->bth", act, lp["w_down"])
+        ffn = _ffn_block(xn.reshape(B * Tcap, Hdim), lp, cfg, row_valid, ep,
+                         tp, wdt, "th,ih->ti",
+                         "ti,hi->th").reshape(B, Tcap, Hdim)
         h = h + ffn
         # fresh rows in cache layout [B, KH, T, D]
         out_kv = (jnp.transpose(k, (0, 2, 1, 3)).astype(kv_dt),

@@ -79,11 +79,23 @@ def synthetic_decoder(cfg: ModelConfig, param_dtype=jnp.bfloat16, seed=None):
         layers["e_gate"] = _mk(rng, (L, E, MI, H), param_dtype)
         layers["e_up"] = _mk(rng, (L, E, MI, H), param_dtype)
         layers["e_down"] = _mk(rng, (L, E, H, MI), param_dtype)
-        layers["w_gate_up"] = layers["w_down"] = None
+        if cfg.decoder_sparse_step > 1:
+            # mixed dense/MoE interleave (models/params.py loader layout):
+            # both weight sets stacked + the scanned per-layer mask; layer i
+            # is MoE iff (i+1) % sparse_step == 0
+            layers["w_gate_up"] = _mk(rng, (L, 2 * I, H), param_dtype)
+            layers["w_down"] = _mk(rng, (L, H, I), param_dtype)
+            layers["moe_mask"] = jnp.asarray(
+                [(i + 1) % cfg.decoder_sparse_step == 0 for i in range(L)],
+                dtype=jnp.bool_)
+        else:
+            layers["w_gate_up"] = layers["w_down"] = None
+            layers["moe_mask"] = None
     else:
         layers["w_gate_up"] = _mk(rng, (L, 2 * I, H), param_dtype)
         layers["w_down"] = _mk(rng, (L, H, I), param_dtype)
         layers["router"] = layers["e_gate"] = layers["e_up"] = layers["e_down"] = None
+        layers["moe_mask"] = None
 
     embed = _mk(rng, (V, H), param_dtype, std=0.1)
     return {

@@ -74,6 +74,7 @@ def decoder_shardings(cfg: ModelConfig, mesh: Mesh):
         "e_gate": _ns(mesh, None, MODEL_AXIS, None, None),
         "e_up": _ns(mesh, None, MODEL_AXIS, None, None),
         "e_down": _ns(mesh, None, MODEL_AXIS, None, None),
+        "moe_mask": rep,
     }
     return {
         "embed": _ns(mesh, MODEL_AXIS, None),

@@ -54,6 +54,15 @@ def tiny_moe_model_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def tiny_moe_mixed_model_dir(tmp_path_factory):
+    from tools.make_tiny_model import build
+
+    path = tmp_path_factory.mktemp("models") / "tiny-moe-mixed"
+    build("tiny-moe-mixed", str(path), seed=3, dtype="f32")
+    return str(path)
+
+
+@pytest.fixture(scope="session")
 def tiny_q25_model_dir(tmp_path_factory):
     from tools.make_tiny_model import build
 

@@ -173,7 +173,9 @@ class OracleDecoder:
         h = h + attn @ _get(r, f"{lp}.self_attn.o_proj.weight").T
 
         xn = _rms(h, _get(r, f"{lp}.post_attention_layernorm.weight"), cfg.rms_norm_eps)
-        if cfg.is_moe:
+        # per-layer expert presence, like the reference's tensor-name probe
+        # (qwen_asr_decoder.c:91-125) — sparse_step > 1 interleaves dense FFNs
+        if cfg.is_moe and r.has(f"{lp}.mlp.gate.weight"):
             router = _get(r, f"{lp}.mlp.gate.weight")
             scores = xn @ router.T
             topw, topi = torch.topk(scores, cfg.num_experts_per_tok, dim=-1)

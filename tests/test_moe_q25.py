@@ -91,6 +91,81 @@ def test_moe_greedy_decode_deterministic(moe_engine):
 
 
 # ---------------------------------------------------------------------------
+# Mixed dense/MoE (decoder_sparse_step > 1)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mixed_engine(tiny_moe_mixed_model_dir):
+    import jax.numpy as jnp
+    from smolvision_tpu.runtime.engine import Engine
+
+    return Engine(tiny_moe_mixed_model_dir, param_dtype=jnp.float32,
+                  kv_dtype=jnp.float32)
+
+
+def test_mixed_config_and_stacks(mixed_engine, tiny_moe_mixed_model_dir):
+    cfg = detect_config(tiny_moe_mixed_model_dir)
+    assert cfg.is_moe and cfg.decoder_sparse_step == 2 and cfg.dec_layers == 4
+    layers = mixed_engine.dec_params["layers"]
+    # mixed stacks carry BOTH weight sets plus the per-layer mask
+    assert layers["moe_mask"] is not None
+    assert np.asarray(layers["moe_mask"]).tolist() == [False, True,
+                                                       False, True]
+    assert layers["w_gate_up"] is not None and layers["e_gate"] is not None
+
+
+def test_mixed_prefill_matches_oracle(mixed_engine, tiny_moe_mixed_model_dir):
+    eng = mixed_engine
+    reader = MultiSafetensors(tiny_moe_mixed_model_dir)
+    dec = OracleDecoder(reader, eng.cfg)
+    ids = [151644, 8948, 198, 151645, 30, 40, 50]
+    embeds = dec.embed[torch.tensor(ids)]
+    with torch.no_grad():
+        ref_logits = dec.forward(embeds, 0)[-1].numpy()
+    eng.reset_kv()
+    logits, pos = eng.prefill_ids(ids, None, -1, 0, greedy=False)
+    got = np.asarray(logits)
+    reader.close()
+    np.testing.assert_allclose(got, ref_logits, rtol=3e-3, atol=3e-3)
+    assert int(np.argmax(got)) == int(np.argmax(ref_logits))
+
+
+def test_mixed_greedy_tokens_match_oracle(mixed_engine,
+                                          tiny_moe_mixed_model_dir):
+    """Greedy token ids through prefill + decode steps — the decode path uses
+    the gathered-expert branch on MoE layers and the fused dense FFN on the
+    others, both under the scanned lax.cond dispatch."""
+    eng = mixed_engine
+    reader = MultiSafetensors(tiny_moe_mixed_model_dir)
+    dec = OracleDecoder(reader, eng.cfg)
+    ids = [151644, 8948, 198, 10, 20, 30]
+    with torch.no_grad():
+        h = dec.forward(dec.embed[torch.tensor(ids)], 0)
+        tok = int(h[-1].argmax())
+        ref = [tok]
+        pos = len(ids)
+        for _ in range(6):
+            h = dec.forward(dec.embed[tok][None], pos)
+            tok = int(h[0].argmax())
+            ref.append(tok)
+            pos += 1
+    eng.reset_kv()
+    first, pos = eng.prefill_ids(ids, None, -1, 0)
+    got = []   # decode_greedy's callback sees every token, the first included
+    eng.decode_greedy(int(np.asarray(first)), pos, 7,
+                      lambda t: (got.append(t) or True))
+    reader.close()
+    assert got[:7] == ref[:7]
+
+
+def test_mixed_offload_guard(tiny_moe_mixed_model_dir):
+    from smolvision_tpu.runtime.engine import Engine
+
+    with pytest.raises(NotImplementedError):
+        Engine(tiny_moe_mixed_model_dir, moe_offload=True)
+
+
+# ---------------------------------------------------------------------------
 # Qwen2.5-Omni
 # ---------------------------------------------------------------------------
 

@@ -38,6 +38,14 @@ PRESETS = {
     "tiny-q25": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128, enc_out=48,
                      conv_hidden=0, dec_h=48, dec_L=2, dec_heads=4, dec_kv=2,
                      head_dim=16, dec_inter=96, vocab=152064, q25=True),
+    # decoder_sparse_step=2: layers 1 and 3 are MoE, layers 0 and 2 dense
+    # (HF semantics: layer i is MoE iff (i+1) % sparse_step == 0)
+    "tiny-moe-mixed": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128,
+                           enc_out=48, conv_hidden=16, dec_h=48, dec_L=4,
+                           dec_heads=4, dec_kv=2, head_dim=16, dec_inter=96,
+                           vocab=151936,
+                           moe=dict(num_experts=4, top_k=2, moe_inter=32,
+                                    sparse_step=2)),
     "0.6b": dict(enc_d=896, enc_L=18, enc_heads=14, enc_ffn=3584, enc_out=1024,
                  conv_hidden=480, dec_h=1024, dec_L=28, dec_heads=16, dec_kv=8,
                  head_dim=128, dec_inter=3072, vocab=151936),
@@ -51,7 +59,16 @@ def _rand(rng, *shape, std=0.05):
     return (rng.standard_normal(shape) * std).astype(np.float32)
 
 
-def make_vocab(model_dir: str):
+def make_vocab(model_dir: str, full: bool = False):
+    """Synthetic byte-level BPE vocab.
+
+    `full` fills every regular id < 151643 with a unique piece ("tok{id}")
+    so ANY decoded id maps to distinct visible text — this is what makes
+    byte-exact stdout comparison against the reference C binary a real
+    token-trace check on random checkpoints (emitted ids land anywhere in
+    the vocab; with the sparse vocab they all decode to "" on both sides
+    and the comparison is vacuous).  Special ids (>= 151643) stay absent,
+    like the real vocab.json (specials are added tokens there)."""
     b2u = bytes_to_unicode()
     vocab = {b2u[b]: b for b in range(256)}
     merges = []
@@ -68,6 +85,11 @@ def make_vocab(model_dir: str):
             vocab[merged] = next_id
             next_id += 1
         merges.append(f"{pair[0]} {pair[1]}")
+    if full:
+        # no merge ever produces a "tok<digits>" piece, so encode() is
+        # unaffected; decode() gains full id coverage below the specials
+        for i in range(next_id, 151643):
+            vocab[f"tok{i}"] = i
     with open(os.path.join(model_dir, "vocab.json"), "w", encoding="utf-8") as f:
         json.dump(vocab, f, ensure_ascii=False)
     with open(os.path.join(model_dir, "merges.txt"), "w", encoding="utf-8") as f:
@@ -75,7 +97,8 @@ def make_vocab(model_dir: str):
         f.write("\n".join(merges) + "\n")
 
 
-def build(preset: str, model_dir: str, seed: int = 0, dtype: str = "bf16"):
+def build(preset: str, model_dir: str, seed: int = 0, dtype: str = "bf16",
+          full_vocab: bool = False):
     p = PRESETS[preset]
     rng = np.random.default_rng(seed)
     os.makedirs(model_dir, exist_ok=True)
@@ -157,7 +180,7 @@ def build(preset: str, model_dir: str, seed: int = 0, dtype: str = "bf16"):
         else:
             t[f"{lp}.self_attn.q_norm.weight"] = np.ones(hd, np.float32) + _rand(rng, hd, std=0.02)
             t[f"{lp}.self_attn.k_norm.weight"] = np.ones(hd, np.float32) + _rand(rng, hd, std=0.02)
-        if moe:
+        if moe and (i + 1) % moe.get("sparse_step", 1) == 0:
             E, mi = moe["num_experts"], moe["moe_inter"]
             t[f"{lp}.mlp.gate.weight"] = _rand(rng, E, dec_h)
             for e in range(E):
@@ -208,7 +231,8 @@ def build(preset: str, model_dir: str, seed: int = 0, dtype: str = "bf16"):
                     "num_experts_per_tok": moe["top_k"],
                     "moe_intermediate_size": moe["moe_inter"],
                     "norm_topk_prob": True,
-                    "decoder_sparse_step": 1} if moe else {}),
+                    "decoder_sparse_step": moe.get("sparse_step", 1)}
+                   if moe else {}),
             },
             "audio_start_token_id": 151647 if is_q25 else 151669,
             "audio_end_token_id": 151648 if is_q25 else 151670,
@@ -217,7 +241,7 @@ def build(preset: str, model_dir: str, seed: int = 0, dtype: str = "bf16"):
     }
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump(config, f, indent=1)
-    make_vocab(model_dir)
+    make_vocab(model_dir, full=full_vocab)
     return model_dir
 
 
@@ -227,6 +251,8 @@ if __name__ == "__main__":
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--full-vocab", action="store_true")
     args = ap.parse_args()
-    build(args.preset, args.out, args.seed, args.dtype)
+    build(args.preset, args.out, args.seed, args.dtype,
+          full_vocab=args.full_vocab)
     print(args.out)
