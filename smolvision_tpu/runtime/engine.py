@@ -62,6 +62,23 @@ class PerfStats:
         self.audio_ms = 0.0
         self.encode_ms = 0.0
         self.decode_ms = 0.0
+        # streaming latency (runtime/stream.py): wall ms per chunk round and
+        # session-start -> first committed token (the TTFT analog; upstream
+        # reports 92 ms, MODEL.md:466-468)
+        self.stream_chunk_ms = []
+        self.stream_first_commit_ms = None
+
+    def stream_latency(self):
+        """(first_commit_ms, p50, p99) over the recorded chunk rounds, or
+        None when no streaming ran."""
+        if not self.stream_chunk_ms:
+            return None
+        import numpy as _np
+
+        arr = _np.asarray(self.stream_chunk_ms)
+        return (self.stream_first_commit_ms,
+                float(_np.percentile(arr, 50)),
+                float(_np.percentile(arr, 99)))
 
 
 def _now_ms() -> float:
@@ -264,15 +281,9 @@ class Engine:
                 n_recent_ = n_recent_ + 1
 
                 logits, kv_ = dec_mod.decode_step(p, cfg, tok, pos_, kv_, greedy=False)
-                valid = (jnp.arange(REP) < n_recent_)
-                counts = jnp.zeros((V,), jnp.float32).at[
-                    jnp.where(valid, recent_, V)].add(1.0, mode="drop")
-                factor = jnp.power(penalty, counts)
-                logits = jnp.where(logits > 0, logits / factor, logits * factor)
-                logits = logits / jnp.maximum(temp, 1e-6)
-                if 0 < top_k < V:
-                    kth = jax.lax.top_k(logits, top_k)[0][-1]
-                    logits = jnp.where(logits < kth, -1e30, logits)
+                from smolvision_tpu.runtime.sampling import transform_logits_jnp
+                logits = transform_logits_jnp(logits, recent_, n_recent_,
+                                              penalty, temp, top_k)
                 key_, sub = jax.random.split(key_)
                 nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
                 buf_ = buf_.at[i].set(nxt)

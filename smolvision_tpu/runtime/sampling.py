@@ -32,7 +32,10 @@ class Sampler:
         if len(self.recent) > REP_WINDOW:
             self.recent = self.recent[-REP_WINDOW:]
 
-    def sample(self, logits: np.ndarray) -> int:
+    def transform(self, logits: np.ndarray) -> np.ndarray:
+        """Repetition penalty + temperature + top-k (softmax-ready logits).
+        Must agree with transform_logits_jnp below — pinned by
+        tests/test_sampling_pin.py."""
         logits = np.asarray(logits, dtype=np.float32).copy()
         vocab = logits.shape[0]
 
@@ -54,10 +57,40 @@ class Sampler:
         if 0 < self.top_k < vocab:
             kth = np.partition(logits, -self.top_k)[-self.top_k]
             logits[logits < kth] = -1e30
+        return logits
 
+    def sample(self, logits: np.ndarray) -> int:
+        logits = self.transform(logits)
         logits -= logits.max()
         probs = np.exp(logits)
         probs /= probs.sum()
         r = self.rng.random()
         cum = np.cumsum(probs)
         return int(np.searchsorted(cum, r, side="left"))
+
+
+def transform_logits_jnp(logits, recent, n_recent, penalty, temp, top_k: int):
+    """Device-side twin of Sampler.sample's logits transform (repetition
+    penalty over the recent ring buffer, temperature, top-k mask) — the ONE
+    implementation both the host offload path (Sampler) and the jitted
+    thinker chunk (engine._sample_chunk) must agree with; pinned against the
+    numpy math in tests/test_sampling_pin.py.  Reference math:
+    sample_token, qwen_asr.c:2250-2313.
+
+    logits [V] f32; recent [REP] int32 ring buffer; n_recent traced count;
+    top_k static.  Returns transformed logits (softmax-ready)."""
+    import jax
+    import jax.numpy as jnp
+
+    V = logits.shape[0]
+    REP = recent.shape[0]
+    valid = (jnp.arange(REP) < n_recent)
+    counts = jnp.zeros((V,), jnp.float32).at[
+        jnp.where(valid, recent, V)].add(1.0, mode="drop")
+    factor = jnp.power(penalty, counts)
+    logits = jnp.where(logits > 0, logits / factor, logits * factor)
+    logits = logits / jnp.maximum(temp, 1e-6)
+    if 0 < top_k < V:
+        kth = jax.lax.top_k(logits, top_k)[0][-1]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    return logits

@@ -203,6 +203,7 @@ class StreamState:
             self.local_base = off
             self.total_samples = self.local_base + len(self.local)
 
+        self.t_session = time.monotonic() * 1000.0
         self.raw_tokens: List[int] = []
         self.stable_text: List[int] = []
         self.emitted: List[int] = []
@@ -492,6 +493,9 @@ class StreamState:
                 self.result_pieces.append(piece)
                 self.emitted.append(t)
                 engine.perf.text_tokens += 1
+                if engine.perf.stream_first_commit_ms is None:
+                    engine.perf.stream_first_commit_ms = (
+                        time.monotonic() * 1000.0 - self.t_session)
             self.stable_text = list(cand)
 
             periodic = (
@@ -515,7 +519,9 @@ class StreamState:
                 self.local_base += drop
                 self.total_samples = self.local_base + len(self.local)
 
-        engine.perf.total_ms += time.monotonic() * 1000.0 - w.t0
+        chunk_wall = time.monotonic() * 1000.0 - w.t0
+        engine.perf.total_ms += chunk_wall
+        engine.perf.stream_chunk_ms.append(chunk_wall)
         self.chunk_idx += 1
 
     def finalize(self) -> str:
@@ -524,6 +530,14 @@ class StreamState:
             pct = 100.0 * self.prefill_reused / self.prefill_total
             print(f"  Prefill reuse: {self.prefill_reused}/{self.prefill_total} "
                   f"tokens ({pct:.1f}%)", file=sys.stderr, flush=True)
+        lat = engine.perf.stream_latency()
+        if engine.verbose >= 2 and lat is not None:
+            first, p50, p99 = lat
+            first_s = f"{first:.0f} ms" if first is not None else "n/a"
+            print(f"  Stream latency: first commit {first_s}, "
+                  f"chunk p50 {p50:.0f} ms / p99 {p99:.0f} ms "
+                  f"({len(engine.perf.stream_chunk_ms)} chunks)",
+                  file=sys.stderr, flush=True)
         return (b"".join(self.result_pieces)
                 .decode("utf-8", errors="replace").strip())
 

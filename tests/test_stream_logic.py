@@ -41,7 +41,8 @@ class FakeEngine:
         self.token_cb = lambda b: None
         self.perf = SimpleNamespace(
             reset=lambda: None, encode_ms=0.0, decode_ms=0.0, total_ms=0.0,
-            text_tokens=0, audio_ms=0.0)
+            text_tokens=0, audio_ms=0.0, stream_chunk_ms=[],
+            stream_first_commit_ms=None, stream_latency=lambda: None)
         self._prompt_tokens: List[int] = []
         self._force_tokens: List[int] = []
         self._tokenizer = FakeTokenizer()
