@@ -14,10 +14,17 @@ printed LAST so single-line consumers keep reading it):
     North star: >= 50x realtime on one TPU v5e chip.
 
 Real Qwen weights are not downloadable in this environment, so the bench uses
-a synthetic checkpoint with the exact 0.6B geometry (identical FLOPs/bytes;
-random values).  Greedy decode on random weights never emits EOS, so decode
-length is capped at 48 tokens — the reference emits ~40 tokens for jfk.wav,
-so per-run work matches the real workload.
+an ENGINEERED synthetic checkpoint with the exact 0.6B geometry (identical
+FLOPs/bytes; tools/engineer_checkpoint.py): greedy ASR decode on jfk.wav
+emits <asr_text> + 40 text tokens + EOS — matching the real model's ~40
+tokens for jfk — so the offline/serving paths time the REAL gated decode +
+tokenizer + callback work (round 2 benched a plain random checkpoint whose
+first greedy token was EOS: offline decode work was argued equivalent via
+the 48-step cap, but serving's batched decode early-exited and streaming
+chunks decoded ~1 token; round-3 numbers are therefore more honest and not
+directly comparable for serving/streaming).  On non-jfk clips EOS stays
+suppressed and decode runs to its caps (48 offline / 32 per stream chunk),
+like a real transcription's token volume.
 
 Measurement discipline (CLAUDE.md landmines): every timed run perturbs its
 input with -80 dB noise so the axon tunnel's dispatch memoization can never
@@ -44,7 +51,7 @@ CLIP_45S = os.path.join(SAMPLES, "night_of_the_living_dead_1968",
                         "45s_dont_be_afraid_of_me.wav")
 CLIP_89S = os.path.join(SAMPLES, "night_of_the_living_dead_1968",
                         "89s_ill_come_back_down_as_soon_as.wav")
-BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-synthetic")
+BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng")
 MAX_TOKENS = 48
 RUNS = 3
 NOISE = 1e-4  # ~-80 dB: defeats tunnel memoization, leaves the work identical
@@ -60,12 +67,12 @@ def log(msg: str):
 
 
 def ensure_model() -> str:
-    marker = os.path.join(BENCH_DIR, "model.safetensors")
-    if not os.path.exists(marker):
-        log("bench: generating synthetic 0.6B checkpoint (one-time)...")
-        from tools.make_tiny_model import build
+    from tools.engineer_checkpoint import ensure_engineered
 
-        build("0.6b", BENCH_DIR, seed=7, dtype="bf16")
+    report = ensure_engineered(BENCH_DIR)
+    if not report.get("ok"):
+        log("bench: WARNING engineered-checkpoint probe failed — gated "
+            "decode may emit no text tokens")
     return BENCH_DIR
 
 
@@ -174,12 +181,23 @@ def main() -> int:
         eng.token_cb = None
         eng.past_text_conditioning = False
         rtf = audio_s / (best_ms / 1000.0)
+        lat = eng.perf.stream_latency()   # last run's per-chunk walls
+        lat_obj = None
+        if lat is not None:
+            first, p50, p99 = lat
+            lat_obj = {"first_commit_ms": round(first, 1) if first else None,
+                       "chunk_p50_ms": round(p50, 1),
+                       "chunk_p99_ms": round(p99, 1),
+                       "chunks": len(eng.perf.stream_chunk_ms)}
+            log(f"bench: streaming latency {lat_obj} "
+                "(upstream TTFT baseline 92 ms, MODEL.md:466-468)")
         emit({
             "metric": "45 s clip streaming realtime factor "
                       "(Qwen3-ASR-0.6B geometry, --stream, enc cache ON)",
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / BASE_STREAMING, 2),
+            **({"latency": lat_obj} if lat_obj else {}),
         })
 
     # ---- multi-stream: 8 concurrent 45 s streaming sessions ------------

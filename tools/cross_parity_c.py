@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Cross-engine token parity: smolvision_tpu vs the reference C binary.
+
+Builds the reference engine from a source copy (outside the repo — the
+sources are never committed here), drives BOTH engines with identical flags
+on the engineered synthetic 0.6B checkpoint, and byte-compares stdout.
+This executes BASELINE.md's north-star acceptance ("token-exact vs the C
+reference binary", thresholds /root/reference/asr_regression.py:666-676) on
+this machine with no real weights: the full-coverage synthetic vocab makes
+every greedy token visible text, so stdout equality IS token-trace equality.
+
+Modes (cheap -> expensive; the C engine runs generic scalar kernels on one
+core at ~1-2 s/token, so runtimes are C-bound):
+  text      thinker --text, greedy           (~1 min C-side)
+  audio     thinker -i short clip, greedy    (~2-4 min C-side)
+  offline   ASR on jfk.wav — the engineered checkpoint emits the
+            deterministic <asr_text> + 40-token chain (~10-20 min C-side)
+  stream    streaming ASR on a short clip (bounded by the 32-token/chunk
+            stream cap, not by EOS)         (~5-10 min C-side)
+
+Our side runs twice by default: CPU + --f32 (same arithmetic family as the
+C engine's bf16-weights/f32-math — byte-exact is REQUIRED) and the
+production TPU bf16 path (byte-exact expected on engineered/typical
+margins; divergence index reported otherwise).
+
+Usage:
+  python tools/cross_parity_c.py --modes text,audio
+  python tools/cross_parity_c.py --modes text,audio,offline,stream --report
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import struct
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_SRC = "/root/reference"
+BUILD_DIR = os.environ.get("SMOLVISION_REF_BUILD", "/tmp/sv_ref_build")
+MODEL = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng")
+JFK = os.path.join(REF_SRC, "samples", "jfk.wav")
+SHORT_WAV = "/tmp/sv_parity_short.wav"
+REPORT = os.path.join(REPO, "docs", "PARITY_C.md")
+
+
+def ensure_binary() -> str:
+    """Copy the reference C sources to a scratch dir and `make` them.
+    Cached: rebuilt only when a source is newer than the binary."""
+    bin_path = os.path.join(BUILD_DIR, "qwen_asr")
+    srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
+            + glob.glob(os.path.join(REF_SRC, "*.h"))
+            + [os.path.join(REF_SRC, "Makefile")])
+    if os.path.exists(bin_path):
+        bin_mtime = os.path.getmtime(bin_path)
+        if all(os.path.getmtime(s) <= bin_mtime for s in srcs):
+            return bin_path
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    for s in srcs:
+        shutil.copy2(s, BUILD_DIR)
+    subprocess.run(
+        ["make", "qwen_asr", "CFLAGS=-O2 -march=native -ffast-math"],
+        cwd=BUILD_DIR, check=True, capture_output=True)
+    return bin_path
+
+
+def ensure_short_wav(path: str = SHORT_WAV, dur: float = 2.0) -> str:
+    import numpy as np
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(42)
+    sr = 16000
+    t = np.arange(int(sr * dur)) / sr
+    sig = (0.30 * np.sin(2 * np.pi * 220 * t)
+           * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+           + 0.15 * np.sin(2 * np.pi * 880 * t) * (t % 1.0 < 0.4)
+           + 0.01 * rng.standard_normal(len(t)))
+    pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return path
+
+
+MODES = {
+    # mode -> extra CLI args (identical for both engines)
+    "text": ["--thinker", "--text", "the English language and",
+             "--temperature", "0", "--max-tokens", "12"],
+    "audio": ["--thinker", "-i", SHORT_WAV, "--temperature", "0",
+              "--max-tokens", "8"],
+    "offline": ["-i", JFK],
+    "stream": ["-i", SHORT_WAV, "--stream"],
+}
+
+
+def run_engine(cmd, env=None, timeout=3600):
+    t0 = time.monotonic()
+    p = subprocess.run(cmd, capture_output=True, timeout=timeout, env=env)
+    return {"stdout": p.stdout, "stderr": p.stderr.decode(errors="replace"),
+            "rc": p.returncode, "secs": time.monotonic() - t0}
+
+
+def first_divergence(a: bytes, b: bytes) -> int:
+    n = min(len(a), len(b))
+    for i in range(n):
+        if a[i] != b[i]:
+            return i
+    return -1 if len(a) == len(b) else n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="text,audio")
+    ap.add_argument("--model", default=MODEL)
+    ap.add_argument("--skip-tpu", action="store_true",
+                    help="only run the CPU --f32 comparison")
+    ap.add_argument("--report", action="store_true",
+                    help=f"append results to {REPORT}")
+    args = ap.parse_args()
+
+    bin_path = ensure_binary()
+    ensure_short_wav()
+    if not os.path.exists(os.path.join(args.model, "model.safetensors")):
+        sys.exit(f"model not found: {args.model} — run "
+                 "tools/engineer_checkpoint.py first")
+
+    results = []
+    ok_all = True
+    for mode in args.modes.split(","):
+        extra = MODES[mode]
+        print(f"== {mode}: {' '.join(extra)}", flush=True)
+        c = run_engine([bin_path, "-d", args.model] + extra)
+        print(f"  C: rc={c['rc']} {len(c['stdout'])} B stdout "
+              f"({c['secs']:.0f}s)", flush=True)
+
+        runs = [("cpu-f32", {"SMOLVISION_PLATFORM": "cpu"}, ["--f32"])]
+        if not args.skip_tpu:
+            runs.append(("tpu-bf16", {}, []))
+        entry = {"mode": mode, "flags": " ".join(extra), "c_rc": c["rc"],
+                 "c_secs": round(c["secs"], 1),
+                 "c_stdout_bytes": len(c["stdout"]), "ours": {}}
+        for label, env_extra, flags in runs:
+            env = dict(os.environ, **env_extra)
+            r = run_engine([sys.executable, "-m", "smolvision_tpu.cli",
+                            "-d", args.model] + extra + flags, env=env)
+            div = first_divergence(c["stdout"], r["stdout"])
+            match = (div == -1 and r["rc"] == c["rc"])
+            entry["ours"][label] = {
+                "rc": r["rc"], "secs": round(r["secs"], 1),
+                "stdout_bytes": len(r["stdout"]),
+                "match": match, "divergence_byte": div,
+            }
+            print(f"  {label}: rc={r['rc']} {len(r['stdout'])} B "
+                  f"({r['secs']:.0f}s) -> "
+                  f"{'MATCH' if match else f'DIVERGE@{div}'}", flush=True)
+            if not match:
+                ok_all = False
+                head = c["stdout"][max(0, div - 20): div + 40]
+                ours = r["stdout"][max(0, div - 20): div + 40]
+                print(f"    C   : {head!r}\n    ours: {ours!r}", flush=True)
+                entry["ours"][label]["c_context"] = repr(head)
+                entry["ours"][label]["our_context"] = repr(ours)
+        results.append(entry)
+
+    print(json.dumps(results, indent=1))
+    if args.report:
+        os.makedirs(os.path.dirname(REPORT), exist_ok=True)
+        stamp = time.strftime("%Y-%m-%d %H:%M")
+        with open(REPORT, "a") as f:
+            f.write(f"\n## Run {stamp}\n\n```json\n"
+                    + json.dumps(results, indent=1) + "\n```\n")
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()
