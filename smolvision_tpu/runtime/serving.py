@@ -1,0 +1,311 @@
+"""Continuous-batching serving: a rolling decode batch with mid-flight row
+admission and retirement.
+
+batch_segments.py runs ONE static batch to completion: every row waits for
+the slowest row's decode, and no new work starts until the whole batch
+drains.  This scheduler keeps a fixed pool of S row slots decoding on a
+shared clock and admits queued clips into slots as rows hit EOS — the
+continuous-batching shape of the upstream vendor serving stack
+(/root/reference/MODEL.md:466-468, ~2000 s-speech/s at 128 concurrency),
+built TPU-first:
+
+  * NATURAL-layout KV [L, 2, S, KH, K, D]: each row's prompt lives at its
+    logical positions [0, len_b); decode rows live in a SHARED region at
+    [pcap, clock) so the per-step cache write stays ONE batch-uniform
+    dynamic_update_slice (a batch-varying write position lowers to a
+    ~1300 ms/token scatter — CLAUDE.md landmine).
+  * admission = compact group prefill + slot insertion: the admitted group
+    prefills in its own small [L, 2, G, KH, pcap, D] cache (full MXU
+    efficiency, no waste on resident rows), then G scalar-indexed
+    dynamic_update_slices copy the prompt KV into the big cache's slots
+    (~60 MB/row, a few ms — NOT a per-row gather/scatter).
+  * late-admission masking: a row admitted at clock c must not attend the
+    decode region below c (those rows belong to other rows' histories).
+    region_start is per-row ([B]) in _batched_attention_two_part; admitted
+    rows carry region_start[b] = admission clock.
+  * per-row rope: logical position of row b at clock p is
+    len_b + (p - admit_b), so rope_offset[b] = admit_b - len_b.
+  * retirement: EOS rows leave the active mask (device early-exit waits
+    only on active rows); their slots are immediately reusable.
+
+Clips are admitted longest-first so the prompt region cap is set by the
+first group and later admissions always fit; results return in input order.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smolvision_tpu.config import EOS_TOKEN_IDS, TOKEN_ASR_TEXT
+from smolvision_tpu.parallel import batch as pbatch
+from smolvision_tpu.runtime import batch_segments as bs_mod
+from smolvision_tpu.runtime import prompt as prompt_mod
+from smolvision_tpu.runtime.buckets import bucket, bucket128
+
+DECODE_CHUNK = 48
+
+
+def _serving_jits(engine):
+    cached = getattr(engine, "_serving_jits_cache", None)
+    if cached is not None:
+        return cached
+    from smolvision_tpu.models import qwen3_decoder as dec_mod
+
+    cfg = engine.cfg
+
+    build = jax.jit(jax.vmap(dec_mod.build_embeds, in_axes=(None, 0, 0, 0, 0)))
+    group_prefill = jax.jit(
+        lambda p, e, k, rs, km, lr, pm: dec_mod.batched_prefill_delta(
+            p, cfg, e, jnp.int32(0), k, rs, km, greedy=True, last_rows=lr,
+            prompt_max=pm, region_start=jnp.int32(1 << 30)),
+        donate_argnums=(2,))
+    decode = jax.jit(
+        lambda p, t, pos, k, off, km, pm, rg, ns, act: (
+            pbatch.batched_decode_chunk(
+                p, cfg, t, pos, k, DECODE_CHUNK, rope_offset=off, kv_min=km,
+                n_steps=ns, prompt_max=pm, region_start=rg, row_active=act)),
+        donate_argnums=(3,))
+
+    def grow(old_kv, kcap_new):
+        new = jnp.zeros(old_kv.shape[:4] + (kcap_new,) + old_kv.shape[5:],
+                        old_kv.dtype)
+        return jax.lax.dynamic_update_slice(new, old_kv, (0, 0, 0, 0, 0, 0))
+
+    grow_j = jax.jit(grow, static_argnums=(1,))
+
+    # admit[G]: copy G rows' prompt KV from the compact group cache into the
+    # big cache's slots — G scalar-indexed DUS (plain block copies)
+    admit_cache = {}
+
+    def admit_jit(G: int):
+        fn = admit_cache.get(G)
+        if fn is None:
+            def admit(big, small, slots):
+                for g in range(G):
+                    row = jax.lax.dynamic_slice_in_dim(small, g, 1, axis=2)
+                    big = jax.lax.dynamic_update_slice(
+                        big, row.astype(big.dtype),
+                        (0, 0, slots[g], 0, 0, 0))
+                return big
+
+            fn = jax.jit(admit, donate_argnums=(0,))
+            admit_cache[G] = fn
+        return fn
+
+    engine._serving_jits_cache = (build, group_prefill, decode, grow_j,
+                                  admit_jit)
+    return engine._serving_jits_cache
+
+
+def _prompt_len(engine, n_samples: int) -> int:
+    """Prompt length for a clip, from host arithmetic only."""
+    from smolvision_tpu.models.qwen3_encoder import total_encoder_tokens
+    from smolvision_tpu.ops.mel import num_frames
+
+    cfg = engine.cfg
+    n_audio = total_encoder_tokens(num_frames(n_samples), cfg)
+    ids, _ = prompt_mod.build_asr_prompt(
+        cfg, n_audio, engine._prompt_tokens, engine._force_tokens, None)
+    return len(ids)
+
+
+def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
+                     encode_group: int = 32) -> List[str]:
+    """Transcribe `clips` through a rolling batch of `slots` rows.
+    Returns texts in input order.  engine.max_tokens caps each row."""
+    cfg = engine.cfg
+    engine.prepare_prompt()
+    tok = engine.tokenizer
+    assert cfg.family != "q25", "continuous serving: qwen3 family only"
+
+    n = len(clips)
+    if n == 0:
+        return []
+    order = sorted(range(n), key=lambda i: -len(clips[i]))  # longest first
+    S = min(slots, max(2, 1 << (n - 1).bit_length()))
+
+    build, group_prefill, decode, grow_j, admit_jit = _serving_jits(engine)
+
+    pcap = bucket128(max(_prompt_len(engine, len(clips[i])) for i in order))
+    acap_all = 0
+
+    # ---- encode queue: groups of clips encoded on demand ---------------
+    # (device mel + batched encoder — the same path as one-shot serving)
+    enc_ready = {}   # clip index -> (audio_block [cap, H] device, n_tokens)
+    next_enc = 0
+
+    def encode_more():
+        nonlocal next_enc, acap_all
+        if next_enc >= n:
+            return
+        group = order[next_enc : next_enc + encode_group]
+        next_enc += len(group)
+        segs = [clips[i] for i in group]
+        if jax.default_backend() == "tpu" and len(segs) > 2:
+            stack, n_toks = bs_mod._encode_batch_device_mel(engine, segs)
+        else:
+            from smolvision_tpu.ops.mel import log_mel
+
+            stack, n_toks = bs_mod._encode_batch(
+                engine, [log_mel(s) for s in segs])
+        acap_all = max(acap_all, stack.shape[1])
+        for j, i in enumerate(group):
+            enc_ready[i] = (stack[j], n_toks[j])
+
+    # ---- slot state ----------------------------------------------------
+    kcap = pcap + bucket(min(engine.max_tokens, 2 * DECODE_CHUNK) + 1, 64)
+    kv = pbatch.make_batched_kv(cfg, S, kcap, engine.kv_dtype)
+    slot_clip = [-1] * S                  # clip index per slot (-1 free)
+    slot_done = [True] * S
+    rows: List[Optional[List[int]]] = [None] * n
+    tokens_h = np.zeros(S, np.int32)      # current token per slot
+    rope_off = np.zeros(S, np.int32)
+    prompt_max = np.zeros(S, np.int32)
+    region_min = np.full(S, 1 << 30, np.int32)
+    produced = np.zeros(S, np.int32)
+    kv_min = jnp.zeros((S,), jnp.int32)
+
+    clock = pcap                          # shared decode-region write head
+    emitted = 0                           # clips fully decoded
+    admitted = 0                          # clips admitted so far
+    tokens_dev = jnp.zeros((S,), jnp.int32)
+
+    t0 = time.monotonic()
+    while emitted < n:
+        # ---- admit into free slots ------------------------------------
+        free = [s for s in range(S) if slot_done[s]]
+        if free and admitted < n:
+            while len(enc_ready) < min(len(free), n - admitted) \
+                    and next_enc < n:
+                encode_more()
+            group_idx = [order[admitted + g]
+                         for g in range(min(len(free), n - admitted))]
+            G = len(group_idx)
+            # pow2-bucket the group so admission compiles O(log S) programs,
+            # not one per distinct wave size; pad rows repeat the last clip
+            # into the same slot (the duplicate DUS rewrites identical bytes)
+            Gcap = 1 << (G - 1).bit_length() if G > 1 else 1
+            g_slots = free[:G] + [free[G - 1]] * (Gcap - G)
+            lens = []
+            id_rows = np.zeros((Gcap, pcap), np.int32)
+            astart = np.zeros(Gcap, np.int32)
+            alen = np.zeros(Gcap, np.int32)
+            blocks = []
+            for g, i in enumerate(group_idx):
+                blk, n_audio = enc_ready.pop(i)
+                ids, a0 = prompt_mod.build_asr_prompt(
+                    cfg, n_audio, engine._prompt_tokens,
+                    engine._force_tokens, None)
+                lens.append(len(ids))
+                id_rows[g, : len(ids)] = ids
+                astart[g] = a0
+                alen[g] = n_audio
+                if blk.shape[0] < acap_all:
+                    blk = jnp.pad(blk, ((0, acap_all - blk.shape[0]), (0, 0)))
+                blocks.append(blk[:acap_all])
+            for g in range(G, Gcap):   # pad rows mirror the last real clip
+                id_rows[g] = id_rows[G - 1]
+                astart[g] = astart[G - 1]
+                alen[g] = alen[G - 1]
+                lens.append(lens[G - 1])
+                blocks.append(blocks[G - 1])
+            audio_stack = jnp.stack(blocks)
+            small_kv = pbatch.make_batched_kv(cfg, Gcap, pcap, engine.kv_dtype)
+            embeds = build(engine.dec_params, jnp.asarray(id_rows),
+                           audio_stack, jnp.asarray(astart),
+                           jnp.asarray(alen))
+            first, small_kv = group_prefill(
+                engine.dec_params, embeds, small_kv,
+                jnp.zeros((Gcap,), jnp.int32), jnp.zeros((Gcap,), jnp.int32),
+                jnp.asarray(np.asarray(lens, np.int32) - 1),
+                jnp.asarray(lens, dtype=jnp.int32))
+            first_h = np.asarray(jax.device_get(first))
+            slot_vec = jnp.asarray(np.asarray(g_slots, np.int32))
+            kv = admit_jit(Gcap)(kv, small_kv, slot_vec)
+            for g, i in enumerate(group_idx):
+                s = g_slots[g]
+                slot_clip[s] = i
+                slot_done[s] = False
+                rows[i] = [int(first_h[g])]
+                tokens_h[s] = first_h[g]
+                rope_off[s] = clock - lens[g]
+                prompt_max[s] = lens[g]
+                region_min[s] = clock
+                produced[s] = 1
+                if int(first_h[g]) in EOS_TOKEN_IDS \
+                        or engine.max_tokens <= 1:
+                    slot_done[s] = True
+                    emitted += 1
+            admitted += G
+            tokens_dev = jnp.asarray(tokens_h)
+
+        if all(slot_done):
+            continue
+
+        # ---- one decode chunk on the shared clock ---------------------
+        steps = min(DECODE_CHUNK,
+                    int(max(engine.max_tokens - produced[s]
+                            for s in range(S) if not slot_done[s])))
+        if clock + steps + 1 > kcap:
+            kcap = bucket128(clock + DECODE_CHUNK + 128)
+            kv = grow_j(kv, kcap)
+        act = np.asarray([not d for d in slot_done], np.bool_)
+        buf, count, tokens_dev, kv = decode(
+            engine.dec_params, tokens_dev, jnp.int32(clock), kv,
+            jnp.asarray(rope_off), kv_min, jnp.asarray(prompt_max),
+            jnp.asarray(region_min), jnp.int32(steps), jnp.asarray(act))
+        buf_h, count = jax.device_get((buf, count))
+        count = int(count)
+        if count == 0:
+            # every active row's current token was already EOS
+            for s in range(S):
+                if not slot_done[s]:
+                    slot_done[s] = True
+                    emitted += 1
+            continue
+        for s in range(S):
+            if slot_done[s]:
+                continue
+            i = slot_clip[s]
+            for t in buf_h[s][:count]:
+                t = int(t)
+                if produced[s] >= engine.max_tokens:
+                    break
+                rows[i].append(t)
+                produced[s] += 1
+                if t in EOS_TOKEN_IDS:
+                    break
+            last = rows[i][-1]
+            if last in EOS_TOKEN_IDS or produced[s] >= engine.max_tokens:
+                slot_done[s] = True
+                emitted += 1
+        clock += count
+        # keep the host token mirror in sync for the next admission wave
+        # (copy: device_get may return a read-only buffer view)
+        tokens_h = np.array(jax.device_get(tokens_dev))
+
+    engine.perf.decode_ms += (time.monotonic() - t0) * 1000.0
+
+    # ---- gate + detokenize (identical to batch_segments) ---------------
+    texts: List[str] = [""] * n
+    forced = bool(engine._force_tokens)
+    for i in range(n):
+        past_asr = forced
+        pieces = []
+        n_text = 0
+        for t in rows[i] or []:
+            if t in EOS_TOKEN_IDS:
+                break
+            if t == TOKEN_ASR_TEXT:
+                past_asr = True
+            elif past_asr:
+                pieces.append(tok.decode_piece(t))
+                n_text += 1
+        engine.perf.text_tokens += n_text
+        texts[i] = b"".join(pieces).decode("utf-8", errors="replace").strip()
+    return texts

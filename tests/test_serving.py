@@ -1,0 +1,62 @@
+"""Continuous-batching serving (runtime/serving.py) must produce exactly the
+one-shot batch results: admission/retirement, the per-row region_min masking
+of late-admitted rows, and slot reuse may never change greedy tokens."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def srv_engine(tiny_model_dir):
+    import jax.numpy as jnp
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+    eng.max_tokens = 8
+    return eng
+
+
+def _clips(n, seed=11):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        dur = 0.8 + 0.45 * (i % 4)       # mixed lengths force admission waves
+        t = np.arange(int(16000 * dur)) / 16000
+        sig = (0.3 * np.sin(2 * np.pi * (160 + 25 * i) * t)
+               + 0.02 * rng.standard_normal(len(t)))
+        out.append(sig.astype(np.float32))
+    return out
+
+
+def test_continuous_matches_one_shot(srv_engine):
+    from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    clips = _clips(5)
+    one_shot = transcribe_segments_batched(eng, clips)
+    cont = serve_continuous(eng, clips, slots=2)
+    assert cont == one_shot
+
+
+def test_continuous_single_wave(srv_engine):
+    """slots >= clips: one admission wave, pure batched decode."""
+    from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    clips = _clips(3, seed=5)
+    assert serve_continuous(eng, clips, slots=8) == \
+        transcribe_segments_batched(eng, clips)
+
+
+def test_continuous_slot_reuse_many_waves(srv_engine):
+    """More clips than slots by 4x: retired slots are re-admitted with new
+    prompts; late rows must not attend earlier rows' decode region."""
+    from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    clips = _clips(8, seed=21)
+    assert serve_continuous(eng, clips, slots=2) == \
+        transcribe_segments_batched(eng, clips)
