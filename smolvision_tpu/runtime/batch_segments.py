@@ -24,7 +24,7 @@ from smolvision_tpu.config import EOS_TOKEN_IDS, NUM_MEL_BINS, TOKEN_ASR_TEXT
 from smolvision_tpu.ops.mel import log_mel
 from smolvision_tpu.parallel import batch as pbatch
 from smolvision_tpu.runtime import prompt as prompt_mod
-from smolvision_tpu.runtime.buckets import bucket, bucket128
+from smolvision_tpu.runtime.buckets import bucket, bucket64, bucket128
 
 BATCH_DECODE_CHUNK = 64
 
@@ -494,7 +494,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     # decode reads B x kcap KV rows per step, so every spare 128-row bucket
     # costs real bandwidth: size to the actual decode horizon and let the
     # in-loop regrow handle max_tokens overruns
-    kcap = bucket128(tcap + min(engine.max_tokens, 2 * BATCH_DECODE_CHUNK) + 1)
+    kcap = bucket64(tcap + min(engine.max_tokens, 2 * BATCH_DECODE_CHUNK) + 1)
     kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
 
     if mesh is not None:
@@ -529,7 +529,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     while produced < engine.max_tokens and not all(done):
         steps = min(BATCH_DECODE_CHUNK, engine.max_tokens - produced)
         if pos + BATCH_DECODE_CHUNK + 1 > kcap:
-            kcap = bucket128(pos + BATCH_DECODE_CHUNK + 128)
+            kcap = bucket64(pos + BATCH_DECODE_CHUNK + 64)
             new_kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
             new_kv = new_kv.at[:, :, :, :, : kv.shape[4]].set(kv)
             kv = new_kv

@@ -27,6 +27,14 @@ def window_bucket(n_tokens: int, window_tokens: int, min_windows: int = 1) -> in
     return next_pow2(n_windows) * window_tokens
 
 
+def bucket64(n: int, minimum: int = 64) -> int:
+    """Round up to a multiple of 64.  Used for the batched serving KV cap,
+    where capacity scales every decode step's KV read and the attention is
+    the XLA two-part path (shape-free): at the jfk serving shape a 128-
+    granular cap reads 384 rows/step where 64-granular reads 320."""
+    return max((n + 63) // 64 * 64, minimum)
+
+
 def bucket128(n: int, minimum: int = 128) -> int:
     """Round up to a multiple of 128 (finer than pow2; used where capacity
     directly scales per-step cost, e.g. the batched KV cache — a pow2 jump
