@@ -259,6 +259,16 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             engine.dec_params, tokens_dev, jnp.int32(clock), kv,
             jnp.asarray(rope_off), kv_min, jnp.asarray(prompt_max),
             jnp.asarray(region_min), jnp.int32(steps), jnp.asarray(act))
+        # pipeline: with the decode chunk dispatched and the device busy,
+        # push the NEXT wave's encode (host mel prep + the ~280 ms/32-clip
+        # audio upload over the tunnel + conv/window dispatches) NOW, before
+        # blocking on the decode result — the upload overlaps device decode
+        # instead of serializing ahead of the next admission.  (Dispatching
+        # it BEFORE the decode call measured ~20% WORSE: the upload then
+        # sits on the serialized tunnel channel ahead of the decode
+        # round-trip, stretching every round — tools/probe_serving.py.)
+        if next_enc < n and not enc_ready:
+            encode_more()
         buf_h, count = jax.device_get((buf, count))
         count = int(count)
         if count == 0:
