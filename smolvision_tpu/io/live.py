@@ -39,6 +39,13 @@ class LiveAudio:
                 self.cond.wait()
             return self.eof
 
+    def available_through(self):
+        """(global end index of buffered data, eof) — non-blocking.  The
+        multi-stream coordinator polls this to decide whether a live
+        session can join the round's batch without stalling the others."""
+        with self.lock:
+            return self.sample_offset + len(self.samples), self.eof
+
     def snapshot_and_reset(self):
         """Return (offset, samples_copy, eof) and empty the producer buffer
         (the consumer mirrors it locally, bounding producer memory)."""

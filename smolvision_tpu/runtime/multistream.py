@@ -88,8 +88,14 @@ def run_streams(engine, sources: Sequence, on_token=None) -> List[Optional[str]]
     on_token: optional callable (session_index, piece_bytes) invoked as
     text commits (from session threads in threaded mode).
     """
+    def _live_like(s):
+        # io/live.py protocol + the non-blocking poll the coordinator needs
+        return (hasattr(s, "snapshot_and_reset")
+                and hasattr(s, "available_through"))
+
     batched_ok = (len(sources) > 1
-                  and all(isinstance(s, np.ndarray) for s in sources)
+                  and all(isinstance(s, np.ndarray) or _live_like(s)
+                          for s in sources)
                   and os.environ.get("SMOLVISION_BATCH_STREAMS", "") != "0")
     if batched_ok:
         return run_streams_batched(engine, sources, on_token)
@@ -137,13 +143,23 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
         view = clone_session(engine)
         cb = (lambda piece, _i=i: on_token(_i, piece)) if on_token else (lambda piece: None)
         view.token_cb = cb
-        states.append(stream_mod.StreamState(view, np.asarray(src, np.float32), None))
+        if isinstance(src, np.ndarray):
+            states.append(stream_mod.StreamState(
+                view, np.asarray(src, np.float32), None))
+        else:
+            # LIVE source on the shared clock: the session polls its buffer
+            # (nowait) and reports NOT_READY instead of blocking the round
+            st = stream_mod.StreamState(view, None, src)
+            st.nowait = True
+            states.append(st)
 
     cache = _BatchKV(len(states))
     row_of = {id(st): r for r, st in enumerate(states)}
     if len(states) > 1:
-        _prewarm_batched(engine, cache.B,
-                         max(len(np.asarray(s)) for s in sources),
+        arr_lens = [len(np.asarray(s)) for s in sources
+                    if isinstance(s, np.ndarray)]
+        horizon = max(arr_lens) if arr_lens else 45 * 16000
+        _prewarm_batched(engine, cache.B, horizon,
                          max(st.max_new for st in states))
 
     while True:
@@ -152,13 +168,19 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
         if len(act) > 1:
             _pre_encode_round(engine, act)
         works = []
+        n_pending = 0
         for st in act:
             w = st.begin_chunk()
+            if w is stream_mod.NOT_READY:
+                n_pending += 1
+                continue
             if w is not None:
                 works.append((st, w))
         if not works:
             if not any(st.active() for st in states):
                 break
+            if n_pending:
+                time.sleep(0.005)   # live buffers filling; don't spin
             continue
         if len(works) == 1:
             st, w = works[0]

@@ -134,6 +134,13 @@ def transcribe_stream_live(engine, live) -> Optional[str]:
     return _stream_impl(engine, None, live)
 
 
+# Sentinel returned by begin_chunk when a coordinated (nowait) live session
+# does not yet have its next chunk's audio: NO state advanced — the caller
+# retries next round.  Distinct from None, which means the chunk was
+# consumed-and-skipped (encoder starvation) and the state DID advance.
+NOT_READY = object()
+
+
 class ChunkWork:
     """Per-chunk work order produced by StreamState.begin_chunk: everything
     the prefill+decode middle needs, plus the bookkeeping finish_chunk
@@ -240,7 +247,16 @@ class StreamState:
         live = self.live
         if live is not None:
             want = self.audio_cursor + self.chunk_samples
-            self.live_eof = live.wait_for(want)
+            if getattr(self, "nowait", False):
+                # coordinated mode (multi-stream batched rounds): never
+                # block the shared round on one slow source — report
+                # NOT_READY and let the round run without this session
+                end, eof = live.available_through()
+                if end < want and not eof:
+                    return NOT_READY
+                self.live_eof = eof
+            else:
+                self.live_eof = live.wait_for(want)
             off, data, self.live_eof = live.snapshot_and_reset()
             local_end = self.local_base + len(self.local)
             if local_end < off:

@@ -378,3 +378,67 @@ def test_batched_deep_compaction_matches_solo(ms_engine, monkeypatch):
     assert len(batched) == len(solo)
     for i, (s, b) in enumerate(zip(solo, batched)):
         assert s == b, f"session {i}: solo {s} vs batched {b}"
+
+
+def test_batched_live_matches_preloaded(ms_engine):
+    """LIVE sources on the batched coordinator (round-3 lever): fully-fed
+    LiveAudio buffers must produce exactly the preloaded batched texts —
+    same audio, same chunk boundaries, same greedy tokens."""
+    from smolvision_tpu.io.live import LiveAudio
+    from smolvision_tpu.runtime import multistream as ms
+
+    clips = _clips()
+    ref = ms.run_streams(ms_engine, clips)          # preloaded batched
+
+    lives = []
+    for c in clips:
+        lv = LiveAudio()
+        lv._append(np.asarray(c, np.float32))
+        lv._set_eof()
+        lives.append(lv)
+    texts = ms.run_streams(ms_engine, lives)        # live batched
+    assert texts == ref
+
+
+def test_batched_live_trickle_matches_full(ms_engine):
+    """Trickle-fed live sources exercise the NOT_READY path: sessions whose
+    audio hasn't arrived skip rounds without stalling the shared clock, and
+    the final texts still equal the fully-buffered run (chunk boundaries
+    depend only on sample counts, not arrival timing)."""
+    import threading
+    import time as _time
+
+    from smolvision_tpu.io.live import LiveAudio
+    from smolvision_tpu.runtime import multistream as ms
+
+    clips = _clips()
+
+    full = []
+    for c in clips:
+        lv = LiveAudio()
+        lv._append(np.asarray(c, np.float32))
+        lv._set_eof()
+        full.append(lv)
+    ref = ms.run_streams(ms_engine, full)
+
+    lives = [LiveAudio() for _ in clips]
+
+    def feeder():
+        # staggered 0.5 s increments across sessions
+        step = 8000
+        pos = [0] * len(clips)
+        while any(pos[i] < len(clips[i]) for i in range(len(clips))):
+            for i, c in enumerate(clips):
+                if pos[i] < len(c):
+                    lives[i]._append(
+                        np.asarray(c[pos[i] : pos[i] + step], np.float32))
+                    pos[i] += step
+            _time.sleep(0.02)
+        for lv in lives:
+            lv._set_eof()
+
+    th = threading.Thread(target=feeder, daemon=True)
+    th.start()
+    texts = ms.run_streams(ms_engine, lives)
+    th.join()
+    assert texts == ref
