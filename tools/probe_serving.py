@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Serving-throughput probe: where does batch ASR serving top out on one
+v5e, and what does continuous batching buy?
+
+Sweeps the one-shot batched path (runtime/batch_segments.py) over B and the
+continuous scheduler (runtime/serving.py) over slot counts / queue depths,
+on jfk.wav replicas (uniform length — the upstream serving benchmark shape,
+MODEL.md:466-468) and on a mixed-length queue (the workload continuous
+batching exists for).
+
+Discipline (CLAUDE.md): one jax process, strictly serial runs, every timed
+run perturbs inputs with -80 dB noise (tunnel memoization), warmup run per
+config before timing, best-of-N reported with the full list.
+
+Usage: python tools/probe_serving.py [--runs 3] [--configs one32,one64,...]
+Writes JSON lines to stderr progress + a final JSON array to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+JFK = "/root/reference/samples/jfk.wav"
+CLIP_45S = os.path.join("/root/reference/samples",
+                        "night_of_the_living_dead_1968",
+                        "45s_dont_be_afraid_of_me.wav")
+BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng")
+NOISE = 1e-4
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--configs", default="")
+    args = ap.parse_args()
+    only = {c for c in args.configs.split(",") if c}
+
+    def want(name):
+        return not only or name in only
+
+    import numpy as np
+
+    from tools.engineer_checkpoint import ensure_engineered
+    ensure_engineered(BENCH_DIR)
+
+    from smolvision_tpu.io.wav import load_wav
+    from smolvision_tpu.runtime import batch_segments as bs_mod
+    from smolvision_tpu.runtime import serving as srv_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    rng = np.random.default_rng(0xCAFE)
+    base = load_wav(JFK)
+    jfk_s = len(base) / 16000.0
+
+    eng = Engine(BENCH_DIR, verbose=0)
+    eng.max_tokens = 48
+    eng.segment_sec = 0.0
+    log("probe_serving: model loaded")
+
+    def perturb(s):
+        return (s + rng.normal(0.0, NOISE, len(s))).astype(np.float32)
+
+    def mixed_queue(n):
+        """n clips, 25% each of ~3/5/8/11 s (jfk truncations)."""
+        out = []
+        for i in range(n):
+            dur = [3.0, 5.0, 8.0, 11.0][i % 4]
+            out.append(base[: int(16000 * dur)])
+        return out
+
+    results = []
+
+    def run_config(name, clips_fn, fn, runs):
+        clips0 = [perturb(c) for c in clips_fn()]
+        audio_s = sum(len(c) for c in clips0) / 16000.0
+        t0 = time.monotonic()
+        fn(clips0)
+        warm = time.monotonic() - t0
+        log(f"probe_serving: {name} warmup {warm:.1f} s "
+            f"({audio_s:.0f} s audio)")
+        walls = []
+        for i in range(runs):
+            clips = [perturb(c) for c in clips_fn()]
+            t0 = time.monotonic()
+            fn(clips)
+            w = time.monotonic() - t0
+            walls.append(round(w, 3))
+            log(f"probe_serving: {name} run {i + 1}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s")
+        best = min(walls)
+        rec = {"config": name, "audio_s": round(audio_s, 1),
+               "walls_s": walls, "best_s": best,
+               "s_speech_per_s": round(audio_s / best, 1)}
+        results.append(rec)
+        log(json.dumps(rec))
+
+    # ---- one-shot batched, uniform jfk, B sweep ------------------------
+    for B in (32, 64, 128):
+        if want(f"one{B}"):
+            run_config(
+                f"one-shot B={B} jfk",
+                lambda B=B: [base] * B,
+                lambda clips: bs_mod.transcribe_segments_batched(eng, clips),
+                args.runs)
+
+    # ---- stage attribution: one B=32 run with debug fences -------------
+    if want("dbg32"):
+        os.environ["SMOLVISION_BATCH_DEBUG"] = "1"
+        run_config(
+            "one-shot B=32 jfk DEBUG-FENCED (stage marks on stderr; "
+            "fences add RTTs — wall is NOT comparable)",
+            lambda: [base] * 32,
+            lambda clips: bs_mod.transcribe_segments_batched(eng, clips),
+            1)
+        del os.environ["SMOLVISION_BATCH_DEBUG"]
+
+    # ---- continuous, uniform jfk: queue 128, slot sweep ----------------
+    for S in (32, 64, 128):
+        if want(f"cont{S}"):
+            run_config(
+                f"continuous slots={S} queue=128 jfk",
+                lambda: [base] * 128,
+                lambda clips, S=S: srv_mod.serve_continuous(
+                    eng, clips, slots=S, encode_group=S),
+                args.runs)
+
+    # ---- mixed-length queue: one-shot vs continuous --------------------
+    if want("mixone"):
+        run_config("one-shot mixed-128",
+                   lambda: mixed_queue(128),
+                   lambda clips: bs_mod.transcribe_segments_batched(eng, clips),
+                   args.runs)
+    if want("mixcont"):
+        run_config("continuous slots=64 mixed-128",
+                   lambda: mixed_queue(128),
+                   lambda clips: srv_mod.serve_continuous(
+                       eng, clips, slots=64, encode_group=64),
+                   args.runs)
+
+    print(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,10 +35,14 @@ from smolvision_tpu.io.wav import load_wav
 from smolvision_tpu.runtime import multistream as ms
 from smolvision_tpu.runtime.engine import Engine
 
-BENCH_DIR = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-synthetic")
+BENCH_DIR = os.environ.get(
+    "SMOLVISION_MS_MODEL",
+    os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng"))
 CLIP = "/root/reference/samples/night_of_the_living_dead_1968/45s_dont_be_afraid_of_me.wav"
-N = 8
-REPS = 2
+N = int(os.environ.get("SMOLVISION_MS_N", "8"))
+REPS = int(os.environ.get("SMOLVISION_MS_REPS", "2"))
+# comma-separated subset of {batched,threaded}
+MODES = os.environ.get("SMOLVISION_MS_MODES", "batched,threaded")
 
 
 def log(m):
@@ -83,7 +87,10 @@ def main():
     ms._run_batched_chunks = _mid
 
     results = {}
+    mode_list = [m for m in MODES.split(",") if m]
     for mode, env in (("batched", None), ("threaded", "0")):
+        if mode not in mode_list:
+            continue
         if env is None:
             os.environ.pop("SMOLVISION_BATCH_STREAMS", None)
         else:
@@ -107,7 +114,9 @@ def main():
         log(f"{mode:9s}: {best:6.1f} s for {N} x {audio_s:.0f} s "
             f"-> {tput:6.1f} s-speech/s ({tput / audio_s:.1f} streams realtime)")
     os.environ.pop("SMOLVISION_BATCH_STREAMS", None)
-    log(f"scaling batched/threaded: {results['batched'] / results['threaded']:.2f}x")
+    if "batched" in results and "threaded" in results:
+        log(f"scaling batched/threaded: "
+            f"{results['batched'] / results['threaded']:.2f}x")
 
 
 if __name__ == "__main__":
