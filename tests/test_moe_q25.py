@@ -457,3 +457,28 @@ def test_moe_ffn_ep_owner_compute_matches_gather():
     gather = np.asarray(dm._moe_ffn(x, lp, cfg, ep=False))
     owner = np.asarray(dm._moe_ffn(x, lp, cfg, ep=True))
     np.testing.assert_allclose(owner, gather, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dur", [1.9, 2.0, 2.06, 3.94, 4.06])
+def test_q25_encoder_window_edge_sweep(q25_engine, tiny_q25_model_dir, dur):
+    """Bucket-edge sweep for the q25 100-TOKEN windows (VERDICT r2 weak #6):
+    durations straddling the 1- and 2-window boundaries (tokens =
+    (frames+1)//2; window edges at ~2 s and ~4 s).  Encoder output must
+    match the torch oracle at every edge — exercises the pow2 window
+    bucketing, the global-PE offsets and the bos/eos row placement at
+    lengths the single 3 s case never hits."""
+    rng = np.random.default_rng(int(dur * 100))
+    sr = 16000
+    t = np.arange(int(sr * dur)) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 200 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t))
+           + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    eng = q25_engine
+    mel = log_mel(sig)
+    enc, n_audio = eng.encode_mel(mel)
+    reader = MultiSafetensors(tiny_q25_model_dir)
+    ref = oracle_q25_encoder(reader, eng.cfg, mel).numpy()
+    reader.close()
+    assert n_audio == ref.shape[0], (n_audio, ref.shape[0])
+    got = np.asarray(enc)[:n_audio]
+    assert np.max(np.abs(got - ref)) < 5e-3, \
+        (dur, float(np.max(np.abs(got - ref))))

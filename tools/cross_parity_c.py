@@ -15,6 +15,11 @@ core at ~1-2 s/token, so runtimes are C-bound):
   audio     thinker -i short clip, greedy    (~2-4 min C-side)
   offline   ASR on jfk.wav — the engineered checkpoint emits the
             deterministic <asr_text> + 40-token chain (~10-20 min C-side)
+  segmented ASR on jfk.wav with -S 5 -W 1 --past-text no — per-segment
+            engineered chains on the SEPARATE eng-seg checkpoint
+            (engineer_checkpoint.ensure_engineered_seg; exercises split
+            search + per-segment prompts + our batched decode path)
+            (~10-15 min C-side)
   stream    streaming ASR on a short clip (bounded by the 32-token/chunk
             stream cap, not by EOS)         (~5-10 min C-side)
 
@@ -46,6 +51,7 @@ sys.path.insert(0, REPO)
 REF_SRC = "/root/reference"
 BUILD_DIR = os.environ.get("SMOLVISION_REF_BUILD", "/tmp/sv_ref_build")
 MODEL = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng")
+MODEL_SEG = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng-seg")
 JFK = os.path.join(REF_SRC, "samples", "jfk.wav")
 SHORT_WAV = "/tmp/sv_parity_short.wav"
 REPORT = os.path.join(REPO, "docs", "PARITY_C.md")
@@ -98,8 +104,13 @@ MODES = {
     "audio": ["--thinker", "-i", SHORT_WAV, "--temperature", "0",
               "--max-tokens", "8"],
     "offline": ["-i", JFK],
+    "segmented": ["-i", JFK, "-S", "5", "-W", "1", "--past-text", "no"],
     "stream": ["-i", SHORT_WAV, "--stream"],
 }
+# segmented runs against checkpoint B (per-segment chains); the full-clip
+# chain and the segment chains cannot coexist on one checkpoint (see
+# tools/engineer_checkpoint.py module docstring)
+MODE_MODEL = {"segmented": MODEL_SEG}
 
 
 def run_engine(cmd, env=None, timeout=3600):
@@ -137,8 +148,10 @@ def main():
     ok_all = True
     for mode in args.modes.split(","):
         extra = MODES[mode]
-        print(f"== {mode}: {' '.join(extra)}", flush=True)
-        c = run_engine([bin_path, "-d", args.model] + extra)
+        model = MODE_MODEL.get(mode, args.model)
+        print(f"== {mode}: {' '.join(extra)}  [model {os.path.basename(model)}]",
+              flush=True)
+        c = run_engine([bin_path, "-d", model] + extra)
         print(f"  C: rc={c['rc']} {len(c['stdout'])} B stdout "
               f"({c['secs']:.0f}s)", flush=True)
 
@@ -151,7 +164,7 @@ def main():
         for label, env_extra, flags in runs:
             env = dict(os.environ, **env_extra)
             r = run_engine([sys.executable, "-m", "smolvision_tpu.cli",
-                            "-d", args.model] + extra + flags, env=env)
+                            "-d", model] + extra + flags, env=env)
             div = first_divergence(c["stdout"], r["stdout"])
             match = (div == -1 and r["rc"] == c["rc"])
             entry["ours"][label] = {
