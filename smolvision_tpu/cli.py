@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 decoder weights: ~1.7x decode speed, small "
                         "accuracy trade (outside the bf16 parity contract); "
                         "also SMOLVISION_Q8=1")
+    p.add_argument("--kv8", action="store_true",
+                   help="int8 KV cache on the batched decode paths (serving/"
+                        "multistream/batched segments): halves the dominant "
+                        "KV-read bytes at B>=8 for a small accuracy trade; "
+                        "also SMOLVISION_KV8=1")
     p.add_argument("--f32", action="store_true",
                    help="load weights in float32 (parity debugging; slower)")
     p.add_argument("--no-batch-segments", action="store_true",
@@ -124,6 +129,7 @@ def main(argv=None) -> int:
             enc_window_sec=args.enc_window_sec if args.enc_window_sec >= 0 else None,
             verbose=verbosity,
             q8=args.q8 or os.environ.get("SMOLVISION_Q8", "") == "1",
+            kv8=args.kv8 or os.environ.get("SMOLVISION_KV8", "") == "1",
             moe_offload=args.moe_offload,
         )
     except Exception as e:

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 
 from smolvision_tpu.config import ModelConfig
 from smolvision_tpu.ops.common import apply_rope_neox, rms_norm, rope_tables, silu
-from smolvision_tpu.ops.quant import QuantW, embed_rows, proj, qtake, wdtype
+from smolvision_tpu.ops.quant import (QuantKV, QuantW, embed_rows, kv_dus,
+                                      kv_zeros, proj, qtake,
+                                      quantize_kv_rows, wdtype)
 
 
 # Kcap at which the Pallas decode-attention kernel (live-context block
@@ -429,6 +431,8 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     kv_valid_len = start_pos + valid_len
     cos, sin = rope_tables(positions, D, cfg.rope_theta)
     wdt = wdtype(params["layers"]["wqkv"])
+    assert not isinstance(kv, QuantKV), \
+        "int8 KV (--kv8) is batched-path only (make_batched_kv)"
     kv_dt = kv.dtype
 
     # Attention strategy (both write the cache without traced-index updates):
@@ -496,9 +500,11 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
 def make_batched_kv(cfg: ModelConfig, batch: int, kv_cap: int, dtype=jnp.bfloat16):
     """Batched KV cache [L, 2, B, KH, K, D] (K second-to-last: the decode
-    write touches one K row; KH x D are the tiled trailing dims per head)."""
-    return jnp.zeros((cfg.dec_layers, 2, batch, cfg.dec_kv_heads, kv_cap,
-                      cfg.dec_head_dim), dtype=dtype)
+    write touches one K row; KH x D are the tiled trailing dims per head).
+    dtype == int8 selects the quantized QuantKV layout (--kv8): int8 values
+    plus per-row f32 scales [L, 2, B, KH, K] (ops/quant.py)."""
+    return kv_zeros((cfg.dec_layers, 2, batch, cfg.dec_kv_heads, kv_cap,
+                     cfg.dec_head_dim), dtype)
 
 
 def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
@@ -516,18 +522,33 @@ def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
     G = H // KH
     Kcap = k_cache.shape[2]
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    cdt = k_cache.dtype
-    if jax.default_backend() != "tpu" and cdt == jnp.bfloat16:
-        # XLA:CPU has no BF16 x BF16 = F32 DotThunk for multi-batch-dim dots;
-        # upcasting is exact (bf16 values/products are representable in f32),
-        # so CPU tests stay bit-identical to the TPU bf16-input path
-        cdt = jnp.float32
+    kv8 = isinstance(k_cache, QuantKV)
+    if kv8:
+        # int8 cache (--kv8): per-row scales fold into the f32 scores (K)
+        # and probabilities (V); the int8 values feed the MXU dot after a
+        # widening cast only — no dequantized bf16 cache copy materializes
+        ks, vs = k_cache.s, v_cache.s                            # [B, KH, K]
+        k_cache, v_cache = k_cache.q, v_cache.q
+        cdt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+               else jnp.float32)
         k_cache = k_cache.astype(cdt)
         v_cache = v_cache.astype(cdt)
+    else:
+        cdt = k_cache.dtype
+        if jax.default_backend() != "tpu" and cdt == jnp.bfloat16:
+            # XLA:CPU has no BF16 x BF16 = F32 DotThunk for multi-batch-dim
+            # dots; upcasting is exact (bf16 values/products are
+            # representable in f32), so CPU tests stay bit-identical to the
+            # TPU bf16-input path
+            cdt = jnp.float32
+            k_cache = k_cache.astype(cdt)
+            v_cache = v_cache.astype(cdt)
     qc = (q * scale).astype(cdt).reshape(B, T, KH, G, D)
 
     sa = jnp.einsum("btkgd,bksd->bkgts", qc, k_cache,
                     preferred_element_type=jnp.float32)          # [B,KH,G,T,K]
+    if kv8:
+        sa = sa * ks[:, :, None, None, :]
     cache_cols = jnp.arange(Kcap)
     mask_a = ((cache_cols[None, :] < start_pos)
               & (cache_cols[None, :] >= kv_min[:, None]))        # [B, K]
@@ -560,6 +581,8 @@ def _batched_attention_two_part(q, k_new, v_new, k_cache, v_cache, start_pos,
     ea = jnp.where(mask_a, jnp.exp(sa - m), 0.0)
     eb = jnp.where(mask_b, jnp.exp(sb - m), 0.0)
     denom = jnp.maximum(ea.sum(-1, keepdims=True) + eb.sum(-1, keepdims=True), 1e-30)
+    if kv8:
+        ea = ea * vs[:, :, None, None, :]      # fold V row scales into probs
     oa = jnp.einsum("bkgts,bksd->btkgd", ea.astype(cdt), v_cache,
                     preferred_element_type=jnp.float32)
     ob = jnp.einsum("bkgts,bskd->btkgd", eb.astype(cdt), v_new.astype(cdt),
@@ -591,7 +614,8 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
     positions = rope_start[:, None] + jnp.arange(Tcap)[None, :]   # [B, T]
     cos, sin = rope_tables(positions, D, cfg.rope_theta)
     wdt = wdtype(params["layers"]["wqkv"])
-    kv_dt = kv.dtype
+    kv8 = isinstance(kv, QuantKV)
+    kv_dt = jnp.bfloat16 if kv8 else kv.dtype
 
     from smolvision_tpu.kernels import pallas_forced, use_pallas
     from smolvision_tpu.kernels.flash_attention import batched_causal_flash_attention
@@ -648,16 +672,24 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
                          "ti,hi->th").reshape(B, Tcap, Hdim)
         h = h + ffn
         # fresh rows in cache layout [B, KH, T, D]
-        out_kv = (jnp.transpose(k, (0, 2, 1, 3)).astype(kv_dt),
-                  jnp.transpose(v, (0, 2, 1, 3)).astype(kv_dt))
+        k_t = jnp.transpose(k, (0, 2, 1, 3))
+        v_t = jnp.transpose(v, (0, 2, 1, 3))
+        if kv8:
+            out_kv = (quantize_kv_rows(k_t), quantize_kv_rows(v_t))
+        else:
+            out_kv = (k_t.astype(kv_dt), v_t.astype(kv_dt))
         return h, out_kv
 
     h, kv_out = jax.lax.scan(layer, embeds.astype(jnp.float32),
                              (params["layers"], kv))
     k_rows, v_rows = kv_out                      # [L, B, KH, T, D] each
-    new_block = jnp.stack([k_rows, v_rows], axis=1)   # [L, 2, B, KH, T, D]
-    kv_new = jax.lax.dynamic_update_slice(
-        kv, new_block, (0, 0, 0, 0, start_pos, 0))
+    if kv8:
+        new_block = QuantKV(
+            jnp.stack([k_rows.q, v_rows.q], axis=1),
+            jnp.stack([k_rows.s, v_rows.s], axis=1))  # [L, 2, B, KH, T(, D)]
+    else:
+        new_block = jnp.stack([k_rows, v_rows], axis=1)
+    kv_new = kv_dus(kv, new_block, (0, 0, 0, 0, start_pos, 0))
     return h, kv_new
 
 

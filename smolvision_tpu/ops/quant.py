@@ -96,3 +96,111 @@ def qtake(w, idx):
     if isinstance(w, QuantW):
         return QuantW(w.q[idx], w.s[idx])
     return w[idx]
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (--kv8) — the BATCHED decode paths' bandwidth lever
+#
+# At serving/multistream batch sizes the KV read is the dominant decode
+# term (B=32 x kcap 320: ~1.17 GB/step bf16 vs 0.63 GB of q8 weights;
+# B=8 x kcap ~830: ~0.76 GB — docs/SERVING_ROOFLINE.md, docs/
+# MULTISTREAM.md).  Per-row symmetric int8 over the head dim halves those
+# bytes.  Scales fold into the attention math exactly once:
+#   scores  = (q . k8) * ks      (ks is per K-row — scales the f32 score)
+#   context = (p * vs) . v8      (vs folds into the f32 probabilities)
+# so the int8 values go straight into the MXU dot after a widening cast;
+# nothing is dequantized into a bf16 cache copy.  Strictly OPT-IN: the
+# token-parity contract is defined against the bf16 cache.
+#
+# The reference has no KV quantization (bf16 cache, qwen_asr.c); this is
+# a TPU-side extension beyond parity.
+# ---------------------------------------------------------------------------
+
+
+class QuantKV(NamedTuple):
+    """int8 KV cache + per-row f32 scales; pytree drop-in for the bf16
+    cache arrays.  Leading axes of `q` and `s` coincide — every cache
+    operation the runtime performs (layer unstack, batch-row slice/copy,
+    K-axis grow, position DUS) indexes axes before D, so it applies to
+    both leaves with the index tuple truncated for `s`.
+
+    q: int8 [..., K, D]
+    s: f32  [..., K]     (scale of each cache row over D)
+    """
+
+    q: jax.Array
+    s: jax.Array
+
+    @property
+    def dtype(self):  # marker used by make_batched_kv round-trips
+        return jnp.int8
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def __getitem__(self, idx):
+        """Basic indexing on the shared leading axes (ints/slices only —
+        e.g. kv[0] to unstack K vs V).  An index tuple deeper than `s`'s
+        rank reaches into the D axis (fence reads like kv[0,0,0,0,0,0])
+        and returns the raw int8 values."""
+        tup = idx if isinstance(idx, tuple) else (idx,)
+        if len(tup) > self.s.ndim:
+            return self.q[idx]
+        return QuantKV(self.q[idx], self.s[idx])
+
+
+def quantize_kv_rows(x) -> QuantKV:
+    """Symmetric per-row int8 over the LAST axis: x [..., D] -> QuantKV."""
+    xf = jnp.asarray(x).astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return QuantKV(q, s)
+
+
+def kv_zeros(shape, dtype):
+    """Allocate a KV cache; dtype == int8 selects the quantized layout."""
+    if dtype == jnp.int8:
+        return QuantKV(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape[:-1], jnp.float32))
+    return jnp.zeros(shape, dtype)
+
+
+def kv_dus(kv, new, idx):
+    """dynamic_update_slice on a (possibly quantized) cache.  `idx` is the
+    full-rank index tuple of the q leaf; `s` takes it truncated."""
+    if isinstance(kv, QuantKV):
+        return QuantKV(jax.lax.dynamic_update_slice(kv.q, new.q, idx),
+                       jax.lax.dynamic_update_slice(kv.s, new.s, idx[:-1]))
+    return jax.lax.dynamic_update_slice(kv, new, idx)
+
+
+def kv_grow_k(kv, kcap_new: int, k_axis: int = 4):
+    """Zero-grow the K (cache position) axis to kcap_new."""
+    if isinstance(kv, QuantKV):
+        qs = kv.q.shape
+        new_q = jnp.zeros(qs[:k_axis] + (kcap_new,) + qs[k_axis + 1:],
+                          kv.q.dtype)
+        new_s = jnp.zeros(kv.s.shape[:k_axis] + (kcap_new,)
+                          + kv.s.shape[k_axis + 1:], kv.s.dtype)
+        z = (0,) * kv.q.ndim
+        return QuantKV(jax.lax.dynamic_update_slice(new_q, kv.q, z),
+                       jax.lax.dynamic_update_slice(new_s, kv.s, z[:-1]))
+    new = jnp.zeros(kv.shape[:k_axis] + (kcap_new,) + kv.shape[k_axis + 1:],
+                    kv.dtype)
+    return jax.lax.dynamic_update_slice(new, kv, (0,) * kv.ndim)
+
+
+def kv_rows_gather(kv, rows, axis: int = 2):
+    """Gather batch rows by STATIC indices (row compaction) — per-leaf
+    stacked static slices, never a per-row dynamic gather (landmine:
+    batched take_along_axis over the cache lowers catastrophically)."""
+    if isinstance(kv, QuantKV):
+        return QuantKV(
+            jnp.stack([jax.lax.index_in_dim(kv.q, r, axis, keepdims=False)
+                       for r in rows], axis=axis),
+            jnp.stack([jax.lax.index_in_dim(kv.s, r, axis, keepdims=False)
+                       for r in rows], axis=axis))
+    return jnp.stack([jax.lax.index_in_dim(kv, r, axis, keepdims=False)
+                      for r in rows], axis=axis)

@@ -133,9 +133,16 @@ def interleave_decoder_for_tp(params, cfg: ModelConfig, tp: int):
     return {**params, "layers": layers}
 
 
-def batched_kv_sharding(mesh: Mesh):
-    """KV cache [L, 2, B, KH, K, D]: batch over data, kv heads over model."""
-    return _ns(mesh, None, None, DATA_AXIS, MODEL_AXIS, None, None)
+def batched_kv_sharding(mesh: Mesh, quant: bool = False):
+    """KV cache [L, 2, B, KH, K, D]: batch over data, kv heads over model.
+    quant=True returns the QuantKV pytree of shardings (scales [L,2,B,KH,K]
+    shard the same axes, minus D)."""
+    full = _ns(mesh, None, None, DATA_AXIS, MODEL_AXIS, None, None)
+    if not quant:
+        return full
+    from smolvision_tpu.ops.quant import QuantKV
+
+    return QuantKV(full, _ns(mesh, None, None, DATA_AXIS, MODEL_AXIS, None))
 
 
 def batch_sharding(mesh: Mesh, rank: int):

@@ -502,12 +502,14 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     # costs real bandwidth: size to the actual decode horizon and let the
     # in-loop regrow handle max_tokens overruns
     kcap = bucket64(tcap + min(engine.max_tokens, 2 * BATCH_DECODE_CHUNK) + 1)
-    kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
+    kv = pbatch.make_batched_kv(cfg, B, kcap, engine.batched_kv_dtype)
 
     if mesh is not None:
         from smolvision_tpu.parallel import mesh as mesh_mod
 
-        kv = jax.device_put(kv, mesh_mod.batched_kv_sharding(mesh))
+        from smolvision_tpu.ops.quant import QuantKV
+        kv = jax.device_put(kv, mesh_mod.batched_kv_sharding(
+            mesh, quant=isinstance(kv, QuantKV)))
         audio_stack = jax.device_put(audio_stack, mesh_mod.batch_sharding(mesh, 3))
 
     mark("layout", sync=audio_stack)
@@ -537,9 +539,8 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
         steps = min(BATCH_DECODE_CHUNK, engine.max_tokens - produced)
         if pos + BATCH_DECODE_CHUNK + 1 > kcap:
             kcap = bucket64(pos + BATCH_DECODE_CHUNK + 64)
-            new_kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
-            new_kv = new_kv.at[:, :, :, :, : kv.shape[4]].set(kv)
-            kv = new_kv
+            from smolvision_tpu.ops.quant import kv_grow_k
+            kv = jax.jit(kv_grow_k, static_argnums=(1,))(kv, kcap)
         buf, count, tokens, kv = decode(engine.dec_params, tokens,
                                         jnp.int32(pos), kv, rope_offset,
                                         kv_min, jnp.int32(steps))

@@ -90,7 +90,8 @@ class Engine:
 
     def __init__(self, model_dir: str, param_dtype=jnp.bfloat16,
                  kv_dtype=jnp.bfloat16, enc_window_sec: Optional[float] = None,
-                 verbose: int = 0, q8: bool = False, moe_offload: bool = False):
+                 verbose: int = 0, q8: bool = False, moe_offload: bool = False,
+                 kv8: bool = False):
         self.model_dir = model_dir
         self.verbose = verbose
         self.reader = MultiSafetensors(model_dir)
@@ -120,6 +121,16 @@ class Engine:
         self._dec_layers_list = None
         self._kv_list = None
         self._kv_list_cap = 0
+        # int8 KV cache (--kv8): batched decode paths only — the KV read is
+        # their dominant decode term (serving B=32: ~1.17 GB/step vs 0.63 GB
+        # of weights; docs/SERVING_ROOFLINE.md).  Single-stream paths keep
+        # kv_dtype: at B=1 the cache is a minor term and the bf16 cache is
+        # part of the token-parity contract.
+        self.kv8 = bool(kv8)
+        if self.kv8 and verbose >= 1:
+            print("int8 KV cache active (--kv8) on batched paths: output "
+                  "may differ from the bf16 parity path",
+                  file=sys.stderr, flush=True)
         self.q8 = bool(q8)
         if self.q8:
             # int8 decoder weights (--q8): ~1.7x decode bandwidth for bounded
@@ -302,6 +313,12 @@ class Engine:
     # ------------------------------------------------------------------
     # tokenizer / prompt settings
     # ------------------------------------------------------------------
+
+    @property
+    def batched_kv_dtype(self):
+        """Cache dtype for the BATCHED decode paths (serving / multistream /
+        batched segments): int8 under --kv8, else kv_dtype."""
+        return jnp.int8 if self.kv8 else self.kv_dtype
 
     @property
     def tokenizer(self) -> Tokenizer:

@@ -235,7 +235,8 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
     from smolvision_tpu.runtime.buckets import bucket128
 
     cfg = engine.cfg
-    key = (B, max_src_samples // 16000, max_new, str(engine.kv_dtype))
+    key = (B, max_src_samples // 16000, max_new,
+           str(engine.batched_kv_dtype))
     warmed = getattr(engine, "_mstream_prewarmed", None)
     if warmed is None:
         warmed = engine._mstream_prewarmed = set()
@@ -270,7 +271,12 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
     seen = set()
     for pcap in range(128, top + 1, 128):
         kcap = pcap + dec_w
-        kv_s = S((L, 2, B, KH, kcap, D), engine.kv_dtype)
+        kv_shape = (L, 2, B, KH, kcap, D)
+        if engine.batched_kv_dtype == jnp.int8:
+            from smolvision_tpu.ops.quant import QuantKV
+            kv_s = QuantKV(S(kv_shape, jnp.int8), S(kv_shape[:-1], f32))
+        else:
+            kv_s = S(kv_shape, engine.batched_kv_dtype)
         if ("dec", kcap) not in seen:
             seen.add(("dec", kcap))
             lowered.append(decode_j.lower(
@@ -314,10 +320,9 @@ def _compact_rows(engine, cache: "_BatchKV", row_of, act_states):
     while len(keep) < new_b:          # pad rows: duplicate row 0 (garbage)
         keep.append(keep[0])
 
-    def compact(old_kv):
-        return jnp.stack([old_kv[:, :, r] for r in keep], axis=2)
+    from smolvision_tpu.ops.quant import kv_rows_gather
 
-    cache.kv = jax.jit(compact)(cache.kv)
+    cache.kv = jax.jit(lambda old: kv_rows_gather(old, tuple(keep)))(cache.kv)
     cache.lens = [cache.lens[r] for r in keep]
     cache.valid = [cache.valid[r] for r in keep]
     for i in range(new_b - len(act_states)):
@@ -417,15 +422,11 @@ def _mstream_jits(engine):
 
     cfg = engine.cfg
 
-    def grow(old_kv, kcap_new):
-        # positions are absolute in the natural layout: growing the cache
-        # is ONE contiguous block copy, reuse preserved
-        new = jnp.zeros(old_kv.shape[:4] + (kcap_new,) + old_kv.shape[5:],
-                        old_kv.dtype)
-        return jax.lax.dynamic_update_slice(
-            new, old_kv, (0, 0, 0, 0, 0, 0))
+    from smolvision_tpu.ops.quant import kv_grow_k
 
-    grow_j = jax.jit(grow, static_argnums=(1,))
+    # positions are absolute in the natural layout: growing the cache is
+    # ONE contiguous block copy, reuse preserved
+    grow_j = jax.jit(kv_grow_k, static_argnums=(1,))
     prefill_delta_j = jax.jit(
         lambda p, e, s, k, rs, km, lr, pm, rg: dec_mod.batched_prefill_delta(
             p, cfg, e, s, k, rs, km, greedy=True, last_rows=lr,
@@ -514,8 +515,9 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     mark("host-setup")
 
     grow_j, prefill_delta_j, decode_j = _mstream_jits(engine)
-    if cache.kv is None or engine.kv_dtype != cache.kv.dtype:
-        cache.kv = pbatch.make_batched_kv(cfg, B, kcap, engine.kv_dtype)
+    if cache.kv is None or engine.batched_kv_dtype != cache.kv.dtype:
+        cache.kv = pbatch.make_batched_kv(cfg, B, kcap,
+                                          engine.batched_kv_dtype)
     elif kcap > cache.kcap:
         cache.kv = grow_j(cache.kv, kcap)
         mark("grow", cache.kv[0, 0, 0, 0, 0, 0])

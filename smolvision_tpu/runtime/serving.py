@@ -71,12 +71,9 @@ def _serving_jits(engine):
                 n_steps=ns, prompt_max=pm, region_start=rg, row_active=act)),
         donate_argnums=(3,))
 
-    def grow(old_kv, kcap_new):
-        new = jnp.zeros(old_kv.shape[:4] + (kcap_new,) + old_kv.shape[5:],
-                        old_kv.dtype)
-        return jax.lax.dynamic_update_slice(new, old_kv, (0, 0, 0, 0, 0, 0))
+    from smolvision_tpu.ops.quant import QuantKV, kv_grow_k
 
-    grow_j = jax.jit(grow, static_argnums=(1,))
+    grow_j = jax.jit(kv_grow_k, static_argnums=(1,))
 
     # admit[G]: copy G rows' prompt KV from the compact group cache into the
     # big cache's slots — G scalar-indexed DUS (plain block copies)
@@ -85,13 +82,22 @@ def _serving_jits(engine):
     def admit_jit(G: int):
         fn = admit_cache.get(G)
         if fn is None:
-            def admit(big, small, slots):
+            def admit_leaf(big, small, slots, row_axis=2):
                 for g in range(G):
-                    row = jax.lax.dynamic_slice_in_dim(small, g, 1, axis=2)
+                    row = jax.lax.dynamic_slice_in_dim(small, g, 1,
+                                                       axis=row_axis)
+                    idx = [0] * big.ndim
                     big = jax.lax.dynamic_update_slice(
                         big, row.astype(big.dtype),
-                        (0, 0, slots[g], 0, 0, 0))
+                        tuple(idx[:row_axis]) + (slots[g],)
+                        + tuple(idx[row_axis + 1:]))
                 return big
+
+            def admit(big, small, slots):
+                if isinstance(big, QuantKV):
+                    return QuantKV(admit_leaf(big.q, small.q, slots),
+                                   admit_leaf(big.s, small.s, slots))
+                return admit_leaf(big, small, slots)
 
             fn = jax.jit(admit, donate_argnums=(0,))
             admit_cache[G] = fn
@@ -159,7 +165,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
 
     # ---- slot state ----------------------------------------------------
     kcap = pcap + bucket(min(engine.max_tokens, 2 * DECODE_CHUNK) + 1, 64)
-    kv = pbatch.make_batched_kv(cfg, S, kcap, engine.kv_dtype)
+    kv = pbatch.make_batched_kv(cfg, S, kcap, engine.batched_kv_dtype)
     slot_clip = [-1] * S                  # clip index per slot (-1 free)
     slot_done = [True] * S
     rows: List[Optional[List[int]]] = [None] * n
@@ -215,7 +221,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                 lens.append(lens[G - 1])
                 blocks.append(blocks[G - 1])
             audio_stack = jnp.stack(blocks)
-            small_kv = pbatch.make_batched_kv(cfg, Gcap, pcap, engine.kv_dtype)
+            small_kv = pbatch.make_batched_kv(cfg, Gcap, pcap, engine.batched_kv_dtype)
             embeds = build(engine.dec_params, jnp.asarray(id_rows),
                            audio_stack, jnp.asarray(astart),
                            jnp.asarray(alen))

@@ -1,0 +1,181 @@
+"""int8 KV cache (--kv8, ops/quant.py QuantKV) — the batched decode paths'
+bandwidth lever (docs/SERVING_ROOFLINE.md, docs/MULTISTREAM.md).
+
+kv8 is OUTSIDE the bf16 token-parity contract, so these tests pin what IS
+guaranteed:
+  * the quantization machinery itself is exact on lossless-by-construction
+    rows (integer values, power-of-two scales) — same trick as test_q8.py;
+  * attention with a losslessly-quantized cache bit-matches the plain-cache
+    attention (scales are powers of two, so score/prob folding is exact);
+  * the serving scheduler == one-shot batch equivalence contract holds
+    UNDER kv8 (both paths run the identical quantized math);
+  * cache plumbing (grow, admit, row compaction) preserves QuantKV.
+"""
+
+import numpy as np
+import pytest
+
+
+def _lossless_rows(rng, shape):
+    """f32 rows whose per-row int8 quantization is exact: integer levels in
+    [-127, 127] scaled by a power of two, with max |level| pinned at 127."""
+    levels = rng.integers(-127, 128, size=shape).astype(np.float32)
+    levels[..., 0] = 127.0 * np.sign(levels[..., 0] + 0.5)  # pin the max
+    return levels * (2.0 ** -3)
+
+
+def test_quantize_kv_rows_lossless_roundtrip():
+    from smolvision_tpu.ops.quant import quantize_kv_rows
+
+    rng = np.random.default_rng(0)
+    x = _lossless_rows(rng, (3, 5, 16))
+    qkv = quantize_kv_rows(x)
+    assert qkv.q.dtype == np.int8 and qkv.s.shape == (3, 5)
+    back = np.asarray(qkv.q, np.float32) * np.asarray(qkv.s)[..., None]
+    np.testing.assert_array_equal(back, x)
+
+
+def test_quantize_kv_rows_error_bound():
+    from smolvision_tpu.ops.quant import quantize_kv_rows
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    qkv = quantize_kv_rows(x)
+    back = np.asarray(qkv.q, np.float32) * np.asarray(qkv.s)[..., None]
+    # round-to-nearest: |err| <= scale/2 per element
+    bound = np.asarray(qkv.s)[..., None] * 0.5 + 1e-7
+    assert np.all(np.abs(back - x) <= bound)
+
+
+def test_batched_attention_kv8_exact_on_lossless():
+    """With power-of-two row scales, folding scales into scores (K) and
+    probabilities (V) is bit-exact vs the plain f32 cache on CPU."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.config import ModelConfig
+    from smolvision_tpu.models.qwen3_decoder import (
+        _batched_attention_two_part,
+    )
+    from smolvision_tpu.ops.quant import quantize_kv_rows
+
+    cfg = ModelConfig(dec_hidden=64, dec_layers=2, dec_heads=4,
+                      dec_kv_heads=2, dec_head_dim=16, dec_intermediate=96)
+    B, T, H, D = 2, 1, cfg.dec_heads, cfg.dec_head_dim
+    KH, K = cfg.dec_kv_heads, 32
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, T, KH, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, T, KH, D)), jnp.float32)
+    kc = jnp.asarray(_lossless_rows(rng, (B, KH, K, D)), jnp.float32)
+    vc = jnp.asarray(_lossless_rows(rng, (B, KH, K, D)), jnp.float32)
+    start = jnp.int32(K - 4)
+    kv_min = jnp.zeros((B,), jnp.int32)
+
+    plain = _batched_attention_two_part(q, k_new, v_new, kc, vc, start, cfg,
+                                        kv_min)
+    quant = _batched_attention_two_part(q, k_new, v_new,
+                                        quantize_kv_rows(kc),
+                                        quantize_kv_rows(vc), start, cfg,
+                                        kv_min)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(quant))
+
+
+@pytest.fixture(scope="module")
+def kv8_engine(tiny_model_dir):
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32, kv8=True)
+    eng.max_tokens = 8
+    return eng
+
+
+def _clips(n, seed=11):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        dur = 0.8 + 0.45 * (i % 4)
+        t = np.arange(int(16000 * dur)) / 16000
+        sig = (0.3 * np.sin(2 * np.pi * (160 + 25 * i) * t)
+               + 0.02 * rng.standard_normal(len(t)))
+        out.append(sig.astype(np.float32))
+    return out
+
+
+def test_batched_cache_is_quantized(kv8_engine):
+    import jax.numpy as jnp
+
+    from smolvision_tpu.ops.quant import QuantKV
+    from smolvision_tpu.parallel import batch as pbatch
+
+    kv = pbatch.make_batched_kv(kv8_engine.cfg, 2, 64,
+                                kv8_engine.batched_kv_dtype)
+    assert isinstance(kv, QuantKV)
+    assert kv.dtype == jnp.int8 and kv.shape[4] == 64
+    assert kv.s.shape == kv.q.shape[:-1]
+
+
+def test_serving_matches_one_shot_under_kv8(kv8_engine):
+    """The admission/retirement scheduler and the one-shot batch run the
+    same quantized math — their equivalence contract survives kv8.
+    Slot reuse + mid-flight admission exercise admit/grow on QuantKV."""
+    from smolvision_tpu.runtime.batch_segments import (
+        transcribe_segments_batched,
+    )
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    clips = _clips(5)
+    one_shot = transcribe_segments_batched(kv8_engine, clips)
+    assert serve_continuous(kv8_engine, clips, slots=2) == one_shot
+
+
+def test_kv_grow_and_gather_preserve_quant():
+    import jax.numpy as jnp
+
+    from smolvision_tpu.ops.quant import (QuantKV, kv_grow_k, kv_rows_gather,
+                                          kv_zeros, quantize_kv_rows)
+
+    rng = np.random.default_rng(3)
+    kv = kv_zeros((2, 2, 4, 2, 8, 16), jnp.int8)
+    rows = quantize_kv_rows(rng.standard_normal((2, 2, 4, 2, 8, 16))
+                            .astype(np.float32))
+    from smolvision_tpu.ops.quant import kv_dus
+
+    kv = kv_dus(kv, rows, (0, 0, 0, 0, 0, 0))
+    grown = kv_grow_k(kv, 16)
+    assert isinstance(grown, QuantKV)
+    assert grown.q.shape[4] == 16 and grown.s.shape[4] == 16
+    np.testing.assert_array_equal(np.asarray(grown.q[..., :8, :]),
+                                  np.asarray(kv.q))
+    np.testing.assert_array_equal(np.asarray(grown.s[..., :8]),
+                                  np.asarray(kv.s))
+
+    picked = kv_rows_gather(kv, (3, 1))
+    assert picked.q.shape[2] == 2
+    np.testing.assert_array_equal(np.asarray(picked.q[:, :, 0]),
+                                  np.asarray(kv.q[:, :, 3]))
+    np.testing.assert_array_equal(np.asarray(picked.s[:, :, 1]),
+                                  np.asarray(kv.s[:, :, 1]))
+
+
+def test_multistream_kv8_smoke(tiny_model_dir):
+    """The batched coordinator end-to-end under kv8: rounds, KV reuse,
+    delta prefill, decode, row compaction — runs and yields per-session
+    transcripts with the same structure as bf16."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime.engine import Engine
+    from smolvision_tpu.runtime.multistream import run_streams_batched
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32, kv8=True)
+    eng.max_tokens = 64
+    rng = np.random.default_rng(7)
+    srcs = [(0.2 * rng.standard_normal(int(16000 * 1.5))).astype(np.float32)
+            for _ in range(3)]
+    res = run_streams_batched(eng, srcs)
+    assert len(res) == 3
+    for r in res:
+        assert isinstance(r, str)
