@@ -105,6 +105,19 @@ def main():
         results.append(rec)
         log(json.dumps(rec))
 
+    # int8 KV cache engine (--kv8): same weights/jit surface, quantized
+    # batched cache — the roofline doc's top remaining decode lever
+    _kv8 = [None]
+
+    def eng_kv8():
+        if _kv8[0] is None:
+            e = Engine(BENCH_DIR, verbose=0, kv8=True)
+            e.max_tokens = 48
+            e.segment_sec = 0.0
+            log("probe_serving: kv8 engine loaded")
+            _kv8[0] = e
+        return _kv8[0]
+
     # ---- one-shot batched, uniform jfk, B sweep ------------------------
     for B in (32, 64, 128):
         if want(f"one{B}"):
@@ -113,6 +126,12 @@ def main():
                 lambda B=B: [base] * B,
                 lambda clips: bs_mod.transcribe_segments_batched(eng, clips),
                 args.runs)
+    if want("one32kv8"):
+        run_config(
+            "one-shot B=32 jfk KV8",
+            lambda: [base] * 32,
+            lambda clips: bs_mod.transcribe_segments_batched(eng_kv8(), clips),
+            args.runs)
 
     # ---- stage attribution: one B=32 run with debug fences -------------
     if want("dbg32"):
@@ -146,6 +165,12 @@ def main():
                    lambda: mixed_queue(128),
                    lambda clips: srv_mod.serve_continuous(
                        eng, clips, slots=64, encode_group=64),
+                   args.runs)
+    if want("cont64kv8"):
+        run_config("continuous slots=64 queue=128 jfk KV8",
+                   lambda: [base] * 128,
+                   lambda clips: srv_mod.serve_continuous(
+                       eng_kv8(), clips, slots=64, encode_group=64),
                    args.runs)
 
     print(json.dumps(results, indent=1))

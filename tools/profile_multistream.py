@@ -52,7 +52,8 @@ def log(m):
 def main():
     log(f"backend={jax.default_backend()}")
     eng = Engine(BENCH_DIR, verbose=0,
-                 q8=os.environ.get("SMOLVISION_Q8", "") == "1")
+                 q8=os.environ.get("SMOLVISION_Q8", "") == "1",
+                 kv8=os.environ.get("SMOLVISION_KV8", "") == "1")
     eng.past_text_conditioning = True
     base = load_wav(CLIP)
     audio_s = len(base) / 16000.0
