@@ -196,6 +196,37 @@ def main() -> int:
             "vs_baseline": round(tput / BASE_SERVING, 3),
         })
 
+        # continuous + int8 KV cache (--kv8, ops/quant.py QuantKV):
+        # halves the B x kcap x L cache read that rivals the weight
+        # stream at these batch sizes; measured +10-19% same-process
+        # (docs/SERVING_ROOFLINE.md).  Outside the bf16 parity contract —
+        # reported as an extra line, like --q8 offline.
+        eng_kv8 = Engine(model_dir, verbose=0, kv8=True)
+        eng_kv8.max_tokens = MAX_TOKENS
+        eng_kv8.segment_sec = 0.0
+        clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
+        t0 = time.monotonic()
+        serve_continuous(eng_kv8, clips, slots=SLOTS, encode_group=SLOTS)
+        log(f"bench: serving-kv8 warmup {time.monotonic() - t0:.1f} s")
+        best = float("inf")
+        for i in range(RUNS):
+            clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
+            t0 = time.monotonic()
+            serve_continuous(eng_kv8, clips, slots=SLOTS, encode_group=SLOTS)
+            ms = (time.monotonic() - t0) * 1000.0
+            log(f"bench: serving-kv8 run {i + 1}: {ms:.0f} ms")
+            best = min(best, ms)
+        del eng_kv8
+        tput = N_QUEUE * audio_s / (best / 1000.0)
+        emit({
+            "metric": f"serving throughput, {N_QUEUE} x jfk.wav queued, "
+                      f"continuous slots={SLOTS}, int8 KV cache "
+                      "(Qwen3-ASR-0.6B geometry, --kv8, 1 v5e chip)",
+            "value": round(tput, 1),
+            "unit": "s_speech_per_s",
+            "vs_baseline": round(tput / BASE_SERVING, 3),
+        })
+
     # ---- streaming: 45 s clip, --stream semantics ----------------------
     if want("streaming"):
         s45 = load_wav(CLIP_45S)

@@ -86,3 +86,25 @@ def test_cli_bad_language(tiny_model_dir, wav_path):
     r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, "--language", "klingon"])
     assert r.returncode == 1
     assert b"Supported languages" in r.stderr
+
+
+def test_cli_q25_multi_file_rejected(tiny_q25_model_dir, wav_path):
+    """q25 has no batched ASR path — multi-file input must error, like the
+    reference whose q25 branch (main.c:218-285) is single-input only."""
+    r = _run_cli(["-d", tiny_q25_model_dir, "-i", wav_path, wav_path])
+    assert r.returncode == 1
+    assert b"only supported in plain Qwen3 ASR" in r.stderr
+
+
+def test_cli_q25_stream_routes_to_thinker(tiny_q25_model_dir, wav_path):
+    """The reference's q25 branch never consults stream_mode
+    (main.c:218-285): --stream on a q25 checkpoint runs the thinker-route
+    ASR pass (q25_transcribe_audio semantics), not the streaming state
+    machine.  Pin that: rc 0, single transcript line, standard perf
+    contract on stderr (not the streaming 'Streams:' summary)."""
+    r = _run_cli(["-d", tiny_q25_model_dir, "-i", wav_path, "--stream",
+                  "--max-tokens", "6", "--temperature", "0"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert r.stdout.decode().count("\n") == 1
+    err = r.stderr.decode()
+    assert "Inference:" in err and "Streams:" not in err
