@@ -340,6 +340,154 @@ def batched_causal_flash_attention(q, k, v, kv_min, *, gqa_groups: int,
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def _batched_cache_kernel(start_ref, kvmin_ref, pm_ref, rs_ref,
+                          q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
+                          m_ref, l_ref, acc_ref, *, scale, bq, t_len):
+    # G-folded layout: the q block holds bq rows of [B, KH, G*T, D] — all
+    # GQA groups of one KV head share the block, so each K/V segment is
+    # fetched ONCE per KV head (not once per query head).  Row r's block
+    # position is r % T (T % bq == 0, so a q block never straddles group
+    # boundaries and t is contiguous within it).  The K axis is TWO whole
+    # segments (kb=0: the full cache; kb=1: the full fresh block) — at the
+    # runtime's shapes both fit VMEM comfortably (<= ~1 MB each), and whole
+    # segments give the MXU full-width rhs tiles where a 64-granular
+    # blocked walk measured 40% slower than the fused-XLA formulation.
+    b = pl.program_id(0)
+    tb = pl.program_id(2)
+    kb = pl.program_id(3)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    start = start_ref[0]
+    kv_min = kvmin_ref[b]
+    pm = pm_ref[b]
+    rs = rs_ref[b]
+    t0 = (tb * bq) % t_len          # block position of the q block's row 0
+
+    # ---- kb 0: the cache segment (skipped entirely when start == 0) -----
+    @pl.when((kb == 0) & (start > 0))
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale          # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)                  # [K, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = ((cols < start) & (cols >= kv_min)
+                & ((cols < pm) | (cols >= rs)))
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_ref[:] = jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    # ---- kb 1: the fresh block (causal within the block) ----------------
+    @pl.when(kb == 1)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = kn_ref[0, 0].astype(jnp.float32)                 # [T, D]
+        v = vn_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rows = t0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (cols <= rows) & (start + cols >= kv_min)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def batched_cache_flash_attention(q, k_new, v_new, k_cache, v_cache,
+                                  start_pos, kv_min, prompt_max=None,
+                                  region_start=None, *, gqa_groups: int,
+                                  block_q: int = 256, block_k: int = 256):
+    """Batched GQA flash attention of a fresh query block against the cache
+    PLUS the block's own fresh K/V (the batched delta-prefill shape —
+    models/qwen3_decoder._batched_attention_two_part's semantics, but the
+    [B, KH, G, T, K] f32 score tensor never reaches HBM: ~440 MB/layer at
+    B=16, T=512, Kcap 832, which made the XLA formulation ~2.7x the matmul
+    bound; measured in docs/MULTISTREAM.md round 3).
+
+    q: [B, T, H, D] at cache rows start_pos + arange(T); k_new/v_new:
+    [B, T, KH, D] (the block's K/V, NOT yet written to the cache);
+    k_cache/v_cache: [B, KH, K, D].  Cache cols attended for row b:
+    [kv_min[b], start_pos) ∩ ([0, prompt_max[b]) ∪ [region_start[b], K))
+    — the natural-layout end-pad mask; pass prompt_max=None for the plain
+    left-padded contract (all cols live).  Returns [B, T, H, D] f32.
+    """
+    B, T, H, D = q.shape
+    KH = k_cache.shape[1]
+    K = k_cache.shape[2]
+    G = gqa_groups
+    assert H == KH * G
+    bq = min(block_q, T)
+    if T % bq:
+        bq = 64 if T % 64 == 0 else T
+    assert T % bq == 0, (T, bq)
+    n_tb = (G * T) // bq            # q grid runs over the G-folded rows
+    scale = 1.0 / (D ** 0.5)
+
+    # G-folded layout [B, KH, G*T, D]: all query groups of one KV head are
+    # contiguous rows, so each K/V tile is fetched once per KV head (the
+    # flat [B, H, T, D] layout refetches it G times)
+    qT = jnp.transpose(q.reshape(B, T, KH, G, D), (0, 2, 3, 1, 4)) \
+            .reshape(B, KH, G * T, D)
+    knT = jnp.transpose(k_new, (0, 2, 1, 3))      # [B, KH, T, D]
+    vnT = jnp.transpose(v_new, (0, 2, 1, 3))
+
+    kv_min = jnp.asarray(kv_min, jnp.int32).reshape(B)
+    if prompt_max is None:
+        pm = jnp.full((B,), K, jnp.int32)
+        rs = jnp.zeros((B,), jnp.int32)
+    else:
+        pm = jnp.asarray(prompt_max, jnp.int32).reshape(B)
+        rs = jnp.broadcast_to(jnp.asarray(region_start, jnp.int32),
+                              (B,)) if jnp.ndim(region_start) == 0 else \
+            jnp.asarray(region_start, jnp.int32).reshape(B)
+    start_arr = jnp.reshape(jnp.asarray(start_pos, jnp.int32), (1,))
+
+    q_spec = pl.BlockSpec((1, 1, bq, D),
+                          lambda b, kh, tb, kb, *refs: (b, kh, tb, 0),
+                          memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec((1, 1, K, D),
+                              lambda b, kh, tb, kb, *refs: (b, kh, 0, 0),
+                              memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((1, 1, T, D),
+                            lambda b, kh, tb, kb, *refs: (b, kh, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_batched_cache_kernel, scale=scale, bq=bq, t_len=T),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, KH, n_tb, 2),
+            in_specs=[q_spec, new_spec, new_spec, cache_spec, cache_spec],
+            out_specs=q_spec,
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KH, G * T, D), jnp.float32),
+        interpret=_interpret(),
+    )(start_arr, kv_min, pm, rs, qT, knT, vnT, k_cache, v_cache)
+    return jnp.transpose(out.reshape(B, KH, G, T, D),
+                         (0, 3, 1, 2, 4)).reshape(B, T, H, D)
+
+
 def causal_cache_flash_attention(q, k_cache, v_cache, start_pos, kv_valid_len,
                                  *, gqa_groups: int, block_q: int = 128,
                                  block_k: int = 256, kv_min=None):

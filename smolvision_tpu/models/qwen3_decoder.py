@@ -77,6 +77,15 @@ MOE_CAPACITY_FACTOR = 2.0
 # launch overhead; measured crossover on v5e, tools/profile_serving.py)
 BATCHED_FLASH_MIN_T = 1024
 
+# Block width at which the batched CACHE flash kernel (delta prefill:
+# block vs cache + itself) overtakes the fused-XLA two-part formulation.
+# Measured (tools/probe_delta_prefill.py, B16/Kcap 832, 0.6B geometry):
+# W=512: kernel 200 ms vs XLA 244 (matmul bound 89); W=256: 104 vs 115;
+# W=128: 69 vs 66 (tie) -> crossover at 256.  The win comes from whole-
+# segment VMEM tiles (one cache pass + one block pass, 832-wide MXU rhs);
+# a 64-granular blocked walk measured 40% SLOWER than XLA.
+BATCHED_DELTA_FLASH_MIN_T = 256
+
 
 def _moe_capacity_dispatch(xc, lp, top_idx, top_w, cfg: ModelConfig, valid):
     """Scatter tokens into per-expert queues and run each expert over ONE
@@ -618,7 +627,10 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
     kv_dt = jnp.bfloat16 if kv8 else kv.dtype
 
     from smolvision_tpu.kernels import pallas_forced, use_pallas
-    from smolvision_tpu.kernels.flash_attention import batched_causal_flash_attention
+    from smolvision_tpu.kernels.flash_attention import (
+        batched_cache_flash_attention,
+        batched_causal_flash_attention,
+    )
 
     # fused-XLA two-part attention wins below ~1k context (measured 366 vs
     # 404 ms at B=32/T=512 on v5e); the kernel takes over where the
@@ -626,6 +638,16 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
     flash = (use_pallas() and fresh_prefill and Tcap > 1
              and Tcap % min(128, Tcap) == 0
              and (Tcap >= BATCHED_FLASH_MIN_T or pallas_forced()))
+    # delta-prefill cache flash: the [B, KH, G, T, Kcap] score tensor makes
+    # the XLA path ~2.7x the matmul bound at multistream round shapes
+    Kcap_ = kv.shape[4]
+    # Kcap/Tcap bounds keep the whole-segment VMEM tiles (cache [K, D] +
+    # block [T, D] + [bq, K] scores) a few MB; the batched runtimes' caps
+    # sit far below them
+    delta_flash = (use_pallas() and not fresh_prefill and not kv8
+                   and Tcap > 1 and Tcap % 64 == 0 and Kcap_ % 64 == 0
+                   and Tcap <= 2048 and Kcap_ <= 8192
+                   and (Tcap >= BATCHED_DELTA_FLASH_MIN_T or pallas_forced()))
 
     # pad rows must not consume MoE expert capacity — flattened [B*Tcap]
     # validity for _moe_ffn (left-pad rows below kv_min; with a natural
@@ -659,6 +681,11 @@ def batched_decoder_forward(params, cfg: ModelConfig, embeds, start_pos, kv,
         if flash:
             attn = batched_causal_flash_attention(q, k, v, kv_min,
                                                   gqa_groups=H // KH)
+        elif delta_flash:
+            attn = batched_cache_flash_attention(
+                q, k, v, kv_layer[0], kv_layer[1], start_pos, kv_min,
+                prompt_max=prompt_max, region_start=region_start,
+                gqa_groups=H // KH)
         else:
             attn = _batched_attention_two_part(
                 q, k, v, kv_layer[0], kv_layer[1], start_pos, cfg, kv_min,

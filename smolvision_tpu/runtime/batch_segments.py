@@ -540,7 +540,8 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
         if pos + BATCH_DECODE_CHUNK + 1 > kcap:
             kcap = bucket64(pos + BATCH_DECODE_CHUNK + 64)
             from smolvision_tpu.ops.quant import kv_grow_k
-            kv = jax.jit(kv_grow_k, static_argnums=(1,))(kv, kcap)
+            kv = jax.jit(kv_grow_k, static_argnums=(1,),
+                         donate_argnums=(0,))(kv, kcap)
         buf, count, tokens, kv = decode(engine.dec_params, tokens,
                                         jnp.int32(pos), kv, rope_offset,
                                         kv_min, jnp.int32(steps))

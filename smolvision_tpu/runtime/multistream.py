@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import copy
 import os
+import sys
 import threading
 import time
 from typing import Callable, List, Optional, Sequence
@@ -426,7 +427,7 @@ def _mstream_jits(engine):
 
     # positions are absolute in the natural layout: growing the cache is
     # ONE contiguous block copy, reuse preserved
-    grow_j = jax.jit(kv_grow_k, static_argnums=(1,))
+    grow_j = jax.jit(kv_grow_k, static_argnums=(1,), donate_argnums=(0,))
     prefill_delta_j = jax.jit(
         lambda p, e, s, k, rs, km, lr, pm, rg: dec_mod.batched_prefill_delta(
             p, cfg, e, s, k, rs, km, greedy=True, last_rows=lr,
@@ -553,6 +554,7 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             audio_rows[r] = audio_rows[a0]
             cache.valid[r] = False
     audio_stack = jnp.stack(audio_rows)
+    mark("audio-stack", audio_stack[0, 0, 0])
 
     # batch-uniform delta block [S, S+W): down to the shallowest reuse
     # point among ACTIVE rows (deeper-reuse rows recompute kept tokens —
@@ -569,6 +571,7 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    jnp.asarray(astart), jnp.asarray(alen))
     embeds_blk = jax.lax.dynamic_slice_in_dim(embeds, S, W, axis=1)
+    mark("build+slice", embeds_blk[0, 0, 0])
     last_rows = np.asarray(
         [max(0, lens_new[r] - 1 - S) if r in active else 0 for r in range(B)],
         dtype=np.int32)
@@ -578,6 +581,11 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
                                 cache.kv, jnp.asarray(rope_start),
                                 jnp.asarray(kv_min), jnp.asarray(last_rows),
                                 pm_dev, rg_dev)
+    if dbg:
+        ru = sorted(reused_eff[r] for r in active)
+        print(f"    [mstream] block S={S} W={W} pcap={pcap} "
+              f"reuse min/med/max={ru[0]}/{ru[len(ru) // 2]}/{ru[-1]} "
+              f"lens max={max_len}", file=sys.stderr, flush=True)
     mark("prefill", first[0])
     B_real = len(works)
     prefill_ms = (time.monotonic() * 1000.0 - t_pre0) / B_real  # async (dispatch)

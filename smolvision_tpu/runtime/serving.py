@@ -73,7 +73,7 @@ def _serving_jits(engine):
 
     from smolvision_tpu.ops.quant import QuantKV, kv_grow_k
 
-    grow_j = jax.jit(kv_grow_k, static_argnums=(1,))
+    grow_j = jax.jit(kv_grow_k, static_argnums=(1,), donate_argnums=(0,))
 
     # admit[G]: copy G rows' prompt KV from the compact group cache into the
     # big cache's slots — G scalar-indexed DUS (plain block copies)

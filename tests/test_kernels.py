@@ -158,3 +158,49 @@ def test_batched_causal_flash_matches_two_part(B, T, H, KH, D, kvmins):
         lo = int(kv_min[b])
         np.testing.assert_allclose(got[b, lo:], expect[b, lo:],
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,T,K,H,KH,D,start", [
+    (2, 128, 256, 4, 2, 64, 192),    # cache part [0,192) + block
+    (3, 64, 128, 4, 2, 64, 0),       # no cache (start 0): pure causal block
+    (2, 192, 320, 4, 4, 64, 256),    # MHA (G=1), 64-granular sizes
+])
+def test_batched_cache_flash_matches_two_part(B, T, K, H, KH, D, start):
+    """Batched delta-prefill kernel (block vs cache + itself) vs the
+    two-part XLA reference, incl. per-row kv_min and the natural-layout
+    prompt_max/region_start end-pad mask."""
+    import dataclasses
+
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.kernels.flash_attention import (
+        batched_cache_flash_attention,
+    )
+    from smolvision_tpu.models.qwen3_decoder import _batched_attention_two_part
+
+    cfg = dataclasses.replace(QWEN3_ASR_06B, dec_heads=H, dec_kv_heads=KH,
+                              dec_head_dim=D)
+    rng = np.random.default_rng(13)
+    q = _rand(rng, B, T, H, D)
+    k_new = _rand(rng, B, T, KH, D)
+    v_new = _rand(rng, B, T, KH, D)
+    k_cache = _rand(rng, B, KH, K, D)
+    v_cache = _rand(rng, B, KH, K, D)
+    kv_min = jnp.asarray([0, 3, 7][:B] + [0] * max(0, B - 3), jnp.int32)[:B]
+
+    cases = [(None, None)]
+    if start > 0:
+        cases += [
+            (jnp.asarray(rng.integers(start // 2, start + 1, B), jnp.int32),
+             jnp.int32(K)),                   # scalar region_start, no region
+            (jnp.asarray(rng.integers(1, start + 1, B), jnp.int32),
+             jnp.asarray(rng.integers(start // 2, K, B), jnp.int32)),  # per-row
+        ]
+    for pm, rs in cases:
+        got = batched_cache_flash_attention(
+            q, k_new, v_new, k_cache, v_cache, jnp.int32(start), kv_min,
+            prompt_max=pm, region_start=rs, gqa_groups=H // KH)
+        expect = _batched_attention_two_part(
+            q, k_new, v_new, k_cache, v_cache, jnp.int32(start), cfg,
+            kv_min=kv_min, prompt_max=pm, region_start=rs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   rtol=2e-5, atol=2e-5)

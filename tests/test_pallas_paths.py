@@ -104,3 +104,53 @@ def test_decoder_decode_step_pallas_matches_jnp(tiny_model_dir):
         outs[mode] = np.asarray(logits)
     os.environ.pop("SMOLVISION_PALLAS", None)
     np.testing.assert_allclose(outs["1"], outs["0"], rtol=2e-4, atol=2e-4)
+
+
+def test_batched_delta_prefill_pallas_matches_jnp(tiny_model_dir):
+    """The batched delta-prefill flash kernel (block vs cache + itself,
+    natural-layout masks) through batched_prefill_delta vs the two-part
+    XLA path — the multistream round's model middle."""
+    import jax.numpy as jnp
+    from smolvision_tpu.config import detect_config
+    from smolvision_tpu.io.safetensors import MultiSafetensors
+    from smolvision_tpu.models import params as pm
+    from smolvision_tpu.models import qwen3_decoder as dm
+    from smolvision_tpu.parallel import batch as pbatch
+
+    reader = MultiSafetensors(tiny_model_dir)
+    cfg = detect_config(tiny_model_dir, reader)
+    params = pm.load_decoder(reader, cfg, jnp.float32)
+    reader.close()
+
+    rng = np.random.default_rng(9)
+    B, W, PCAP = 3, 256, 512
+    KCAP, S = 576, 128
+    embeds = jnp.asarray(
+        rng.standard_normal((B, W, cfg.dec_hidden)).astype(np.float32))
+    seed_blk = jnp.asarray(
+        rng.standard_normal((B, S, cfg.dec_hidden)).astype(np.float32))
+    rope = jnp.zeros((B,), jnp.int32)
+    kvm = jnp.zeros((B,), jnp.int32)
+    last = jnp.asarray([W - 1, W - 5, W // 2], jnp.int32)
+    pmax = jnp.asarray([S + 60, S + 200, S + 17], jnp.int32)
+
+    outs = {}
+    for mode in ("1", "0"):
+        os.environ["SMOLVISION_PALLAS"] = mode
+        kv = pbatch.make_batched_kv(cfg, B, KCAP, jnp.float32)
+        # seed the cache region [0, S) so the cache part is non-trivial
+        _, kv = dm.batched_prefill_delta(
+            params, cfg, seed_blk, jnp.int32(0), kv, rope, kvm, greedy=False,
+            last_rows=jnp.full((B,), S - 1, jnp.int32),
+            prompt_max=jnp.full((B,), KCAP, jnp.int32),
+            region_start=jnp.int32(PCAP))
+        logits, kv = dm.batched_prefill_delta(
+            params, cfg, embeds, jnp.int32(S), kv, rope, kvm, greedy=False,
+            last_rows=last, prompt_max=pmax, region_start=jnp.int32(PCAP))
+        outs[mode] = (np.asarray(logits), np.asarray(kv))
+    os.environ.pop("SMOLVISION_PALLAS", None)
+
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(outs["1"][1][:, :, :, :, : S + W],
+                               outs["0"][1][:, :, :, :, : S + W],
+                               rtol=2e-4, atol=2e-4)
