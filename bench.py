@@ -187,6 +187,10 @@ def main() -> int:
             log(f"bench: serving-continuous run {i + 1}: {ms:.0f} ms")
             best = min(best, ms)
         tput = N_QUEUE * audio_s / (best / 1000.0)
+        lat = eng.perf.serving_latency   # last run's per-clip percentiles
+        if lat:
+            log(f"bench: serving latency {lat} (upstream TTFT baseline "
+                "92 ms at 128 concurrency, MODEL.md:466-468)")
         emit({
             "metric": f"serving throughput, {N_QUEUE} x jfk.wav queued, "
                       f"continuous batching slots={SLOTS} "
@@ -194,6 +198,7 @@ def main() -> int:
             "value": round(tput, 1),
             "unit": "s_speech_per_s",
             "vs_baseline": round(tput / BASE_SERVING, 3),
+            **({"latency": lat} if lat else {}),
         })
 
         # continuous + int8 KV cache (--kv8, ops/quant.py QuantKV):

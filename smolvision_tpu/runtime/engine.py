@@ -67,6 +67,9 @@ class PerfStats:
         # reports 92 ms, MODEL.md:466-468)
         self.stream_chunk_ms = []
         self.stream_first_commit_ms = None
+        # continuous-serving per-clip latency (runtime/serving.py): ttft /
+        # completion p50/p99 dict over the last queue, or None
+        self.serving_latency = None
 
     def stream_latency(self):
         """(first_commit_ms, p50, p99) over the recorded chunk rounds, or

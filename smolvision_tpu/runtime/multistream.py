@@ -373,8 +373,19 @@ def _pre_encode_round(engine, states):
                              st.local[lo : cursor - st.local_base]))
     if len(reqs) < 2:
         return
-    mels = [log_mel(s) for _, _, s in reqs]
-    stack, n_toks = _encode_batch(engine, mels)
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        # device mel (one packed f16 upload + matmul-DFT on the MXU) — the
+        # serving front end's path; host numpy log_mel on this single-core
+        # host costs ~5-15 ms PER SPAN (~16-20 spans/round at N=16)
+        from smolvision_tpu.runtime.batch_segments import (
+            _encode_batch_device_mel,
+        )
+        stack, n_toks = _encode_batch_device_mel(
+            engine, [s for _, _, s in reqs])
+    else:
+        mels = [log_mel(s) for _, _, s in reqs]
+        stack, n_toks = _encode_batch(engine, mels)
     for i, (st, key, _) in enumerate(reqs):
         if n_toks[i] <= 0:
             continue

@@ -181,6 +181,13 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     admitted = 0                          # clips admitted so far
     tokens_dev = jnp.zeros((S,), jnp.int32)
 
+    # per-clip latency (all clips "arrive" at t0 — the queued-batch analog
+    # of the upstream serving TTFT metric, MODEL.md:466-468): first token
+    # exists when the admission wave's prefill returns; completion when the
+    # row hits EOS / its cap
+    t_first = np.zeros(n)
+    t_done = np.zeros(n)
+
     t0 = time.monotonic()
     while emitted < n:
         # ---- admit into free slots ------------------------------------
@@ -231,6 +238,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                 jnp.asarray(np.asarray(lens, np.int32) - 1),
                 jnp.asarray(lens, dtype=jnp.int32))
             first_h = np.asarray(jax.device_get(first))
+            now = time.monotonic()
             slot_vec = jnp.asarray(np.asarray(g_slots, np.int32))
             kv = admit_jit(Gcap)(kv, small_kv, slot_vec)
             for g, i in enumerate(group_idx):
@@ -243,10 +251,12 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                 prompt_max[s] = lens[g]
                 region_min[s] = clock
                 produced[s] = 1
+                t_first[i] = now - t0
                 if int(first_h[g]) in EOS_TOKEN_IDS \
                         or engine.max_tokens <= 1:
                     slot_done[s] = True
                     emitted += 1
+                    t_done[i] = now - t0
             admitted += G
             tokens_dev = jnp.asarray(tokens_h)
 
@@ -277,12 +287,14 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             encode_more()
         buf_h, count = jax.device_get((buf, count))
         count = int(count)
+        now = time.monotonic()
         if count == 0:
             # every active row's current token was already EOS
             for s in range(S):
                 if not slot_done[s]:
                     slot_done[s] = True
                     emitted += 1
+                    t_done[slot_clip[s]] = now - t0
             continue
         for s in range(S):
             if slot_done[s]:
@@ -300,12 +312,24 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             if last in EOS_TOKEN_IDS or produced[s] >= engine.max_tokens:
                 slot_done[s] = True
                 emitted += 1
+                t_done[i] = now - t0
         clock += count
         # keep the host token mirror in sync for the next admission wave
         # (copy: device_get may return a read-only buffer view)
         tokens_h = np.array(jax.device_get(tokens_dev))
 
     engine.perf.decode_ms += (time.monotonic() - t0) * 1000.0
+    # p50/p99 over the queue (seconds -> ms); consumers: bench.py, --debug
+    tf = np.sort(t_first) * 1000.0
+    td = np.sort(t_done) * 1000.0
+    engine.perf.serving_latency = {
+        "ttft_min_ms": round(float(tf[0]), 1),
+        "ttft_p50_ms": round(float(tf[len(tf) // 2]), 1),
+        "ttft_p99_ms": round(float(tf[min(len(tf) - 1, int(len(tf) * 0.99))]), 1),
+        "done_p50_ms": round(float(td[len(td) // 2]), 1),
+        "done_p99_ms": round(float(td[min(len(td) - 1, int(len(td) * 0.99))]), 1),
+        "clips": int(n),
+    }
 
     # ---- gate + detokenize (identical to batch_segments) ---------------
     texts: List[str] = [""] * n

@@ -60,3 +60,17 @@ def test_continuous_slot_reuse_many_waves(srv_engine):
     clips = _clips(8, seed=21)
     assert serve_continuous(eng, clips, slots=2) == \
         transcribe_segments_batched(eng, clips)
+
+
+def test_continuous_latency_percentiles(srv_engine):
+    """serve_continuous records per-clip TTFT/completion percentiles on
+    engine.perf (the serving analog of the upstream TTFT baseline,
+    MODEL.md:466-468) — monotone, complete, and in milliseconds."""
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    serve_continuous(eng, _clips(6, seed=3), slots=2)
+    lat = eng.perf.serving_latency
+    assert lat is not None and lat["clips"] == 6
+    assert 0 <= lat["ttft_p50_ms"] <= lat["ttft_p99_ms"]
+    assert lat["ttft_p50_ms"] <= lat["done_p50_ms"] <= lat["done_p99_ms"]
