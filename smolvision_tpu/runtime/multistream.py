@@ -360,13 +360,17 @@ def _pre_encode_round(engine, states):
         ews = st.enc_window_samples
         full_end = (cursor // ews) * ews
         ws = st.enc_cache.next_window_start
+        pre_w = getattr(st, "_pre_windows", None) or {}
+        pre_t = getattr(st, "_pre_tail", None)
         while ws < full_end:
             lo = ws - st.local_base
             if lo < 0 or lo + ews > len(st.local):
                 break
-            reqs.append((st, ("win", ws), st.local[lo : lo + ews]))
+            if ws not in pre_w:     # not already pipelined from last round
+                reqs.append((st, ("win", ws), st.local[lo : lo + ews]))
             ws += ews
-        if full_end < cursor:
+        if full_end < cursor and (pre_t is None
+                                  or pre_t[0] != (full_end, cursor)):
             lo = full_end - st.local_base
             if 0 <= lo and cursor - st.local_base <= len(st.local):
                 reqs.append((st, ("tail", (full_end, cursor)),
@@ -631,6 +635,11 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
                                           kv_min_dev, pm_dev, rg_dev,
                                           jnp.int32(steps), act_dev)
         if first_host is None:
+            # NOTE: dispatching the NEXT round's pre-encode here (in this
+            # decode chunk's shadow, the serving.py upload trick) measured
+            # 52 vs 64 s-speech/s at N=16 — the encoder dispatches contend
+            # with the in-flight decode round trip on the tunnel.  Pre-
+            # encode stays at round start; only its span-dedup remains.
             first_host, buf_host, count = jax.device_get((first, buf, count))
             first_host = np.asarray(first_host)
             rows = {r: [int(first_host[r])] for r in active}
