@@ -34,6 +34,7 @@ first group and later admissions always fit; results return in input order.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional, Sequence
 
@@ -188,11 +189,23 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     t_first = np.zeros(n)
     t_done = np.zeros(n)
 
+    # round-3 pipelining (SMOLVISION_SERVE_NO_PIPE3=1 reverts for A/B):
+    # encode in the PREFILL shadow too, top up the encode queue ahead of
+    # demand, and reset the shared clock at wave boundaries so kcap never
+    # grows across waves (wave 2 otherwise decodes against a 512-deep
+    # cache where 320 suffices — ~40% more KV bytes per step at B=64)
+    pipe3 = os.environ.get("SMOLVISION_SERVE_NO_PIPE3", "") != "1"
+
     t0 = time.monotonic()
     while emitted < n:
         # ---- admit into free slots ------------------------------------
         free = [s for s in range(S) if slot_done[s]]
         if free and admitted < n:
+            if pipe3 and len(free) == S:
+                # wave boundary: no live rows reference the decode region,
+                # so rewind the shared write head — the next wave decodes
+                # against [pcap, ...) again instead of ever-deeper kcap
+                clock = pcap
             while len(enc_ready) < min(len(free), n - admitted) \
                     and next_enc < n:
                 encode_more()
@@ -237,6 +250,12 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                 jnp.zeros((Gcap,), jnp.int32), jnp.zeros((Gcap,), jnp.int32),
                 jnp.asarray(np.asarray(lens, np.int32) - 1),
                 jnp.asarray(lens, dtype=jnp.int32))
+            # prefill shadow: with the group prefill dispatched and the
+            # device busy, push the next group's encode (upload + mel/conv
+            # dispatches) before blocking on `first` — same dispatch-order
+            # trick as the decode-chunk shadow below
+            if pipe3 and next_enc < n and next_enc - admitted < 2 * S:
+                encode_more()
             first_h = np.asarray(jax.device_get(first))
             now = time.monotonic()
             slot_vec = jnp.asarray(np.asarray(g_slots, np.int32))
@@ -283,9 +302,14 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         # it BEFORE the decode call measured ~20% WORSE: the upload then
         # sits on the serialized tunnel channel ahead of the decode
         # round-trip, stretching every round — tools/probe_serving.py.)
-        if next_enc < n and not enc_ready:
+        if next_enc < n and (not enc_ready
+                             if not pipe3 else next_enc - admitted < 2 * S):
             encode_more()
-        buf_h, count = jax.device_get((buf, count))
+        # one fetch for the chunk result AND the current-token mirror the
+        # next admission wave needs — folding tokens_dev in here saves a
+        # separate ~27 ms tunnel RTT per chunk
+        buf_h, count, tokens_h = jax.device_get((buf, count, tokens_dev))
+        tokens_h = np.array(tokens_h)
         count = int(count)
         now = time.monotonic()
         if count == 0:
@@ -314,9 +338,6 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                 emitted += 1
                 t_done[i] = now - t0
         clock += count
-        # keep the host token mirror in sync for the next admission wave
-        # (copy: device_get may return a read-only buffer view)
-        tokens_h = np.array(jax.device_get(tokens_dev))
 
     engine.perf.decode_ms += (time.monotonic() - t0) * 1000.0
     # p50/p99 over the queue (seconds -> ms); consumers: bench.py, --debug

@@ -62,6 +62,26 @@ def test_continuous_slot_reuse_many_waves(srv_engine):
         transcribe_segments_batched(eng, clips)
 
 
+def test_pipelined_matches_legacy_schedule(srv_engine, monkeypatch):
+    """SMOLVISION_SERVE_NO_PIPE3=1 reverts the round-3 pipelining (prefill-
+    shadow encode, encode top-up, wave-boundary clock reset).  Scheduling
+    must never change greedy tokens: uniform-length clips make every slot
+    retire together, so the wave boundary actually exercises the clock
+    reset on the pipelined side."""
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    rng = np.random.default_rng(77)
+    t = np.arange(int(16000 * 1.1)) / 16000
+    clips = [(0.3 * np.sin(2 * np.pi * (150 + 30 * i) * t)
+              + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+             for i in range(6)]
+    piped = serve_continuous(eng, clips, slots=2, encode_group=2)
+    monkeypatch.setenv("SMOLVISION_SERVE_NO_PIPE3", "1")
+    legacy = serve_continuous(eng, clips, slots=2, encode_group=2)
+    assert piped == legacy
+
+
 def test_continuous_latency_percentiles(srv_engine):
     """serve_continuous records per-clip TTFT/completion percentiles on
     engine.perf (the serving analog of the upstream TTFT baseline,

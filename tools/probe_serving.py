@@ -173,6 +173,37 @@ def main():
                        eng_kv8(), clips, slots=64, encode_group=64),
                    args.runs)
 
+    # ---- round-3 pipelining A/B, paired in ONE process -----------------
+    # (prefill-shadow encode + encode top-up + wave-boundary clock reset
+    #  + fused token fetch vs the legacy schedule via NO_PIPE3; group=32
+    #  so the shadows get upload-sized work units)
+    if want("pipe3ab"):
+        for tag, env, grp in (("PIPE3 g32", None, 32),
+                              ("PIPE3 g64", None, 64),
+                              ("legacy g64", "1", 64)):
+            if env is None:
+                os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
+            else:
+                os.environ["SMOLVISION_SERVE_NO_PIPE3"] = env
+            run_config(f"continuous slots=64 queue=128 jfk {tag}",
+                       lambda: [base] * 128,
+                       lambda clips, g=grp: srv_mod.serve_continuous(
+                           eng, clips, slots=64, encode_group=g),
+                       args.runs)
+        os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
+    if want("pipe3abkv8"):
+        for tag, env in (("PIPE3 kv8", None), ("legacy kv8", "1")):
+            if env is None:
+                os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
+            else:
+                os.environ["SMOLVISION_SERVE_NO_PIPE3"] = env
+            run_config(f"continuous slots=64 queue=128 jfk {tag} g32",
+                       lambda: [base] * 128,
+                       lambda clips: srv_mod.serve_continuous(
+                           eng_kv8(), clips, slots=64, encode_group=32),
+                       args.runs)
+        os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
+
     print(json.dumps(results, indent=1))
     return 0
 
