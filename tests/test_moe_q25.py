@@ -237,6 +237,40 @@ def test_q25_encoder_matches_oracle(q25_engine, tiny_q25_model_dir, speech_like_
     assert np.max(np.abs(got - ref)) < 5e-3, np.max(np.abs(got - ref))
 
 
+@pytest.mark.parametrize("t2_target", [5, 99, 100, 101, 200, 201])
+def test_q25_encoder_window_edges(q25_engine, tiny_q25_model_dir, t2_target):
+    """Bucket-edge sweep for the q25 100-token attention windows
+    (qwen25_omni_encoder.c:221-227): token counts below / at / one past the
+    window boundary, one and two windows deep, plus a tiny sub-window clip.
+    Pins the partial-window attention and the ceil(T/2) conv-stride
+    arithmetic against the torch oracle at every edge."""
+    from smolvision_tpu.ops.mel import num_frames
+
+    frames = 2 * t2_target - 1          # conv k3s2p1: ceil(T/2) tokens
+    n = frames * 160
+    while num_frames(n) < frames:
+        n += 160
+    while num_frames(n) > frames:
+        n -= 160
+    rng = np.random.default_rng(t2_target)
+    t = np.arange(n) / 16000.0
+    audio = (0.2 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * np.sin(2 * np.pi * 467 * t)
+             + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    mel = log_mel(audio)
+    assert mel.shape[1] == frames
+
+    eng = q25_engine
+    enc, n_audio = eng.encode_mel(mel)
+    reader = MultiSafetensors(tiny_q25_model_dir)
+    ref = oracle_q25_encoder(reader, eng.cfg, mel).numpy()
+    reader.close()
+    assert ref.shape[0] == t2_target + 2     # audio_bos + tokens + audio_eos
+    assert n_audio == ref.shape[0]
+    got = np.asarray(enc)[:n_audio]
+    assert np.max(np.abs(got - ref)) < 5e-3, np.max(np.abs(got - ref))
+
+
 def test_q25_thinker_tokens_match_oracle(q25_engine, tiny_q25_model_dir, speech_like_audio):
     """Full Q25 audio-thinker path: greedy tokens vs oracle."""
     eng = q25_engine
