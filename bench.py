@@ -173,16 +173,17 @@ def main() -> int:
         # the in-flight decode chunk.  Shares the one-shot warmup's shapes.
         from smolvision_tpu.runtime.serving import serve_continuous
 
-        N_QUEUE, SLOTS = 128, 64
+        N_QUEUE, SLOTS, EGRP = 128, 64, 32   # encode_group=32: upload-sized
+        # shadow work units (paired A/B in tools/probe_serving.py pipe3ab)
         clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
         t0 = time.monotonic()
-        serve_continuous(eng, clips, slots=SLOTS, encode_group=SLOTS)
+        serve_continuous(eng, clips, slots=SLOTS, encode_group=EGRP)
         log(f"bench: serving-continuous warmup {time.monotonic() - t0:.1f} s")
         best = float("inf")
         for i in range(RUNS):
             clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
             t0 = time.monotonic()
-            serve_continuous(eng, clips, slots=SLOTS, encode_group=SLOTS)
+            serve_continuous(eng, clips, slots=SLOTS, encode_group=EGRP)
             ms = (time.monotonic() - t0) * 1000.0
             log(f"bench: serving-continuous run {i + 1}: {ms:.0f} ms")
             best = min(best, ms)
@@ -211,13 +212,13 @@ def main() -> int:
         eng_kv8.segment_sec = 0.0
         clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
         t0 = time.monotonic()
-        serve_continuous(eng_kv8, clips, slots=SLOTS, encode_group=SLOTS)
+        serve_continuous(eng_kv8, clips, slots=SLOTS, encode_group=EGRP)
         log(f"bench: serving-kv8 warmup {time.monotonic() - t0:.1f} s")
         best = float("inf")
         for i in range(RUNS):
             clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
             t0 = time.monotonic()
-            serve_continuous(eng_kv8, clips, slots=SLOTS, encode_group=SLOTS)
+            serve_continuous(eng_kv8, clips, slots=SLOTS, encode_group=EGRP)
             ms = (time.monotonic() - t0) * 1000.0
             log(f"bench: serving-kv8 run {i + 1}: {ms:.0f} ms")
             best = min(best, ms)

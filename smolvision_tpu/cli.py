@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load weights in float32 (parity debugging; slower)")
     p.add_argument("--no-batch-segments", action="store_true",
                    help="decode -S segments sequentially like the reference")
+    p.add_argument("--serve", type=int, metavar="SLOTS", default=0,
+                   help="with several -i files: continuous-batching scheduler "
+                        "(runtime/serving.py) with SLOTS rolling decode rows "
+                        "instead of one static batch — rows admit as others "
+                        "finish; best for many or mixed-length clips")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the transcription to DIR")
     return p
@@ -245,7 +250,12 @@ def main(argv=None) -> int:
         eng.perf.reset()
         eng.perf.audio_ms = sum(1000.0 * len(c) / 16000.0 for c in clips)
         t0 = _time.monotonic()
-        texts = transcribe_segments_batched(eng, clips)
+        if args.serve > 0:
+            from smolvision_tpu.runtime.serving import serve_continuous
+
+            texts = serve_continuous(eng, clips, slots=args.serve)
+        else:
+            texts = transcribe_segments_batched(eng, clips)
         eng.perf.total_ms = (_time.monotonic() - t0) * 1000.0
         for text in texts:
             sys.stdout.write(text + "\n")
@@ -256,6 +266,12 @@ def main(argv=None) -> int:
                   f"in {perf.total_ms / 1000:.1f} s "
                   f"({perf.audio_ms / max(perf.total_ms, 1):.2f}x realtime)",
                   file=sys.stderr)
+            if args.serve > 0 and perf.serving_latency:
+                lat = perf.serving_latency
+                print(f"Serve: ttft p50 {lat['ttft_p50_ms']:.0f} ms / "
+                      f"p99 {lat['ttft_p99_ms']:.0f} ms, completion p50 "
+                      f"{lat['done_p50_ms']:.0f} ms / p99 {lat['done_p99_ms']:.0f} ms",
+                      file=sys.stderr)
         return 0
 
     # Qwen2.5-Omni has no <asr_text> ASR head: ASR requests route through the

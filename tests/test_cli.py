@@ -74,6 +74,17 @@ def test_cli_multi_file_batch(tiny_model_dir, wav_path):
     assert r.stdout.decode().count("\n") == 3
 
 
+def test_cli_multi_file_serve(tiny_model_dir, wav_path):
+    """--serve N routes multi-file input through the continuous-batching
+    scheduler; transcript contract identical to the one-shot batch, plus a
+    Serve: TTFT/completion latency line on stderr."""
+    r = _run_cli(["-d", tiny_model_dir, "-i", wav_path, wav_path, wav_path,
+                  "--serve", "2", "--max-tokens", "6"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert r.stdout.decode().count("\n") == 3
+    assert b"Serve: ttft p50" in r.stderr
+
+
 def test_cli_multi_file_rejects_thinker(tiny_model_dir, wav_path):
     # multi-file --stream is multi-stream serving (test_multistream.py);
     # thinker mode stays single-input
