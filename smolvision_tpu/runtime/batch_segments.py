@@ -336,7 +336,7 @@ def _length_groups(engine, segments: Sequence[np.ndarray]) -> List[List[int]]:
     overhead_tok = len(ids) - 16
 
     n = len(segments)
-    est = [(bucket128(_estimate_prompt_len(cfg, len(s), overhead_tok)), i)
+    est = [(bucket64(_estimate_prompt_len(cfg, len(s), overhead_tok)), i)
            for i, s in enumerate(segments)]
     est.sort()
     caps = [c for c, _ in est]
@@ -478,7 +478,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     # write position lowers to a catastrophic scatter on TPU).  Cache index =
     # logical position + pad; rope_start = -pad; kv_min = pad masks the pad
     # rows' garbage K/V.
-    tcap = bucket128(max(len(i) for i in id_rows))
+    tcap = bucket64(max(len(i) for i in id_rows))
     acap = bucket(max(n_tokens_list), 16)
     H = cfg.dec_hidden
 

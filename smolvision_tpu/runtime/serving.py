@@ -46,7 +46,7 @@ from smolvision_tpu.config import EOS_TOKEN_IDS, TOKEN_ASR_TEXT
 from smolvision_tpu.parallel import batch as pbatch
 from smolvision_tpu.runtime import batch_segments as bs_mod
 from smolvision_tpu.runtime import prompt as prompt_mod
-from smolvision_tpu.runtime.buckets import bucket, bucket128
+from smolvision_tpu.runtime.buckets import bucket, bucket64
 
 DECODE_CHUNK = 48
 
@@ -138,7 +138,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
 
     build, group_prefill, decode, grow_j, admit_jit = _serving_jits(engine)
 
-    pcap = bucket128(max(_prompt_len(engine, len(clips[i])) for i in order))
+    pcap = bucket64(max(_prompt_len(engine, len(clips[i])) for i in order))
     acap_all = 0
 
     # ---- encode queue: groups of clips encoded on demand ---------------
@@ -206,6 +206,13 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                 # so rewind the shared write head — the next wave decodes
                 # against [pcap, ...) again instead of ever-deeper kcap
                 clock = pcap
+            # admission fills ALL free slots (the shadows below keep
+            # enc_ready ahead of demand, so this loop rarely encodes).
+            # EAGER admission — admitting only what was already encoded —
+            # was measured and REVERTED: interleaved A/B on the mixed-length
+            # 128-queue read median 408 s-speech/s eager vs 451 fill-free
+            # (admission churn spends extra decode chunks at partial
+            # occupancy, and every chunk costs the full slot count).
             while len(enc_ready) < min(len(free), n - admitted) \
                     and next_enc < n:
                 encode_more()
@@ -287,7 +294,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                     int(max(engine.max_tokens - produced[s]
                             for s in range(S) if not slot_done[s])))
         if clock + steps + 1 > kcap:
-            kcap = bucket128(clock + DECODE_CHUNK + 128)
+            kcap = bucket64(clock + DECODE_CHUNK + 64)
             kv = grow_j(kv, kcap)
         act = np.asarray([not d for d in slot_done], np.bool_)
         buf, count, tokens_dev, kv = decode(

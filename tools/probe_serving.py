@@ -204,6 +204,53 @@ def main():
                        args.runs)
         os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
 
+    # ---- INTERLEAVED pipe3 A/B: alternate schedules run-by-run so the
+    # axon server's period-to-period variance (~±25%) hits both arms
+    # equally — sequential config blocks measured 687-vs-533 one hour and
+    # 467-vs-579 the next; only interleaving decides honestly
+    def interleaved(name, engine_fn, grp, clips_fn=None):
+        e = engine_fn()
+        if clips_fn is None:
+            clips_fn = lambda: [base] * 128
+        walls = {"pipe3": [], "legacy": []}
+        for tag in ("pipe3", "legacy"):       # warm both program sets
+            if tag == "legacy":
+                os.environ["SMOLVISION_SERVE_NO_PIPE3"] = "1"
+            else:
+                os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
+            srv_mod.serve_continuous(e, [perturb(c) for c in clips_fn()],
+                                     slots=64, encode_group=grp)
+        audio_s = sum(len(c) for c in clips_fn()) / 16000.0
+        for rep in range(args.runs * 2):
+            tag = "pipe3" if rep % 2 == 0 else "legacy"
+            if tag == "legacy":
+                os.environ["SMOLVISION_SERVE_NO_PIPE3"] = "1"
+            else:
+                os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
+            clips = [perturb(c) for c in clips_fn()]
+            t0 = time.monotonic()
+            srv_mod.serve_continuous(e, clips, slots=64, encode_group=grp)
+            w = time.monotonic() - t0
+            walls[tag].append(round(w, 3))
+            log(f"probe_serving: {name} {tag} rep{rep}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s")
+        os.environ.pop("SMOLVISION_SERVE_NO_PIPE3", None)
+        rec = {"config": name, "audio_s": round(audio_s, 1)}
+        for tag, ws in walls.items():
+            rec[f"{tag}_walls_s"] = ws
+            rec[f"{tag}_best"] = round(audio_s / min(ws), 1)
+            rec[f"{tag}_median"] = round(audio_s / sorted(ws)[len(ws) // 2], 1)
+        results.append(rec)
+        log(json.dumps(rec))
+
+    if want("pipe3alt"):
+        interleaved("INTERLEAVED pipe3-vs-legacy bf16 g32", lambda: eng, 32)
+    if want("pipe3altkv8"):
+        interleaved("INTERLEAVED pipe3-vs-legacy kv8 g32", eng_kv8, 32)
+    if want("mixalt"):
+        interleaved("INTERLEAVED pipe3-vs-legacy mixed-128 g32", lambda: eng,
+                    32, clips_fn=lambda: mixed_queue(128))
+
     print(json.dumps(results, indent=1))
     return 0
 
