@@ -30,7 +30,7 @@ Measurement discipline (CLAUDE.md landmines): every timed run perturbs its
 input with -80 dB noise so the axon tunnel's dispatch memoization can never
 serve a cached result; runs are strictly serial in one process.
 
-Set SMOLVISION_BENCH_ONLY=offline[,streaming,segmented,serving,offline_q8,
+Set SMOLVISION_BENCH_ONLY=offline[,streaming,segmented,serving,offline_q8,offline_spec,
 multistream] to restrict; `multistream` runs ONLY when explicitly named
 (compile warmup up to ~17 min under server-side compile variance).
 """
@@ -352,6 +352,37 @@ def main() -> int:
         emit({
             "metric": "jfk.wav offline realtime factor, int8 decoder weights "
                       "(Qwen3-ASR-0.6B geometry, -S 0, --q8)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_OFFLINE, 2),
+        })
+
+    # ---- offline with speculative int8-draft decoding (--spec) ----------
+    # Draft SPEC_DRAFT tokens with an int8 decoder copy, verify in one bf16
+    # forward: output is BIT-EXACT bf16 greedy (inside the parity contract,
+    # unlike --q8) at a decode cost approaching the int8 stream.
+    if want("offline_spec"):
+        samples = load_wav(JFK)
+        audio_s = len(samples) / 16000.0
+        eng_spec = Engine(model_dir, verbose=0, spec=True)
+        eng_spec.max_tokens = MAX_TOKENS
+        eng_spec.segment_sec = 0.0
+        t0 = time.monotonic()
+        segment_mod.transcribe_audio(eng_spec, _perturb(samples, rng))
+        log(f"bench: offline-spec warmup {time.monotonic() - t0:.1f} s")
+        best_ms = float("inf")
+        for i in range(RUNS + 2):
+            segment_mod.transcribe_audio(eng_spec, _perturb(samples, rng))
+            ms = eng_spec.perf.total_ms
+            log(f"bench: offline-spec run {i + 1}: {ms:.0f} ms "
+                f"(mel+enc {eng_spec.perf.encode_ms:.0f}, dec {eng_spec.perf.decode_ms:.0f})")
+            best_ms = min(best_ms, ms)
+        del eng_spec
+        rtf = audio_s / (best_ms / 1000.0)
+        emit({
+            "metric": "jfk.wav offline realtime factor, speculative int8-draft "
+                      "decode, bf16-exact tokens (Qwen3-ASR-0.6B geometry, "
+                      "-S 0, --spec)",
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / BASE_OFFLINE, 2),

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 decoder weights: ~1.7x decode speed, small "
                         "accuracy trade (outside the bf16 parity contract); "
                         "also SMOLVISION_Q8=1")
+    p.add_argument("--spec", action="store_true",
+                   help="speculative int8-draft decoding: draft tokens with "
+                        "an int8 decoder copy, verify in one bf16 forward — "
+                        "output stays BIT-EXACT bf16 greedy at near-int8 "
+                        "decode speed; also SMOLVISION_SPEC=1")
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV cache on the batched decode paths (serving/"
                         "multistream/batched segments): halves the dominant "
@@ -135,6 +140,7 @@ def main(argv=None) -> int:
             verbose=verbosity,
             q8=args.q8 or os.environ.get("SMOLVISION_Q8", "") == "1",
             kv8=args.kv8 or os.environ.get("SMOLVISION_KV8", "") == "1",
+            spec=args.spec or os.environ.get("SMOLVISION_SPEC", "") == "1",
             moe_offload=args.moe_offload,
         )
     except Exception as e:

@@ -411,7 +411,7 @@ def _ffn_block(xn, lp, cfg: ModelConfig, row_valid, ep, tp, wdt,
 
 def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
                     rope_start=None, kv_min=None, tp: int = 1,
-                    ep: bool = False):
+                    ep: bool = False, allow_flash: bool = True):
     """Run the layer stack over `embeds` [Tcap, H] written into cache rows
     start_pos..start_pos+Tcap-1.
 
@@ -454,7 +454,10 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
 
     Kcap = kv.shape[2]
     kcap_ok = Kcap % min(128, Kcap) == 0
-    flash = (use_pallas() and Tcap > 1
+    # allow_flash=False: the speculative verify forward runs T = n_draft+1
+    # (~5) rows — far below useful Pallas tile sizes; force the fused-XLA
+    # two-part path there
+    flash = (allow_flash and use_pallas() and Tcap > 1
              and Tcap % min(128, Tcap) == 0 and kcap_ok)
     # decode: the Pallas single-row kernel pays ~25 us launch overhead per
     # layer (~0.7 ms/step over 28 layers) but reads only the LIVE context;

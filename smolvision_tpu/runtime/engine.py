@@ -17,6 +17,7 @@ per 32 tokens instead of every token.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -48,6 +49,10 @@ from smolvision_tpu.text.tokenizer import Tokenizer, load_tokenizer
 # tokens, so 64 usually means a single sync per segment.
 DECODE_CHUNK = 64
 KV_HEADROOM = 256
+# speculative draft depth (--spec): int8 draft tokens verified per bf16
+# forward; tokens/iter <= SPEC_DRAFT+1, cost ~= SPEC_DRAFT int8 steps + one
+# bf16 weight pass
+SPEC_DRAFT = max(1, int(os.environ.get("SMOLVISION_SPEC_DRAFT", "4")))
 
 TokenCallback = Callable[[bytes], None]
 
@@ -94,7 +99,7 @@ class Engine:
     def __init__(self, model_dir: str, param_dtype=jnp.bfloat16,
                  kv_dtype=jnp.bfloat16, enc_window_sec: Optional[float] = None,
                  verbose: int = 0, q8: bool = False, moe_offload: bool = False,
-                 kv8: bool = False):
+                 kv8: bool = False, spec: bool = False):
         self.model_dir = model_dir
         self.verbose = verbose
         self.reader = MultiSafetensors(model_dir)
@@ -145,6 +150,22 @@ class Engine:
             if verbose >= 1:
                 print("int8 decoder weights active (--q8): output may differ "
                       "from the bf16 parity path", file=sys.stderr, flush=True)
+        # Speculative self-draft decoding (--spec): draft SPEC_DRAFT tokens
+        # per iteration with an int8 copy of the decoder, then verify them in
+        # ONE bf16 forward over the draft block — output is BIT-EXACT bf16
+        # greedy (the verify argmax decides every emitted token; the draft
+        # only chooses which positions get batched into one weight pass), at
+        # a decode cost approaching the int8 stream.  Orthogonal to --q8
+        # (which trades exactness); meaningless combined with it.
+        self.spec = bool(spec) and not self.q8 and not self.moe_offload
+        self.dec_params_draft = None
+        self._spec_chunk_jit = None
+        if self.spec:
+            self.dec_params_draft = params_mod.quantize_decoder(self.dec_params)
+            if verbose >= 1:
+                print("speculative int8-draft decoding active (--spec): "
+                      "tokens remain exactly the bf16 greedy sequence",
+                      file=sys.stderr, flush=True)
         if self.moe_offload:
             from smolvision_tpu.models.moe_offload import HostExpertStore
             from smolvision_tpu.ops.quant import qtake
@@ -416,6 +437,81 @@ class Engine:
             self._kv_cap = cap
         return self._kv
 
+    def _get_spec_chunk(self):
+        """Speculative decode chunk (--spec): same contract as _decode_chunk
+        but each device iteration drafts SPEC_DRAFT tokens with the int8
+        weights and verifies them in ONE bf16 forward over the block.
+
+        Exactness by construction: every emitted token is the bf16 verify
+        forward's argmax over the TRUE accepted prefix — the draft only
+        decides how many positions share one weight pass.  The draft writes
+        its (approximate) KV rows first and the verify forward overwrites
+        the same rows with exact bf16 K/V, so ONE cache serves both: the
+        draft reads exact history, and rows past the accepted prefix are
+        rewritten by the next iteration before anything attends them.
+        """
+        if self._spec_chunk_jit is not None:
+            return self._spec_chunk_jit
+        cfg = self.cfg
+        from smolvision_tpu.ops.common import rms_norm
+        from smolvision_tpu.ops.quant import embed_rows, proj, wdtype
+
+        eos = jnp.asarray(list(EOS_TOKEN_IDS), dtype=jnp.int32)
+        n = SPEC_DRAFT
+
+        def spec_chunk(p, pq, token, pos, kv, n_steps):
+            # buf oversized: the last block's n+1 tokens may start at
+            # DECODE_CHUNK-1; the consumer reads buf[:count]
+            buf = jnp.zeros((DECODE_CHUNK + n + 1,), dtype=jnp.int32)
+
+            def cond(c):
+                out, _, _, _, _, done = c
+                return (~done) & (out < n_steps) & (out < DECODE_CHUNK)
+
+            def body(c):
+                out, tok, pos_, kv_, buf_, _ = c
+                # draft phase: n int8 steps (unrolled; n is small + static)
+                d = jnp.zeros((n,), jnp.int32)
+                td = tok
+                for j in range(n):
+                    td, kv_ = dec_mod.decode_step(
+                        pq, cfg, td, pos_ + jnp.int32(j), kv_, greedy=True)
+                    d = d.at[j].set(td)
+                # verify phase: one bf16 forward over [tok, d_0..d_{n-1}];
+                # g[i] = exact greedy successor of the prefix through row i
+                seq = jnp.concatenate([tok[None], d])
+                embeds = embed_rows(p["embed"], seq)
+                hidden, kv_ = dec_mod.decoder_forward(
+                    p, cfg, embeds, pos_, jnp.int32(n + 1), kv_,
+                    allow_flash=False)
+                hn = rms_norm(hidden, p["final_norm"], cfg.rms_norm_eps)
+                logits = proj("th,vh->tv", hn.astype(wdtype(p["lm_head"])),
+                              p["lm_head"])
+                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # accept the longest draft prefix the verify agrees with;
+                # emit one extra token (the verify's own argmax after it)
+                match = jnp.cumprod((d == g[:n]).astype(jnp.int32))
+                a = jnp.sum(match)
+                idx = jnp.arange(n + 1, dtype=jnp.int32)
+                is_eos = jnp.any(g[:, None] == eos[None, :], axis=-1)
+                eos_pos = jnp.min(jnp.where(is_eos & (idx <= a), idx,
+                                            jnp.int32(n + 1)))
+                e = jnp.minimum(jnp.minimum(a + 1, eos_pos + 1),
+                                n_steps - out)
+                e = jnp.maximum(e, 1)
+                done = eos_pos + 1 <= e        # an emitted token is EOS
+                buf_ = jax.lax.dynamic_update_slice(buf_, g, (out,))
+                tok = g[e - 1]
+                return (out + e, tok, pos_ + e, kv_, buf_, done)
+
+            out, tok, pos, kv, buf, done = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), token, pos, kv, buf, jnp.bool_(False)))
+            return buf, out, tok, pos, kv
+
+        self._spec_chunk_jit = jax.jit(spec_chunk, donate_argnums=(4,))
+        return self._spec_chunk_jit
+
     # ------------------------------------------------------------------
     # encoder
     # ------------------------------------------------------------------
@@ -566,9 +662,17 @@ class Engine:
             """One chunk dispatch + ONE host round trip (buf/count, and the
             first token's value piggybacked on the same fetch)."""
             nonlocal cur_dev, pos_dev, pos
-            kv = self._ensure_kv(pos + steps + 1)
-            buf, count, cur_dev, pos_dev, kv = self._decode_chunk(
-                self.dec_params, cur_dev, pos_dev, kv, jnp.int32(steps))
+            # --spec writes up to SPEC_DRAFT+1 rows past the last accepted
+            # position (the unaccepted tail of the final verify block)
+            kv = self._ensure_kv(pos + steps + 1
+                                 + (SPEC_DRAFT + 1 if self.spec else 0))
+            if self.spec:
+                buf, count, cur_dev, pos_dev, kv = self._get_spec_chunk()(
+                    self.dec_params, self.dec_params_draft, cur_dev, pos_dev,
+                    kv, jnp.int32(steps))
+            else:
+                buf, count, cur_dev, pos_dev, kv = self._decode_chunk(
+                    self.dec_params, cur_dev, pos_dev, kv, jnp.int32(steps))
             self._kv = kv
             if with_first:
                 fv, buf_host, count = jax.device_get((first_dev, buf, count))

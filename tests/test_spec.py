@@ -1,0 +1,74 @@
+"""Speculative int8-draft decoding (--spec, runtime/engine.py) must emit
+EXACTLY the plain greedy sequence: every emitted token is the verify
+forward's argmax over the true accepted prefix, so the draft quality can
+only affect speed, never output.  On these f32 tiny checkpoints the int8
+draft disagrees with the verify often, which exercises the
+reject/partial-accept paths (acceptance is near 1.0 on the engineered
+bench checkpoint — tools/probe notes)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spec_engines(tiny_model_dir):
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime.engine import Engine
+
+    plain = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                   kv_dtype=jnp.float32)
+    spec = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                  kv_dtype=jnp.float32, spec=True)
+    assert spec.spec and spec.dec_params_draft is not None
+    return plain, spec
+
+
+def _greedy_tokens(eng, audio, max_tokens):
+    from smolvision_tpu.ops.mel import log_mel
+    from smolvision_tpu.runtime import prompt as prompt_mod
+
+    mel = log_mel(audio)
+    enc, n_audio = eng.encode_mel(mel)
+    ids, astart = prompt_mod.build_asr_prompt(
+        eng.cfg, n_audio, eng._prompt_tokens, eng._force_tokens, None)
+    eng.reset_kv()
+    first, pos = eng.prefill_ids(ids, enc, astart, n_audio)
+    out = []
+    n = eng.decode_greedy(first, pos, max_tokens,
+                          lambda t: (out.append(t) or True))
+    return n, out
+
+
+@pytest.mark.parametrize("max_tokens", [1, 5, 23, 48])
+def test_spec_matches_plain_greedy(spec_engines, speech_like_audio, max_tokens):
+    plain, spec = spec_engines
+    ref = _greedy_tokens(plain, speech_like_audio, max_tokens)
+    got = _greedy_tokens(spec, speech_like_audio, max_tokens)
+    assert got == ref
+
+
+def test_spec_draft_depths(spec_engines, speech_like_audio, monkeypatch):
+    """Exactness must hold for every draft depth (the depth only changes
+    how many positions share one verify pass)."""
+    import smolvision_tpu.runtime.engine as eng_mod
+
+    plain, spec = spec_engines
+    ref = _greedy_tokens(plain, speech_like_audio, 17)
+    for depth in (1, 2, 7):
+        monkeypatch.setattr(eng_mod, "SPEC_DRAFT", depth)
+        spec._spec_chunk_jit = None     # rebuild the chunk at this depth
+        assert _greedy_tokens(spec, speech_like_audio, 17) == ref, depth
+    spec._spec_chunk_jit = None
+
+
+def test_spec_ignored_with_q8(tiny_model_dir):
+    """--spec --q8 is contradictory (the draft IS the target): spec turns
+    itself off rather than silently changing the q8 contract."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32, q8=True, spec=True)
+    assert not eng.spec
