@@ -377,6 +377,10 @@ def main() -> int:
             log(f"bench: offline-spec run {i + 1}: {ms:.0f} ms "
                 f"(mel+enc {eng_spec.perf.encode_ms:.0f}, dec {eng_spec.perf.decode_ms:.0f})")
             best_ms = min(best_ms, ms)
+        if eng_spec.perf.spec_iters:
+            p = eng_spec.perf
+            log(f"bench: offline-spec acceptance {p.spec_tokens}/{p.spec_iters}"
+                f" = {p.spec_tokens / p.spec_iters:.2f} tokens/verify-iter")
         del eng_spec
         rtf = audio_s / (best_ms / 1000.0)
         emit({

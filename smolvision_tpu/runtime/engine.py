@@ -75,6 +75,10 @@ class PerfStats:
         # continuous-serving per-clip latency (runtime/serving.py): ttft /
         # completion p50/p99 dict over the last queue, or None
         self.serving_latency = None
+        # speculative decoding (--spec): verify iterations and tokens they
+        # produced; tokens/iter is the measured acceptance (max SPEC_DRAFT+1)
+        self.spec_iters = 0
+        self.spec_tokens = 0
 
     def stream_latency(self):
         """(first_commit_ms, p50, p99) over the recorded chunk rounds, or
@@ -465,11 +469,11 @@ class Engine:
             buf = jnp.zeros((DECODE_CHUNK + n + 1,), dtype=jnp.int32)
 
             def cond(c):
-                out, _, _, _, _, done = c
+                out, _, _, _, _, _, done = c
                 return (~done) & (out < n_steps) & (out < DECODE_CHUNK)
 
             def body(c):
-                out, tok, pos_, kv_, buf_, _ = c
+                out, it, tok, pos_, kv_, buf_, _ = c
                 # draft phase: n int8 steps (unrolled; n is small + static)
                 d = jnp.zeros((n,), jnp.int32)
                 td = tok
@@ -502,12 +506,13 @@ class Engine:
                 done = eos_pos + 1 <= e        # an emitted token is EOS
                 buf_ = jax.lax.dynamic_update_slice(buf_, g, (out,))
                 tok = g[e - 1]
-                return (out + e, tok, pos_ + e, kv_, buf_, done)
+                return (out + e, it + 1, tok, pos_ + e, kv_, buf_, done)
 
-            out, tok, pos, kv, buf, done = jax.lax.while_loop(
+            out, it, tok, pos, kv, buf, done = jax.lax.while_loop(
                 cond, body,
-                (jnp.int32(0), token, pos, kv, buf, jnp.bool_(False)))
-            return buf, out, tok, pos, kv
+                (jnp.int32(0), jnp.int32(0), token, pos, kv, buf,
+                 jnp.bool_(False)))
+            return buf, out, tok, pos, kv, it
 
         self._spec_chunk_jit = jax.jit(spec_chunk, donate_argnums=(4,))
         return self._spec_chunk_jit
@@ -666,19 +671,26 @@ class Engine:
             # position (the unaccepted tail of the final verify block)
             kv = self._ensure_kv(pos + steps + 1
                                  + (SPEC_DRAFT + 1 if self.spec else 0))
+            iters = None
             if self.spec:
-                buf, count, cur_dev, pos_dev, kv = self._get_spec_chunk()(
-                    self.dec_params, self.dec_params_draft, cur_dev, pos_dev,
-                    kv, jnp.int32(steps))
+                buf, count, cur_dev, pos_dev, kv, iters = \
+                    self._get_spec_chunk()(
+                        self.dec_params, self.dec_params_draft, cur_dev,
+                        pos_dev, kv, jnp.int32(steps))
             else:
                 buf, count, cur_dev, pos_dev, kv = self._decode_chunk(
                     self.dec_params, cur_dev, pos_dev, kv, jnp.int32(steps))
             self._kv = kv
+            tail = (iters,) if iters is not None else ()
             if with_first:
-                fv, buf_host, count = jax.device_get((first_dev, buf, count))
+                fv, buf_host, count, *tail = jax.device_get(
+                    (first_dev, buf, count) + tail)
             else:
                 fv = None
-                buf_host, count = jax.device_get((buf, count))
+                buf_host, count, *tail = jax.device_get((buf, count) + tail)
+            if tail:
+                self.perf.spec_iters += int(tail[0])
+                self.perf.spec_tokens += int(count)
             count = int(count)
             pos += count
             pending.extend(int(t) for t in buf_host[:count])
@@ -810,6 +822,12 @@ class Engine:
                   f"Prefill: {len(ids)} tokens ({prefill_ms:.0f} ms); "
                   f"Decode: {state['n_text']} text tokens ({decode_ms:.0f} ms)",
                   file=sys.stderr, flush=True)
+            if self.spec and self.perf.spec_iters:
+                p = self.perf
+                print(f"  Spec: {p.spec_tokens} tokens / {p.spec_iters} "
+                      f"verify iters = {p.spec_tokens / p.spec_iters:.2f} "
+                      f"tokens/iter (draft {SPEC_DRAFT}, max "
+                      f"{SPEC_DRAFT + 1})", file=sys.stderr, flush=True)
         return text, state["n_text"]
 
     # ------------------------------------------------------------------
