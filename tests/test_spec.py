@@ -62,6 +62,27 @@ def test_spec_draft_depths(spec_engines, speech_like_audio, monkeypatch):
     spec._spec_chunk_jit = None
 
 
+def test_spec_cli_thinker_stdout_identical(tiny_model_dir):
+    """CLI-level contract: --spec must not change a greedy thinker
+    transcript byte-for-byte (thinker emits EVERY token — no <asr_text>
+    gate — so this comparison cannot pass vacuously)."""
+    import os
+    import subprocess
+    import sys
+
+    def run(extra):
+        env = dict(os.environ, SMOLVISION_PLATFORM="cpu")
+        r = subprocess.run(
+            [sys.executable, "-m", "smolvision_tpu.cli", "-d", tiny_model_dir,
+             "--thinker", "--text", "hello world", "--temperature", "0",
+             "--max-tokens", "12", "--silent"] + extra,
+            capture_output=True, env=env, timeout=600)
+        assert r.returncode == 0, r.stderr.decode()
+        return r.stdout
+
+    assert run(["--spec"]) == run([])
+
+
 def test_spec_ignored_with_q8(tiny_model_dir):
     """--spec --q8 is contradictory (the draft IS the target): spec turns
     itself off rather than silently changing the q8 contract."""
