@@ -42,6 +42,27 @@ def test_batched_matches_sequential(seg_engine):
     assert batched == sequential
 
 
+def test_batched_segments_over_dp_mesh(seg_engine):
+    """transcribe_segments_batched(mesh=...) — the serving wrapper's
+    multi-chip DP path — must produce the same texts as the single-device
+    call (8 virtual CPU devices, batch axis sharded over "data")."""
+    import jax
+
+    from smolvision_tpu.parallel import mesh as mesh_mod
+    from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    eng = seg_engine
+    rng = np.random.default_rng(17)
+    segs = [(rng.standard_normal(12000 + 2000 * i) * 0.2).astype(np.float32)
+            for i in range(8)]
+    ref = transcribe_segments_batched(eng, segs)
+    mesh = mesh_mod.make_mesh(8, tp=1)
+    got = transcribe_segments_batched(eng, segs, mesh=mesh)
+    assert got == ref
+
+
 def test_batched_raw_tokens_match_per_segment(seg_engine):
     """Compare raw per-segment token ids batched vs engine.transcribe path."""
     from smolvision_tpu.ops.mel import log_mel
