@@ -83,6 +83,22 @@ def test_spec_cli_thinker_stdout_identical(tiny_model_dir):
     assert run(["--spec"]) == run([])
 
 
+def test_spec_moe_matches_plain(tiny_moe_model_dir, speech_like_audio):
+    """Spec over the MoE decoder: the int8 draft routes through the
+    quantized expert gather (qtake on QuantW stacks); exactness must hold."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime.engine import Engine
+
+    plain = Engine(tiny_moe_model_dir, param_dtype=jnp.float32,
+                   kv_dtype=jnp.float32)
+    spec = Engine(tiny_moe_model_dir, param_dtype=jnp.float32,
+                  kv_dtype=jnp.float32, spec=True)
+    ref = _greedy_tokens(plain, speech_like_audio, 12)
+    got = _greedy_tokens(spec, speech_like_audio, 12)
+    assert got == ref
+
+
 def test_spec_ignored_with_q8(tiny_model_dir):
     """--spec --q8 is contradictory (the draft IS the target): spec turns
     itself off rather than silently changing the q8 contract."""
