@@ -52,6 +52,17 @@ def _batched_jits(engine):
     return engine._batch_seg_jits
 
 
+def _prompt_cap(n: int) -> int:
+    """Prompt-cap granularity: 64 by default (jfk 186 -> 192 instead of 256;
+    prefill FLOPs and decode KV rows scale with it).  SMOLVISION_CAP128=1
+    restores the round-2 128-granular caps for A/B (probe_serving capalt)."""
+    import os as _o
+
+    if _o.environ.get("SMOLVISION_CAP128", "") == "1":
+        return bucket128(n)
+    return bucket64(n)
+
+
 def _conv_bucket(n: int) -> int:
     """Conv-stem block-count bucket: pow2 below 64 (small offline cases pay
     nothing), 64-granular above (a pow2 jump 384->512 at serving B=32 is
@@ -336,7 +347,7 @@ def _length_groups(engine, segments: Sequence[np.ndarray]) -> List[List[int]]:
     overhead_tok = len(ids) - 16
 
     n = len(segments)
-    est = [(bucket64(_estimate_prompt_len(cfg, len(s), overhead_tok)), i)
+    est = [(_prompt_cap(_estimate_prompt_len(cfg, len(s), overhead_tok)), i)
            for i, s in enumerate(segments)]
     est.sort()
     caps = [c for c, _ in est]
@@ -478,7 +489,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     # write position lowers to a catastrophic scatter on TPU).  Cache index =
     # logical position + pad; rope_start = -pad; kv_min = pad masks the pad
     # rows' garbage K/V.
-    tcap = bucket64(max(len(i) for i in id_rows))
+    tcap = _prompt_cap(max(len(i) for i in id_rows))
     acap = bucket(max(n_tokens_list), 16)
     H = cfg.dec_hidden
 

@@ -138,7 +138,8 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
 
     build, group_prefill, decode, grow_j, admit_jit = _serving_jits(engine)
 
-    pcap = bucket64(max(_prompt_len(engine, len(clips[i])) for i in order))
+    pcap = bs_mod._prompt_cap(max(_prompt_len(engine, len(clips[i]))
+                               for i in order))
     acap_all = 0
 
     # ---- encode queue: groups of clips encoded on demand ---------------

@@ -197,3 +197,21 @@ def test_same_length_segments_stay_one_group(seg_engine):
     segs = [(rng.standard_normal(16000) * 0.2).astype(np.float32)
             for _ in range(4)]
     assert bs._length_groups(seg_engine, segs) == [[0, 1, 2, 3]]
+
+
+def test_cap_granularity_is_transparent(seg_engine, monkeypatch):
+    """Prompt-cap granularity (64 vs the round-2 128 buckets,
+    SMOLVISION_CAP128=1) only changes padding, never texts: pad rows are
+    masked via kv_min/prompt_max, so both cap ladders must produce
+    identical output on mixed-length segments."""
+    from smolvision_tpu.runtime import batch_segments as bs
+
+    eng = seg_engine
+    rng = np.random.default_rng(11)
+    segs = [(rng.standard_normal(16000 * (1 + i)) * 0.2).astype(np.float32)
+            for i in range(3)]
+    monkeypatch.delenv("SMOLVISION_CAP128", raising=False)
+    cap64 = bs.transcribe_segments_batched(eng, segs)
+    monkeypatch.setenv("SMOLVISION_CAP128", "1")
+    cap128 = bs.transcribe_segments_batched(eng, segs)
+    assert cap128 == cap64
