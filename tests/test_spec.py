@@ -109,3 +109,36 @@ def test_spec_ignored_with_q8(tiny_model_dir):
     eng = Engine(tiny_model_dir, param_dtype=jnp.float32,
                  kv_dtype=jnp.float32, q8=True, spec=True)
     assert not eng.spec
+
+
+def test_spec_streaming_matches_plain(spec_engines):
+    """--spec under --stream: the bounded per-chunk decodes run through
+    decode_greedy's spec path while the stream machinery rolls back,
+    reuses KV by prefix LCP, and prefills deltas OVER the unaccepted
+    draft rows the last verify block left past the accepted position.
+    Those garbage rows are never attended (position masks) and are
+    overwritten as pos advances, so the stream transcript must be
+    byte-identical to the plain engine's."""
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    plain, spec = spec_engines
+    rng = np.random.default_rng(21)
+    sr = 16000
+    t = np.arange(6 * sr) / sr
+    clip = (0.3 * np.sin(2 * np.pi * 200 * t)
+            * (0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t))
+            + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+    outs = {}
+    for tag, eng in (("plain", plain), ("spec", spec)):
+        eng.segment_sec = 0.0
+        eng.past_text_conditioning = True
+        pieces = []
+        eng.token_cb = lambda piece, _p=pieces: _p.append(piece)
+        try:
+            text = stream_mod.transcribe_stream(eng, clip)
+        finally:
+            eng.token_cb = None
+            eng.past_text_conditioning = False
+        outs[tag] = (text, b"".join(pieces))
+    assert outs["spec"] == outs["plain"]
