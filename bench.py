@@ -31,8 +31,8 @@ input with -80 dB noise so the axon tunnel's dispatch memoization can never
 serve a cached result; runs are strictly serial in one process.
 
 Set SMOLVISION_BENCH_ONLY=offline[,streaming,segmented,serving,offline_q8,offline_spec,
-multistream] to restrict; `multistream` runs ONLY when explicitly named
-(compile warmup up to ~17 min under server-side compile variance).
+offline_17,multistream] to restrict; `multistream` runs ONLY when explicitly
+named (compile warmup up to ~17 min under server-side compile variance).
 """
 
 from __future__ import annotations
@@ -57,6 +57,7 @@ RUNS = 3
 NOISE = 1e-4  # ~-80 dB: defeats tunnel memoization, leaves the work identical
 
 BASE_OFFLINE = 7.99     # jfk.wav, 0.6B, -S 0 (README.md:398-402)
+BASE_OFFLINE_17 = 4.29  # jfk.wav, 1.7B, -S 0 (README.md:402)
 BASE_SEGMENTED = 6.78   # 88.9 s, -S 30 -W 3 (README.md:404)
 BASE_STREAMING = 4.69   # 45 s, --stream, enc cache ON (README.md:406-411)
 BASE_SERVING = 2000.0   # upstream vendor stack, 128 concurrency (MODEL.md:466)
@@ -390,6 +391,43 @@ def main() -> int:
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / BASE_OFFLINE, 2),
+        })
+
+    # ---- offline, 1.7B geometry: jfk.wav, -S 0 --------------------------
+    # The second BASELINE.md model size (README.md:402: 2.6 s inference,
+    # 4.29x realtime on M3 Max).  Engineered 1.7B-geometry checkpoint
+    # (identical FLOPs/bytes to the real 1.7B; same 40-token gated chain).
+    if want("offline_17"):
+        from tools.engineer_checkpoint import OUT_17, ensure_engineered
+
+        rep17 = ensure_engineered(OUT_17, geom="1.7b")
+        if not rep17.get("ok"):
+            log("bench: WARNING 1.7b engineered-checkpoint probe failed")
+        samples = load_wav(JFK)
+        audio_s = len(samples) / 16000.0
+        eng17 = Engine(OUT_17, verbose=0)
+        eng17.max_tokens = MAX_TOKENS
+        eng17.segment_sec = 0.0
+        t0 = time.monotonic()
+        segment_mod.transcribe_audio(eng17, _perturb(samples, rng))
+        log(f"bench: offline-1.7b warmup {time.monotonic() - t0:.1f} s; "
+            f"decoded {eng17.perf.text_tokens} text tokens")
+        best_ms = float("inf")
+        for i in range(RUNS + 2):
+            segment_mod.transcribe_audio(eng17, _perturb(samples, rng))
+            ms = eng17.perf.total_ms
+            log(f"bench: offline-1.7b run {i + 1}: {ms:.0f} ms "
+                f"(mel+enc {eng17.perf.encode_ms:.0f}, "
+                f"dec {eng17.perf.decode_ms:.0f})")
+            best_ms = min(best_ms, ms)
+        del eng17
+        rtf = audio_s / (best_ms / 1000.0)
+        emit({
+            "metric": "jfk.wav offline realtime factor "
+                      "(Qwen3-ASR-1.7B geometry, -S 0)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_OFFLINE_17, 2),
         })
 
     # ---- offline headline: jfk.wav, -S 0 -------------------------------

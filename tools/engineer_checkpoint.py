@@ -97,6 +97,7 @@ ALL_ENGINEERED_IDS = frozenset(
     + [i for s in range(MAX_SEGS) for i in seg_chain_ids(s)])
 DEFAULT_OUT = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng")
 SEG_OUT = os.path.join(REPO, ".bench_cache", "qwen3-asr-0.6b-eng-seg")
+OUT_17 = os.path.join(REPO, ".bench_cache", "qwen3-asr-1.7b-eng")
 JFK = "/root/reference/samples/jfk.wav"
 
 
@@ -526,13 +527,17 @@ def probe_text(model_dir: str):
     return text
 
 
-def _base_build(out: str, seed: int):
-    """Fresh full-vocab 0.6B base + EOS downscale (shared by A and B)."""
+def _base_build(out: str, seed: int, geom: str = "0.6b"):
+    """Fresh full-vocab base + EOS downscale (shared by A and B).  The
+    chain-surgery machinery is geometry-agnostic (it walks whatever greedy
+    trajectory the checkpoint produces), so `geom` may name any
+    make_tiny_model preset — "1.7b" engineers the second BASELINE.md model
+    size (README.md:402, jfk 4.29x) for bench.py's offline_17 config."""
     from tools.make_tiny_model import build
 
-    print(f"building 0.6b synthetic checkpoint (full vocab) -> {out}",
+    print(f"building {geom} synthetic checkpoint (full vocab) -> {out}",
           flush=True)
-    build("0.6b", out, seed=seed, dtype="bf16", full_vocab=True)
+    build(geom, out, seed=seed, dtype="bf16", full_vocab=True)
     p = os.path.join(out, "PROBE.json")
     if os.path.exists(p):
         os.remove(p)
@@ -555,7 +560,7 @@ def _cached_report(out: str):
 
 
 def ensure_engineered(out: str = DEFAULT_OUT, seed: int = 7,
-                      rebuild: bool = False) -> dict:
+                      rebuild: bool = False, geom: str = "0.6b") -> dict:
     """Checkpoint A: build + full-clip chain + text chain + probes.
     Idempotent (a dir with a passing current-version PROBE.json is returned
     as-is).  Importable by bench.py."""
@@ -564,10 +569,10 @@ def ensure_engineered(out: str = DEFAULT_OUT, seed: int = 7,
         if cached is not None:
             return cached
 
-    _base_build(out, seed)
+    _base_build(out, seed, geom)
     samples = load_jfk()
     report = {"version": VERSION, "clip": JFK, "k_chain": K_CHAIN,
-              "text_prompt": TEXT_PROMPT}
+              "geom": geom, "text_prompt": TEXT_PROMPT}
     report["asr_chain"] = engineer_full_chain(out, samples)
     report["text_chain"] = engineer_text_chain(out)
 
@@ -635,6 +640,9 @@ def main():
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--only", choices=["a", "b"], default=None,
                     help="engineer only checkpoint A (bench) or B (segments)")
+    ap.add_argument("--geom", default="0.6b",
+                    help="make_tiny_model preset for checkpoint A (e.g. "
+                         "1.7b; pair with --out " + OUT_17 + ")")
     args = ap.parse_args()
 
     if args.platform:
@@ -643,7 +651,8 @@ def main():
 
     ok = True
     if args.only != "b":
-        report = ensure_engineered(args.out, args.seed, args.rebuild)
+        report = ensure_engineered(args.out, args.seed, args.rebuild,
+                                   geom=args.geom)
         ok = ok and bool(report.get("ok"))
         print(f"checkpoint A {'OK' if report.get('ok') else 'FAILED'}: "
               f"{args.out}", flush=True)

@@ -243,6 +243,77 @@ def main():
         results.append(rec)
         log(json.dumps(rec))
 
+    # prompt-cap granularity A/B: bucket64 (round-3) vs bucket128 (round-2)
+    # on the one-shot B=32 path, interleaved
+    if want("capalt"):
+        walls = {"cap64": [], "cap128": []}
+
+        def set_cap(tag):
+            if tag == "cap128":
+                os.environ["SMOLVISION_CAP128"] = "1"
+            else:
+                os.environ.pop("SMOLVISION_CAP128", None)
+
+        for tag in ("cap64", "cap128"):
+            set_cap(tag)
+            bs_mod.transcribe_segments_batched(
+                eng, [perturb(base) for _ in range(32)])
+            log(f"probe_serving: capalt {tag} warm")
+        for rep in range(args.runs * 2):
+            tag = "cap64" if rep % 2 == 0 else "cap128"
+            set_cap(tag)
+            clips = [perturb(base) for _ in range(32)]
+            t0 = time.monotonic()
+            bs_mod.transcribe_segments_batched(eng, clips)
+            w = time.monotonic() - t0
+            walls[tag].append(round(w, 3))
+            log(f"probe_serving: capalt {tag} rep{rep}: {w:.2f} s "
+                f"= {32 * jfk_s / w:.0f} s-speech/s")
+        set_cap("cap64")
+        rec = {"config": "INTERLEAVED cap64-vs-cap128 one-shot B=32"}
+        for tag, ws in walls.items():
+            rec[f"{tag}_walls_s"] = ws
+            rec[f"{tag}_best"] = round(32 * jfk_s / min(ws), 1)
+            rec[f"{tag}_median"] = round(
+                32 * jfk_s / sorted(ws)[len(ws) // 2], 1)
+        results.append(rec)
+        log(json.dumps(rec))
+
+    # slot-depth A/B: slots=64 vs slots=128 (decode B amortizes the 1.26 GB
+    # weight stream 2x further; encode stays in groups of 32 — the one-shot
+    # B=128 conv-stem OOM never applies to the continuous path)
+    def slot_interleaved(name, engine_fn, arms=(64, 128)):
+        e = engine_fn()
+        walls = {s: [] for s in arms}
+        for s in arms:                       # warm both program ladders
+            srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
+                                     slots=s, encode_group=32)
+            log(f"probe_serving: {name} slots={s} warm")
+        audio_s = 128 * jfk_s
+        for rep in range(args.runs * 2):
+            s = arms[rep % 2]
+            clips = [perturb(base) for _ in range(128)]
+            t0 = time.monotonic()
+            srv_mod.serve_continuous(e, clips, slots=s, encode_group=32)
+            w = time.monotonic() - t0
+            walls[s].append(round(w, 3))
+            log(f"probe_serving: {name} slots={s} rep{rep}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s")
+        rec = {"config": name}
+        for s, ws in walls.items():
+            rec[f"slots{s}_walls_s"] = ws
+            rec[f"slots{s}_best"] = round(audio_s / min(ws), 1)
+            rec[f"slots{s}_median"] = round(audio_s / sorted(ws)[len(ws) // 2], 1)
+        results.append(rec)
+        log(json.dumps(rec))
+
+    if want("slotalt"):
+        slot_interleaved("INTERLEAVED slots 64-vs-128 bf16 g32 queue=128",
+                         lambda: eng)
+    if want("slotaltkv8"):
+        slot_interleaved("INTERLEAVED slots 64-vs-128 kv8 g32 queue=128",
+                         eng_kv8)
+
     if want("pipe3alt"):
         interleaved("INTERLEAVED pipe3-vs-legacy bf16 g32", lambda: eng, 32)
     if want("pipe3altkv8"):
