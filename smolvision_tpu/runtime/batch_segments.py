@@ -221,25 +221,28 @@ def _pool_and_encode(engine, B, full_tok, n_pool_blocks, full_starts,
     return out, n_tokens
 
 
-def _encode_batch_device_mel(engine, segments: Sequence[np.ndarray]):
-    """Serving encode with the mel on DEVICE: upload float16 reflect-padded
-    audio (one transfer, ~3x fewer bytes than f32 mel), matmul-DFT log-mel
-    on the MXU (ops/mel.py log_mel_batch_jax), conv over ALL Fcap//chunk
-    blocks per clip (garbage tail blocks are computed but never selected by
-    the pool gather — conv cost is trivial next to the saved host work),
-    width-grouped TRUE-width partial tails sliced on device.
+def _use_device_mel(cfg, B: int) -> bool:
+    """Shared gate for the device-mel serving front end: TPU default for
+    qwen3-family batches >2; SMOLVISION_DEVICE_MEL=0 forces host mel
+    (bit-exact vs the sequential engine), =1 forces device mel anywhere
+    (CPU tests)."""
+    import os
 
-    f16 audio (~5e-4 relative) and the f32 DFT are both inside the C
-    reference's own f32 naive-DFT rounding; the host-mel path remains the
-    default off-TPU so CPU tests stay bit-exact vs the sequential path.
-    """
-    from smolvision_tpu.ops.mel import (
-        HOP_LENGTH,
-        N_FFT,
-        log_mel_batch_jax,
-        num_frames,
-        reflect_pad,
-    )
+    dm_env = os.environ.get("SMOLVISION_DEVICE_MEL", "")
+    return (cfg.family != "q25" and B > 2 and dm_env != "0"
+            and (dm_env == "1" or jax.default_backend() == "tpu"))
+
+
+def _upload_audio(engine, segments: Sequence[np.ndarray]):
+    """Host prep + the ONE tunnel transfer of a serving encode group: reflect-
+    pad, f16-pack and upload the padded audio stack.  Split out of
+    `_encode_batch_device_mel` so the continuous scheduler
+    (runtime/serving.py) can issue the ~285 ms/32-clip upload in a dispatch
+    shadow DECOUPLED from the (cheap, async) mel/conv/window dispatches —
+    the upload is the serving path's single largest term over the tunnel
+    (docs/SERVING_ROOFLINE.md).  Returns (buf_dev [B, pcap] f16,
+    frames_list, fcap)."""
+    from smolvision_tpu.ops.mel import HOP_LENGTH, N_FFT, num_frames, reflect_pad
 
     cfg = engine.cfg
     chunk = cfg.enc_chunk_size
@@ -253,6 +256,32 @@ def _encode_batch_device_mel(engine, segments: Sequence[np.ndarray]):
     for b, s in enumerate(segments):
         p = reflect_pad(np.asarray(s, dtype=np.float32))
         buf[b, : len(p)] = p.astype(np.float16)
+    return jnp.asarray(buf), frames_list, fcap
+
+
+def _encode_batch_device_mel(engine, segments: Sequence[np.ndarray],
+                             uploaded=None):
+    """Serving encode with the mel on DEVICE: upload float16 reflect-padded
+    audio (one transfer, ~3x fewer bytes than f32 mel), matmul-DFT log-mel
+    on the MXU (ops/mel.py log_mel_batch_jax), conv over ALL Fcap//chunk
+    blocks per clip (garbage tail blocks are computed but never selected by
+    the pool gather — conv cost is trivial next to the saved host work),
+    width-grouped TRUE-width partial tails sliced on device.
+
+    f16 audio (~5e-4 relative) and the f32 DFT are both inside the C
+    reference's own f32 naive-DFT rounding; the host-mel path remains the
+    default off-TPU so CPU tests stay bit-exact vs the sequential path.
+
+    `uploaded` (from `_upload_audio`) skips the upload stage when the
+    scheduler already shipped the audio in an earlier dispatch shadow.
+    """
+    from smolvision_tpu.ops.mel import log_mel_batch_jax
+
+    cfg = engine.cfg
+    chunk = cfg.enc_chunk_size
+    B = len(segments)
+    buf_dev, frames_list, fcap = (uploaded if uploaded is not None
+                                  else _upload_audio(engine, segments))
 
     jits = getattr(engine, "_device_mel_jits", None)
     if jits is None:
@@ -282,7 +311,7 @@ def _encode_batch_device_mel(engine, segments: Sequence[np.ndarray]):
 
         jits["tails"] = jax.jit(slice_tails, static_argnums=(3,))
 
-    mel_t = jits["mel"](jnp.asarray(buf),
+    mel_t = jits["mel"](buf_dev,
                         jnp.asarray(frames_list, jnp.int32), fcap)
     nc = fcap // chunk
     ncap = _conv_bucket(B * nc)
@@ -450,12 +479,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
                 if frames % chunk else None)
         return frames, full, part
 
-    # device mel (matmul-DFT on the MXU from one i16 audio upload) is the
-    # TPU serving default; SMOLVISION_DEVICE_MEL=0 forces the host-mel path
-    # (bit-exact vs the sequential engine), =1 forces device mel anywhere
-    dm_env = os.environ.get("SMOLVISION_DEVICE_MEL", "")
-    use_device_mel = (cfg.family != "q25" and B > 2 and dm_env != "0"
-                      and (dm_env == "1" or jax.default_backend() == "tpu"))
+    use_device_mel = _use_device_mel(cfg, B)
     if use_device_mel:
         if engine.verbose >= 1 and not getattr(engine, "_device_mel_noted", False):
             engine._device_mel_noted = True

@@ -144,18 +144,50 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
 
     # ---- encode queue: groups of clips encoded on demand ---------------
     # (device mel + batched encoder — the same path as one-shot serving)
+    # Two stages so the dispatch shadows can be used at finer grain:
+    #   upload stage  = host reflect-pad/f16-pack + the ONE big tunnel
+    #                   transfer (~285 ms / 32 clips — the largest single
+    #                   serving term, docs/SERVING_ROOFLINE.md)
+    #   encode stage  = mel/conv/window/encoder dispatches (cheap, async)
+    # A decode-chunk shadow fits the upload of group k+1 while group k's
+    # encode dispatches ride a later shadow.  SMOLVISION_SERVE_NO_UPSPLIT=1
+    # reverts to the round-3 combined encode_more for interleaved A/B.
     enc_ready = {}   # clip index -> (audio_block [cap, H] device, n_tokens)
-    next_enc = 0
+    up_ready: List = []   # FIFO of (group, segs, uploaded-or-None)
+    next_up = 0      # clips whose audio upload has been issued
+    next_enc = 0     # clips whose encode has been dispatched
+    upsplit = os.environ.get("SMOLVISION_SERVE_NO_UPSPLIT", "") != "1"
+
+    def _upload_group():
+        nonlocal next_up
+        if next_up >= n:
+            return
+        group = order[next_up : next_up + encode_group]
+        next_up += len(group)
+        segs = [clips[i] for i in group]
+        if bs_mod._use_device_mel(cfg, len(segs)):
+            up_ready.append((group, segs,
+                             bs_mod._upload_audio(engine, segs)))
+        else:
+            up_ready.append((group, segs, None))  # host-mel path: no upload
+
+    def upload_more():
+        # shadow hook: stage the next group's audio onto the device while
+        # the decode/prefill round-trip is in flight
+        if upsplit and next_up < n and next_up - admitted < 2 * S:
+            _upload_group()
 
     def encode_more():
         nonlocal next_enc, acap_all
         if next_enc >= n:
             return
-        group = order[next_enc : next_enc + encode_group]
+        if not up_ready:
+            _upload_group()
+        group, segs, uploaded = up_ready.pop(0)
         next_enc += len(group)
-        segs = [clips[i] for i in group]
-        if jax.default_backend() == "tpu" and len(segs) > 2:
-            stack, n_toks = bs_mod._encode_batch_device_mel(engine, segs)
+        if uploaded is not None:
+            stack, n_toks = bs_mod._encode_batch_device_mel(
+                engine, segs, uploaded)
         else:
             from smolvision_tpu.ops.mel import log_mel
 
@@ -263,6 +295,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             # dispatches) before blocking on `first` — same dispatch-order
             # trick as the decode-chunk shadow below
             if pipe3 and next_enc < n and next_enc - admitted < 2 * S:
+                upload_more()
                 encode_more()
             first_h = np.asarray(jax.device_get(first))
             now = time.monotonic()
@@ -310,6 +343,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         # it BEFORE the decode call measured ~20% WORSE: the upload then
         # sits on the serialized tunnel channel ahead of the decode
         # round-trip, stretching every round — tools/probe_serving.py.)
+        upload_more()   # stage group k+1's audio in the decode shadow
         if next_enc < n and (not enc_ready
                              if not pipe3 else next_enc - admitted < 2 * S):
             encode_more()

@@ -82,6 +82,23 @@ def test_pipelined_matches_legacy_schedule(srv_engine, monkeypatch):
     assert piped == legacy
 
 
+def test_upload_split_matches_combined(srv_engine, monkeypatch):
+    """The two-stage encode queue (audio upload shadow-staged ahead of the
+    encode dispatches, SMOLVISION_SERVE_NO_UPSPLIT toggles) is a pure
+    re-schedule of identical device programs: greedy tokens must be
+    byte-identical either way.  Forces the device-mel front end so the
+    upload stage actually runs on CPU."""
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    clips = _clips(6, seed=9)
+    monkeypatch.setenv("SMOLVISION_DEVICE_MEL", "1")
+    split = serve_continuous(eng, clips, slots=2, encode_group=3)
+    monkeypatch.setenv("SMOLVISION_SERVE_NO_UPSPLIT", "1")
+    combined = serve_continuous(eng, clips, slots=2, encode_group=3)
+    assert split == combined
+
+
 def test_continuous_latency_percentiles(srv_engine):
     """serve_continuous records per-clip TTFT/completion percentiles on
     engine.perf (the serving analog of the upstream TTFT baseline,

@@ -314,6 +314,49 @@ def main():
         slot_interleaved("INTERLEAVED slots 64-vs-128 kv8 g32 queue=128",
                          eng_kv8)
 
+    # upload-split A/B: two-stage encode queue (upload shadow-staged a
+    # round ahead of the encode dispatches) vs the round-3 combined
+    # encode_more, interleaved
+    def env_interleaved(name, env_var, engine_fn, arms=("on", "off"),
+                        slots=64, grp=32):
+        e = engine_fn()
+        walls = {a: [] for a in arms}
+
+        def set_arm(a):
+            if a == "off":
+                os.environ[env_var] = "1"
+            else:
+                os.environ.pop(env_var, None)
+
+        for a in arms:
+            set_arm(a)
+            srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
+                                     slots=slots, encode_group=grp)
+            log(f"probe_serving: {name} {a} warm")
+        audio_s = 128 * jfk_s
+        for rep in range(args.runs * 2):
+            a = arms[rep % 2]
+            set_arm(a)
+            clips = [perturb(base) for _ in range(128)]
+            t0 = time.monotonic()
+            srv_mod.serve_continuous(e, clips, slots=slots, encode_group=grp)
+            w = time.monotonic() - t0
+            walls[a].append(round(w, 3))
+            log(f"probe_serving: {name} {a} rep{rep}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s")
+        set_arm("on")
+        rec = {"config": name}
+        for a, ws in walls.items():
+            rec[f"{a}_walls_s"] = ws
+            rec[f"{a}_best"] = round(audio_s / min(ws), 1)
+            rec[f"{a}_median"] = round(audio_s / sorted(ws)[len(ws) // 2], 1)
+        results.append(rec)
+        log(json.dumps(rec))
+
+    if want("upalt"):
+        env_interleaved("INTERLEAVED upsplit-vs-combined bf16 s64 g32",
+                        "SMOLVISION_SERVE_NO_UPSPLIT", lambda: eng)
+
     if want("pipe3alt"):
         interleaved("INTERLEAVED pipe3-vs-legacy bf16 g32", lambda: eng, 32)
     if want("pipe3altkv8"):
