@@ -234,6 +234,35 @@ def main() -> int:
             "vs_baseline": round(tput / BASE_SERVING, 3),
         })
 
+        # continuous with the audio PRE-STAGED on device (prestage_uploads
+        # runs before the timer): isolates the on-chip serving rate from
+        # the axon tunnel's ~43 MB/s upload artifact, which is ~35% of
+        # wall here and ~milliseconds on a production host's NIC/PCIe
+        # (docs/SERVING_ROOFLINE.md).  Extra line; the tunnel-inclusive
+        # number above stays the primary serving metric.
+        from smolvision_tpu.runtime.serving import prestage_uploads
+
+        best = float("inf")
+        for i in range(RUNS):
+            clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
+            pre = prestage_uploads(eng, clips, encode_group=EGRP)
+            t0 = time.monotonic()
+            serve_continuous(eng, clips, slots=SLOTS, encode_group=EGRP,
+                             prestaged=pre)
+            ms = (time.monotonic() - t0) * 1000.0
+            log(f"bench: serving-devres run {i + 1}: {ms:.0f} ms")
+            best = min(best, ms)
+        tput = N_QUEUE * audio_s / (best / 1000.0)
+        emit({
+            "metric": f"serving throughput, {N_QUEUE} x jfk.wav queued, "
+                      f"continuous slots={SLOTS}, audio pre-staged on device "
+                      "(on-chip rate, tunnel upload excluded — "
+                      "Qwen3-ASR-0.6B geometry, 1 v5e chip)",
+            "value": round(tput, 1),
+            "unit": "s_speech_per_s",
+            "vs_baseline": round(tput / BASE_SERVING, 3),
+        })
+
     # ---- streaming: 45 s clip, --stream semantics ----------------------
     if want("streaming"):
         s45 = load_wav(CLIP_45S)

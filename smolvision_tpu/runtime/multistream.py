@@ -293,6 +293,25 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
                 pshape, S((B, blk, H), f32), S((), i32), kv_s,
                 S((B,), i32), S((B,), i32), S((B,), i32), S((B,), i32),
                 S((), i32)))
+        # stratified reset-row prefill (see _strat_jit): one program per
+        # (Gcap, pcap, kcap) — discovered mid-run otherwise
+        if (not os.environ.get("SMOLVISION_MSTREAM_NO_STRAT")
+                and B >= MSTRAT_MIN_ACTIVE and pcap >= MSTRAT_MIN_S + 64):
+            sj = _strat_jit(engine)
+            for gc in (1, 2, 4):
+                if gc > MSTRAT_MAX_ROWS or ("st", gc, pcap, kcap) in seen:
+                    continue
+                seen.add(("st", gc, pcap, kcap))
+                skv_shape = (L, 2, gc, KH, pcap, D)
+                if engine.batched_kv_dtype == jnp.int8:
+                    from smolvision_tpu.ops.quant import QuantKV
+                    skv_s = QuantKV(S(skv_shape, jnp.int8),
+                                    S(skv_shape[:-1], f32))
+                else:
+                    skv_s = S(skv_shape, engine.batched_kv_dtype)
+                lowered.append(sj.lower(
+                    pshape, S((B, pcap, H), f32), S((gc,), i32), skv_s,
+                    kv_s, S((gc,), i32), S((B,), i32)))
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(lambda lw: lw.compile(), lowered))
 
@@ -459,6 +478,80 @@ def _mstream_jits(engine):
     return engine._mstream_jits_cache
 
 
+# Stratified reset-row prefill thresholds (docs/MULTISTREAM.md round-3
+# attribution: at N=16 *some* row is always freshly reset, pinning the
+# batch-uniform delta start S to 0 — every round re-prefills the full
+# prompt width for all rows, ~35% wasted prefill FLOPs).  A reset row's
+# kept cache is INVALID, so there is nothing to gather/preserve for it:
+# the few reset rows take their own small-batch FULL prefill into a fresh
+# cache and are admitted back into the big cache with unrolled
+# scalar-indexed DUS block copies (serving.py's admit pattern — no
+# batch-varying-index scatter), while S follows the non-reset majority.
+MSTRAT_MIN_S = 128        # stratify only when the majority delta start
+#                           is deep enough to be worth a second dispatch
+MSTRAT_MAX_ROWS = 4       # reset-row small batch cap (Gcap <= 4)
+MSTRAT_MIN_ACTIVE = 4     # below this, one batch is always cheaper
+# test hook: rows forced to reuse 0 (narrowing reuse is always exact —
+# rows recompute kept tokens into identical values by greedy determinism)
+MSTRAT_TEST_FORCE_RESET: frozenset = frozenset()
+
+
+def _strat_jit(engine):
+    """ONE-dispatch stratified prefill: gather the reset rows' embeds,
+    full-prefill them into a fresh small cache (positions [0, pcap), no
+    decode region), admit each finished row back into the big cache, and
+    merge their first tokens.  jax.jit re-specializes per (Gcap, pcap,
+    kcap, kv dtype) shape key."""
+    cached = getattr(engine, "_strat_jit_cache", None)
+    if cached is not None:
+        return cached
+    import jax
+    import jax.numpy as jnp
+
+    from smolvision_tpu.models import qwen3_decoder as dec_mod
+    from smolvision_tpu.ops.quant import QuantKV
+
+    cfg = engine.cfg
+
+    def strat(p, embeds, rows, small_kv, kv_big, lens, tokens_big):
+        Gcap = (small_kv.q if isinstance(small_kv, QuantKV)
+                else small_kv).shape[2]
+        e_small = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(embeds, rows[g], 1, axis=0)
+             for g in range(Gcap)], axis=0)
+        zeros = jnp.zeros((Gcap,), jnp.int32)
+        first, small_kv = dec_mod.batched_prefill_delta(
+            p, cfg, e_small, jnp.int32(0), small_kv, zeros, zeros,
+            greedy=True, last_rows=lens - 1, prompt_max=lens,
+            region_start=jnp.int32(1 << 30))
+
+        def admit_leaf(big, small, row_axis=2):
+            # Gcap scalar-indexed DUS block copies of the K prefix
+            # [0, pcap) — kcap_big >= pcap, the decode region is rewritten
+            # by the next decode chunk anyway
+            for g in range(Gcap):
+                blk = jax.lax.dynamic_slice_in_dim(small, g, 1,
+                                                   axis=row_axis)
+                idx = ((0,) * row_axis + (rows[g],)
+                       + (0,) * (big.ndim - row_axis - 1))
+                big = jax.lax.dynamic_update_slice(
+                    big, blk.astype(big.dtype), idx)
+            return big
+
+        if isinstance(kv_big, QuantKV):
+            kv_big = QuantKV(admit_leaf(kv_big.q, small_kv.q),
+                             admit_leaf(kv_big.s, small_kv.s))
+        else:
+            kv_big = admit_leaf(kv_big, small_kv)
+        # duplicate pad indices write the same value — order irrelevant
+        tokens = tokens_big.at[rows].set(first)
+        return tokens, kv_big
+
+    fn = jax.jit(strat, donate_argnums=(3, 4))
+    engine._strat_jit_cache = fn
+    return fn
+
+
 def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     """One shared-clock round: batch every active session's (delta prefill +
     bounded greedy decode) through the batch-native decoder in the NATURAL
@@ -577,7 +670,27 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     # W bucketed: the eager embeds slice below bakes its start into the
     # compiled program, so an unbucketed S would trigger a fresh tiny
     # compile (~70-90 ms over the tunnel) nearly every round.
+    #
+    # STRATIFIED exception (constants + rationale above _strat_jit;
+    # SMOLVISION_MSTREAM_NO_STRAT=1 reverts): a few freshly-reset rows
+    # (reuse < 64) no longer pin S to 0 for the whole batch — they take a
+    # separate small-batch full prefill and S follows the non-reset
+    # majority.  Exactness: reset rows get exactly the S=0 computation
+    # they would get solo; non-reset rows see a deeper S, which the reuse
+    # contract already covers.
+    for r in MSTRAT_TEST_FORCE_RESET:
+        if r in active:
+            reused_eff[r] = 0
+    strat_rows: List[int] = []
     S = (min(reused_eff[r] for r in active) // 64) * 64
+    if (not os.environ.get("SMOLVISION_MSTREAM_NO_STRAT")
+            and len(active) >= MSTRAT_MIN_ACTIVE):
+        lo = sorted(r for r in active if reused_eff[r] < 64)
+        hi = [r for r in active if reused_eff[r] >= 64]
+        if lo and hi and len(lo) <= min(MSTRAT_MAX_ROWS, len(active) // 2):
+            s_hi = (min(reused_eff[r] for r in hi) // 64) * 64
+            if s_hi >= MSTRAT_MIN_S:
+                strat_rows, S = lo, s_hi
     W = min(bucket(max_len - S, 64), pcap - S)
 
     build, _prefill_full, _decode_lp = _batched_jits(engine)
@@ -596,9 +709,26 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
                                 cache.kv, jnp.asarray(rope_start),
                                 jnp.asarray(kv_min), jnp.asarray(last_rows),
                                 pm_dev, rg_dev)
+    if strat_rows:
+        # the big delta block above wrote garbage rows [S, S+W) for the
+        # reset rows (their cache below S is invalid); the small full
+        # prefill overwrites their entire [0, pcap) prefix and their
+        # first token
+        G = len(strat_rows)
+        Gcap = 1 << (G - 1).bit_length() if G > 1 else 1
+        rows_pad = strat_rows + [strat_rows[-1]] * (Gcap - G)
+        lens_pad = np.asarray([lens_new[r] for r in rows_pad], np.int32)
+        small_kv = pbatch.make_batched_kv(cfg, Gcap, pcap,
+                                          engine.batched_kv_dtype)
+        first, kv = _strat_jit(engine)(
+            engine.dec_params, embeds, jnp.asarray(rows_pad, jnp.int32),
+            small_kv, kv, jnp.asarray(lens_pad), first)
+        engine._strat_round_count = getattr(
+            engine, "_strat_round_count", 0) + 1
     if dbg:
         ru = sorted(reused_eff[r] for r in active)
         print(f"    [mstream] block S={S} W={W} pcap={pcap} "
+              f"strat={strat_rows} "
               f"reuse min/med/max={ru[0]}/{ru[len(ru) // 2]}/{ru[-1]} "
               f"lens max={max_len}", file=sys.stderr, flush=True)
     mark("prefill", first[0])

@@ -216,6 +216,66 @@ def test_batched_reuse_off_matches_reuse_on(ms_engine, monkeypatch):
     assert runs[0] == runs[1]
 
 
+def test_stratified_reset_prefill_matches_default(ms_engine, monkeypatch):
+    """The stratified reset-row prefill (a freshly-reset row takes its own
+    small-batch full prefill instead of pinning the batch-uniform delta
+    start S to 0) must be token-invisible: strat-on, strat-off, and the
+    unforced default all produce identical per-chunk tokens.  Thresholds
+    are patched low and row 0 is forced to reuse 0 (narrowing reuse is
+    always exact) so the path actually fires on tiny prompts."""
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    # clips must cross the 8 s encoder-window boundary for reuse to grow
+    # past the ~9-token prompt header (full windows get stable signature
+    # uids; the partial tail re-encodes with a fresh uid every round)
+    rng = np.random.default_rng(77)
+    clips = []
+    for n in (14, 15, 16, 17):
+        t = np.arange(n * 16000) / 16000.0
+        sig = (0.3 * np.sin(2 * np.pi * (140 + 25 * n) * t)
+               + 0.02 * rng.standard_normal(len(t)))
+        clips.append(sig.astype(np.float32))
+
+    # tiny random checkpoints degenerate every few tokens, so the recovery
+    # resets clear the enc cache before any window stabilizes — disable
+    # them (identically in all three arms) so reuse can accumulate
+    monkeypatch.setattr(stream_mod, "DEGEN_MIN_REPEATS", 1 << 30)
+    monkeypatch.setattr(stream_mod, "STALE_CHUNKS", 1 << 30)
+    monkeypatch.setattr(stream_mod, "MAX_REPEAT_TOKEN_RUN", 1 << 30)
+
+    ms_engine.past_text_conditioning = False  # keep prompts append-only
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append(list(chunk_tokens))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+    monkeypatch.setattr(ms, "MSTRAT_MIN_S", 64)
+    monkeypatch.setattr(ms, "MSTRAT_MIN_ACTIVE", 2)
+
+    runs = []
+    for arm in ("default", "forced-strat", "forced-nostrat"):
+        if arm == "default":
+            monkeypatch.setattr(ms, "MSTRAT_TEST_FORCE_RESET", frozenset())
+        else:
+            monkeypatch.setattr(ms, "MSTRAT_TEST_FORCE_RESET",
+                                frozenset({0}))
+        if arm == "forced-nostrat":
+            monkeypatch.setenv("SMOLVISION_MSTREAM_NO_STRAT", "1")
+        else:
+            monkeypatch.delenv("SMOLVISION_MSTREAM_NO_STRAT", raising=False)
+        log.clear()
+        ms.run_streams(ms_engine, clips)
+        runs.append(list(log))
+    ms_engine.past_text_conditioning = False
+    assert runs[0] == runs[1] == runs[2]
+    # non-vacuous: the stratified dispatch actually ran in the strat arm
+    assert getattr(ms_engine, "_strat_round_count", 0) > 0
+
+
 def test_prewarm_noop_on_cpu(ms_engine):
     """_prewarm_batched must return immediately off-TPU (a local backend
     would block on the whole compile ladder)."""

@@ -99,6 +99,23 @@ def test_upload_split_matches_combined(srv_engine, monkeypatch):
     assert split == combined
 
 
+def test_prestaged_uploads_match_live(srv_engine, monkeypatch):
+    """prestage_uploads + serve_continuous(prestaged=...) is the same device
+    program fed the same bytes — greedy tokens must be byte-identical to the
+    live-upload schedule.  (The prestaged path exists so bench can report the
+    on-chip serving rate without the axon tunnel-upload artifact.)"""
+    from smolvision_tpu.runtime.serving import prestage_uploads, serve_continuous
+
+    eng = srv_engine
+    clips = _clips(6, seed=5)
+    monkeypatch.setenv("SMOLVISION_DEVICE_MEL", "1")
+    live = serve_continuous(eng, clips, slots=2, encode_group=3)
+    pre = prestage_uploads(eng, clips, encode_group=3)
+    staged = serve_continuous(eng, clips, slots=2, encode_group=3,
+                              prestaged=pre)
+    assert staged == live
+
+
 def test_continuous_latency_percentiles(srv_engine):
     """serve_continuous records per-clip TTFT/completion percentiles on
     engine.perf (the serving analog of the upstream TTFT baseline,

@@ -357,6 +357,46 @@ def main():
         env_interleaved("INTERLEAVED upsplit-vs-combined bf16 s64 g32",
                         "SMOLVISION_SERVE_NO_UPSPLIT", lambda: eng)
 
+    # device-resident audio A/B: prestage_uploads ships every group's
+    # padded audio stack before the timer — the arm difference IS the
+    # tunnel-upload term (~43 MB/s effective), i.e. what a production
+    # host's NIC/PCIe front end would make vanish
+    def devres_interleaved(name, engine_fn, slots=64, grp=32):
+        e = engine_fn()
+        walls = {"devres": [], "live": []}
+        pre = srv_mod.prestage_uploads(e, [perturb(base) for _ in range(128)],
+                                       encode_group=grp)
+        srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
+                                 slots=slots, encode_group=grp, prestaged=pre)
+        srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
+                                 slots=slots, encode_group=grp)
+        log(f"probe_serving: {name} warm")
+        audio_s = 128 * jfk_s
+        for rep in range(args.runs * 2):
+            a = "devres" if rep % 2 == 0 else "live"
+            clips = [perturb(base) for _ in range(128)]
+            pre = (srv_mod.prestage_uploads(e, clips, encode_group=grp)
+                   if a == "devres" else None)
+            t0 = time.monotonic()
+            srv_mod.serve_continuous(e, clips, slots=slots, encode_group=grp,
+                                     prestaged=pre)
+            w = time.monotonic() - t0
+            walls[a].append(round(w, 3))
+            log(f"probe_serving: {name} {a} rep{rep}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s")
+        rec = {"config": name}
+        for a, ws in walls.items():
+            rec[f"{a}_walls_s"] = ws
+            rec[f"{a}_best"] = round(audio_s / min(ws), 1)
+            rec[f"{a}_median"] = round(audio_s / sorted(ws)[len(ws) // 2], 1)
+        results.append(rec)
+        log(json.dumps(rec))
+
+    if want("devres"):
+        devres_interleaved("INTERLEAVED devres-vs-live bf16 s64 g32", lambda: eng)
+    if want("devreskv8"):
+        devres_interleaved("INTERLEAVED devres-vs-live kv8 s64 g32", eng_kv8)
+
     if want("pipe3alt"):
         interleaved("INTERLEAVED pipe3-vs-legacy bf16 g32", lambda: eng, 32)
     if want("pipe3altkv8"):
