@@ -223,7 +223,6 @@ def main() -> int:
             ms = (time.monotonic() - t0) * 1000.0
             log(f"bench: serving-kv8 run {i + 1}: {ms:.0f} ms")
             best = min(best, ms)
-        del eng_kv8
         tput = N_QUEUE * audio_s / (best / 1000.0)
         emit({
             "metric": f"serving throughput, {N_QUEUE} x jfk.wav queued, "
@@ -258,6 +257,31 @@ def main() -> int:
                       f"continuous slots={SLOTS}, audio pre-staged on device "
                       "(on-chip rate, tunnel upload excluded — "
                       "Qwen3-ASR-0.6B geometry, 1 v5e chip)",
+            "value": round(tput, 1),
+            "unit": "s_speech_per_s",
+            "vs_baseline": round(tput / BASE_SERVING, 3),
+        })
+
+        # pre-staged + int8 KV: the single-chip ceiling configuration
+        # (probe: median 1044 / best 1073 s-speech/s — past half the
+        # upstream multi-accelerator 2000 on ONE v5e)
+        best = float("inf")
+        for i in range(RUNS):
+            clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
+            pre = prestage_uploads(eng_kv8, clips, encode_group=EGRP)
+            t0 = time.monotonic()
+            serve_continuous(eng_kv8, clips, slots=SLOTS, encode_group=EGRP,
+                             prestaged=pre)
+            ms = (time.monotonic() - t0) * 1000.0
+            log(f"bench: serving-devres-kv8 run {i + 1}: {ms:.0f} ms")
+            best = min(best, ms)
+        del eng_kv8
+        tput = N_QUEUE * audio_s / (best / 1000.0)
+        emit({
+            "metric": f"serving throughput, {N_QUEUE} x jfk.wav queued, "
+                      f"continuous slots={SLOTS}, int8 KV + audio pre-staged "
+                      "on device (on-chip rate — Qwen3-ASR-0.6B geometry, "
+                      "--kv8, 1 v5e chip)",
             "value": round(tput, 1),
             "unit": "s_speech_per_s",
             "vs_baseline": round(tput / BASE_SERVING, 3),
