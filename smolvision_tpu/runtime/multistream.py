@@ -294,8 +294,9 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
                 S((B,), i32), S((B,), i32), S((B,), i32), S((B,), i32),
                 S((), i32)))
         # stratified reset-row prefill (see _strat_jit): one program per
-        # (Gcap, pcap, kcap) — discovered mid-run otherwise
-        if (not os.environ.get("SMOLVISION_MSTREAM_NO_STRAT")
+        # (Gcap, pcap, kcap) — discovered mid-run otherwise.  Opt-in only:
+        # dead shapes would just lengthen the warmup ladder
+        if (os.environ.get("SMOLVISION_MSTREAM_STRAT") == "1"
                 and B >= MSTRAT_MIN_ACTIVE and pcap >= MSTRAT_MIN_S + 64):
             sj = _strat_jit(engine)
             for gc in (1, 2, 4):
@@ -478,15 +479,26 @@ def _mstream_jits(engine):
     return engine._mstream_jits_cache
 
 
-# Stratified reset-row prefill thresholds (docs/MULTISTREAM.md round-3
-# attribution: at N=16 *some* row is always freshly reset, pinning the
-# batch-uniform delta start S to 0 — every round re-prefills the full
-# prompt width for all rows, ~35% wasted prefill FLOPs).  A reset row's
-# kept cache is INVALID, so there is nothing to gather/preserve for it:
-# the few reset rows take their own small-batch FULL prefill into a fresh
-# cache and are admitted back into the big cache with unrolled
-# scalar-indexed DUS block copies (serving.py's admit pattern — no
-# batch-varying-index scatter), while S follows the non-reset majority.
+# Stratified reset-row prefill (OPT-IN: SMOLVISION_MSTREAM_STRAT=1).
+# Design: a freshly-reset row's kept cache is INVALID, so there is
+# nothing to gather/preserve for it — the few reset rows take their own
+# small-batch FULL prefill into a fresh cache and are admitted back into
+# the big cache with unrolled scalar-indexed DUS block copies
+# (serving.py's admit pattern — no batch-varying-index scatter), while
+# the batch-uniform delta start S follows the non-reset majority.
+#
+# MEASURED OFF by default (round 3): on the real conditioned-streaming
+# workload the per-round reuse distribution is TRIMODAL — e.g. at N=16
+# [0,0,9,9,9,9,9,9,9,9,113,217,217,217,217,217] — because any row that
+# committed text last round gets a new rollback prefix and its signature
+# LCP collapses to the 9-token prompt header (prompt token order is
+# fixed by the parity contract, so audio cannot precede the prefix).
+# With 5-10 rows at reuse<64 the small batch exceeds MSTRAT_MAX_ROWS,
+# and the rare eligible rounds have s_hi=64 (some row is always exactly
+# one 104-token window deep), below MSTRAT_MIN_S — the interleaved A/B
+# (tools/probe_mstrat.py) fired on 0 of ~180 rounds.  The path stays
+# (exact, tested) for unconditioned workloads, where reuse IS
+# append-only and resets are the only reuse breaker.
 MSTRAT_MIN_S = 128        # stratify only when the majority delta start
 #                           is deep enough to be worth a second dispatch
 MSTRAT_MAX_ROWS = 4       # reset-row small batch cap (Gcap <= 4)
@@ -683,7 +695,7 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             reused_eff[r] = 0
     strat_rows: List[int] = []
     S = (min(reused_eff[r] for r in active) // 64) * 64
-    if (not os.environ.get("SMOLVISION_MSTREAM_NO_STRAT")
+    if (os.environ.get("SMOLVISION_MSTREAM_STRAT") == "1"
             and len(active) >= MSTRAT_MIN_ACTIVE):
         lo = sorted(r for r in active if reused_eff[r] < 64)
         hi = [r for r in active if reused_eff[r] >= 64]
@@ -728,8 +740,7 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     if dbg:
         ru = sorted(reused_eff[r] for r in active)
         print(f"    [mstream] block S={S} W={W} pcap={pcap} "
-              f"strat={strat_rows} "
-              f"reuse min/med/max={ru[0]}/{ru[len(ru) // 2]}/{ru[-1]} "
+              f"strat={strat_rows} reuse={ru} "
               f"lens max={max_len}", file=sys.stderr, flush=True)
     mark("prefill", first[0])
     B_real = len(works)

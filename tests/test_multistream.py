@@ -263,10 +263,10 @@ def test_stratified_reset_prefill_matches_default(ms_engine, monkeypatch):
         else:
             monkeypatch.setattr(ms, "MSTRAT_TEST_FORCE_RESET",
                                 frozenset({0}))
-        if arm == "forced-nostrat":
-            monkeypatch.setenv("SMOLVISION_MSTREAM_NO_STRAT", "1")
+        if arm == "forced-strat":
+            monkeypatch.setenv("SMOLVISION_MSTREAM_STRAT", "1")
         else:
-            monkeypatch.delenv("SMOLVISION_MSTREAM_NO_STRAT", raising=False)
+            monkeypatch.delenv("SMOLVISION_MSTREAM_STRAT", raising=False)
         log.clear()
         ms.run_streams(ms_engine, clips)
         runs.append(list(log))

@@ -59,10 +59,10 @@ def main():
                 for _ in range(N)]
 
     def set_arm(a):
-        if a == "off":
-            os.environ["SMOLVISION_MSTREAM_NO_STRAT"] = "1"
+        if a == "on":
+            os.environ["SMOLVISION_MSTREAM_STRAT"] = "1"
         else:
-            os.environ.pop("SMOLVISION_MSTREAM_NO_STRAT", None)
+            os.environ.pop("SMOLVISION_MSTREAM_STRAT", None)
 
     walls = {"on": [], "off": []}
     for a in ("on", "off"):                     # warm both program ladders
@@ -82,7 +82,7 @@ def main():
         fired = getattr(eng, "_strat_round_count", 0) - n0
         log(f"probe_mstrat: {a} rep{rep}: {w:.2f} s = "
             f"{N * audio_s / w:.1f} s-speech/s (strat rounds {fired})")
-    set_arm("on")
+    set_arm("off")   # restore the default (strat is opt-in)
     rec = {"config": f"INTERLEAVED mstream-strat on-vs-off N={N}"}
     for a, ws in walls.items():
         rec[f"{a}_walls_s"] = ws
