@@ -256,6 +256,11 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     # row hits EOS / its cap
     t_first = np.zeros(n)
     t_done = np.zeros(n)
+    # admission->first-token per clip: the continuous-serving TTFT analog
+    # (the t_first percentiles above count QUEUE WAIT from t0, since all
+    # clips "arrive" at once here; a 92 ms-class upstream TTFT figure is
+    # measured from per-request arrival, which admission approximates)
+    t_admit_first = np.zeros(n)
 
     # round-3 pipelining (SMOLVISION_SERVE_NO_PIPE3=1 reverts for A/B):
     # encode in the PREFILL shadow too, top up the encode queue ahead of
@@ -284,6 +289,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             while len(enc_ready) < min(len(free), n - admitted) \
                     and next_enc < n:
                 encode_more()
+            t_wave = time.monotonic()   # admission instant for this wave
             group_idx = [order[admitted + g]
                          for g in range(min(len(free), n - admitted))]
             G = len(group_idx)
@@ -347,6 +353,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
                 region_min[s] = clock
                 produced[s] = 1
                 t_first[i] = now - t0
+                t_admit_first[i] = now - t_wave
                 if int(first_h[g]) in EOS_TOKEN_IDS \
                         or engine.max_tokens <= 1:
                     slot_done[s] = True
@@ -420,10 +427,13 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     # p50/p99 over the queue (seconds -> ms); consumers: bench.py, --debug
     tf = np.sort(t_first) * 1000.0
     td = np.sort(t_done) * 1000.0
+    ta = np.sort(t_admit_first) * 1000.0
     engine.perf.serving_latency = {
         "ttft_min_ms": round(float(tf[0]), 1),
         "ttft_p50_ms": round(float(tf[len(tf) // 2]), 1),
         "ttft_p99_ms": round(float(tf[min(len(tf) - 1, int(len(tf) * 0.99))]), 1),
+        "admit_ttft_p50_ms": round(float(ta[len(ta) // 2]), 1),
+        "admit_ttft_p99_ms": round(float(ta[min(len(ta) - 1, int(len(ta) * 0.99))]), 1),
         "done_p50_ms": round(float(td[len(td) // 2]), 1),
         "done_p99_ms": round(float(td[min(len(td) - 1, int(len(td) * 0.99))]), 1),
         "clips": int(n),

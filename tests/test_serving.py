@@ -128,3 +128,7 @@ def test_continuous_latency_percentiles(srv_engine):
     assert lat is not None and lat["clips"] == 6
     assert 0 <= lat["ttft_p50_ms"] <= lat["ttft_p99_ms"]
     assert lat["ttft_p50_ms"] <= lat["done_p50_ms"] <= lat["done_p99_ms"]
+    # admission->first-token (the per-request TTFT analog) is bounded by
+    # the queue-wait-inclusive TTFT
+    assert 0 <= lat["admit_ttft_p50_ms"] <= lat["admit_ttft_p99_ms"]
+    assert lat["admit_ttft_p99_ms"] <= lat["ttft_p99_ms"] + 1e-6
