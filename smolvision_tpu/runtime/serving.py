@@ -150,11 +150,21 @@ def prestage_uploads(engine, clips: Sequence[np.ndarray],
 
 
 def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
-                     encode_group: int = 32, prestaged=None) -> List[str]:
+                     encode_group: int = 32, prestaged=None,
+                     admit_cap: int = 0) -> List[str]:
     """Transcribe `clips` through a rolling batch of `slots` rows.
     Returns texts in input order.  engine.max_tokens caps each row.
     `prestaged` (from `prestage_uploads`) substitutes already-on-device
-    audio stacks for the upload stage — measurement aid only."""
+    audio stacks for the upload stage — measurement aid only.
+
+    `admit_cap` > 0 (or SMOLVISION_SERVE_ADMIT) bounds each admission
+    wave: a LATENCY knob.  The first admit_cap clips start decoding after
+    a small-group prefill instead of waiting for the full slots-wide wave,
+    cutting admission->first-token; later sub-waves admit into the free
+    slots mid-decode through the same machinery EOS retirement uses, so
+    tokens are unchanged (greedy rows are independent; tested).  Costs
+    throughput — partial-occupancy decode chunks still pay the full slot
+    count (same economics that killed eager admission)."""
     cfg = engine.cfg
     engine.prepare_prompt()
     tok = engine.tokenizer
@@ -163,6 +173,8 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     n = len(clips)
     if n == 0:
         return []
+    if admit_cap <= 0:
+        admit_cap = int(os.environ.get("SMOLVISION_SERVE_ADMIT", "0") or 0)
     order = sorted(range(n), key=lambda i: -len(clips[i]))  # longest first
     S = min(slots, max(2, 1 << (n - 1).bit_length()))
 
@@ -286,12 +298,13 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             # 128-queue read median 408 s-speech/s eager vs 451 fill-free
             # (admission churn spends extra decode chunks at partial
             # occupancy, and every chunk costs the full slot count).
-            while len(enc_ready) < min(len(free), n - admitted) \
-                    and next_enc < n:
+            wave = min(len(free), n - admitted)
+            if admit_cap > 0:
+                wave = min(wave, admit_cap)
+            while len(enc_ready) < wave and next_enc < n:
                 encode_more()
             t_wave = time.monotonic()   # admission instant for this wave
-            group_idx = [order[admitted + g]
-                         for g in range(min(len(free), n - admitted))]
+            group_idx = [order[admitted + g] for g in range(wave)]
             G = len(group_idx)
             # pow2-bucket the group so admission compiles O(log S) programs,
             # not one per distinct wave size; pad rows repeat the last clip

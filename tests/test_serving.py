@@ -116,6 +116,21 @@ def test_prestaged_uploads_match_live(srv_engine, monkeypatch):
     assert staged == live
 
 
+def test_admit_cap_matches_full_wave(srv_engine):
+    """admit_cap (the latency knob: bounded admission sub-waves) must be
+    token-invisible — rows are independent under greedy decoding and
+    sub-wave admission reuses the tested mid-flight admission machinery."""
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    clips = _clips(7, seed=13)
+    full = serve_continuous(eng, clips, slots=4)
+    capped = serve_continuous(eng, clips, slots=4, admit_cap=2)
+    assert capped == full
+    lat = eng.perf.serving_latency
+    assert lat["clips"] == 7 and lat["admit_ttft_p50_ms"] >= 0
+
+
 def test_continuous_latency_percentiles(srv_engine):
     """serve_continuous records per-clip TTFT/completion percentiles on
     engine.perf (the serving analog of the upstream TTFT baseline,

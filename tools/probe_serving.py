@@ -397,6 +397,44 @@ def main():
     if want("devreskv8"):
         devres_interleaved("INTERLEAVED devres-vs-live kv8 s64 g32", eng_kv8)
 
+    # admission-cap latency knob: TTFT/throughput tradeoff, interleaved
+    def admit_interleaved(name, engine_fn, cap=16, slots=64, grp=32):
+        e = engine_fn()
+        arms = {"cap": cap, "full": 0}
+        walls = {a: [] for a in arms}
+        lat = {a: None for a in arms}
+        for a, c in arms.items():
+            srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
+                                     slots=slots, encode_group=grp,
+                                     admit_cap=c)
+            log(f"probe_serving: {name} {a} warm")
+        audio_s = 128 * jfk_s
+        for rep in range(args.runs * 2):
+            a = "cap" if rep % 2 == 0 else "full"
+            clips = [perturb(base) for _ in range(128)]
+            t0 = time.monotonic()
+            srv_mod.serve_continuous(e, clips, slots=slots, encode_group=grp,
+                                     admit_cap=arms[a])
+            w = time.monotonic() - t0
+            walls[a].append(round(w, 3))
+            lat[a] = e.perf.serving_latency
+            log(f"probe_serving: {name} {a} rep{rep}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s "
+                f"admit_ttft_p50={lat[a]['admit_ttft_p50_ms']:.0f} ms "
+                f"ttft_p50={lat[a]['ttft_p50_ms']:.0f} ms")
+        rec = {"config": name}
+        for a, ws in walls.items():
+            rec[f"{a}_walls_s"] = ws
+            rec[f"{a}_best"] = round(audio_s / min(ws), 1)
+            rec[f"{a}_median"] = round(audio_s / sorted(ws)[len(ws) // 2], 1)
+            rec[f"{a}_latency"] = lat[a]
+        results.append(rec)
+        log(json.dumps(rec))
+
+    if want("admitcap"):
+        admit_interleaved("INTERLEAVED admit16-vs-full bf16 s64 g32",
+                          lambda: eng)
+
     if want("pipe3alt"):
         interleaved("INTERLEAVED pipe3-vs-legacy bf16 g32", lambda: eng, 32)
     if want("pipe3altkv8"):
