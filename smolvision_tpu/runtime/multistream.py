@@ -522,6 +522,7 @@ def _strat_jit(engine):
 
     from smolvision_tpu.models import qwen3_decoder as dec_mod
     from smolvision_tpu.ops.quant import QuantKV
+    from smolvision_tpu.parallel import batch as pbatch
 
     cfg = engine.cfg
 
@@ -536,25 +537,10 @@ def _strat_jit(engine):
             p, cfg, e_small, jnp.int32(0), small_kv, zeros, zeros,
             greedy=True, last_rows=lens - 1, prompt_max=lens,
             region_start=jnp.int32(1 << 30))
-
-        def admit_leaf(big, small, row_axis=2):
-            # Gcap scalar-indexed DUS block copies of the K prefix
-            # [0, pcap) — kcap_big >= pcap, the decode region is rewritten
-            # by the next decode chunk anyway
-            for g in range(Gcap):
-                blk = jax.lax.dynamic_slice_in_dim(small, g, 1,
-                                                   axis=row_axis)
-                idx = ((0,) * row_axis + (rows[g],)
-                       + (0,) * (big.ndim - row_axis - 1))
-                big = jax.lax.dynamic_update_slice(
-                    big, blk.astype(big.dtype), idx)
-            return big
-
-        if isinstance(kv_big, QuantKV):
-            kv_big = QuantKV(admit_leaf(kv_big.q, small_kv.q),
-                             admit_leaf(kv_big.s, small_kv.s))
-        else:
-            kv_big = admit_leaf(kv_big, small_kv)
+        # Gcap scalar-indexed DUS block copies of the K prefix [0, pcap) —
+        # kcap_big >= pcap; the decode region is rewritten by the next
+        # decode chunk anyway (shared helper parallel/batch.admit_rows)
+        kv_big = pbatch.admit_rows(kv_big, small_kv, rows, Gcap)
         # duplicate pad indices write the same value — order irrelevant
         tokens = tokens_big.at[rows].set(first)
         return tokens, kv_big
@@ -683,8 +669,9 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     # compiled program, so an unbucketed S would trigger a fresh tiny
     # compile (~70-90 ms over the tunnel) nearly every round.
     #
-    # STRATIFIED exception (constants + rationale above _strat_jit;
-    # SMOLVISION_MSTREAM_NO_STRAT=1 reverts): a few freshly-reset rows
+    # STRATIFIED exception (OPT-IN via SMOLVISION_MSTREAM_STRAT=1;
+    # constants + measured-dead-by-default rationale above _strat_jit):
+    # a few freshly-reset rows
     # (reuse < 64) no longer pin S to 0 for the whole batch — they take a
     # separate small-batch full prefill and S follows the non-reset
     # majority.  Exactness: reset rows get exactly the S=0 computation

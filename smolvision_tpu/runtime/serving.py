@@ -72,35 +72,22 @@ def _serving_jits(engine):
                 n_steps=ns, prompt_max=pm, region_start=rg, row_active=act)),
         donate_argnums=(3,))
 
-    from smolvision_tpu.ops.quant import QuantKV, kv_grow_k
+    from smolvision_tpu.ops.quant import kv_grow_k
 
     grow_j = jax.jit(kv_grow_k, static_argnums=(1,), donate_argnums=(0,))
 
     # admit[G]: copy G rows' prompt KV from the compact group cache into the
-    # big cache's slots — G scalar-indexed DUS (plain block copies)
+    # big cache's slots — G scalar-indexed DUS (plain block copies;
+    # shared helper parallel/batch.admit_rows)
     admit_cache = {}
 
     def admit_jit(G: int):
         fn = admit_cache.get(G)
         if fn is None:
-            def admit_leaf(big, small, slots, row_axis=2):
-                for g in range(G):
-                    row = jax.lax.dynamic_slice_in_dim(small, g, 1,
-                                                       axis=row_axis)
-                    idx = [0] * big.ndim
-                    big = jax.lax.dynamic_update_slice(
-                        big, row.astype(big.dtype),
-                        tuple(idx[:row_axis]) + (slots[g],)
-                        + tuple(idx[row_axis + 1:]))
-                return big
-
-            def admit(big, small, slots):
-                if isinstance(big, QuantKV):
-                    return QuantKV(admit_leaf(big.q, small.q, slots),
-                                   admit_leaf(big.s, small.s, slots))
-                return admit_leaf(big, small, slots)
-
-            fn = jax.jit(admit, donate_argnums=(0,))
+            fn = jax.jit(
+                lambda big, small, slots: pbatch.admit_rows(
+                    big, small, slots, G),
+                donate_argnums=(0,))
             admit_cache[G] = fn
         return fn
 
@@ -136,17 +123,20 @@ def prestage_uploads(engine, clips: Sequence[np.ndarray],
     cfg = engine.cfg
     n = len(clips)
     order = sorted(range(n), key=lambda i: -len(clips[i]))  # == serve order
-    out = []
+    groups = []
     for k in range(0, n, encode_group):
         group = order[k : k + encode_group]
         segs = [clips[i] for i in group]
         if bs_mod._use_device_mel(cfg, len(segs)):
             up = bs_mod._upload_audio(engine, segs)
             jax.block_until_ready(up[0])
-            out.append((group, segs, up))
+            groups.append((group, segs, up))
         else:
-            out.append((group, segs, None))   # host-mel path: no upload
-    return out
+            groups.append((group, segs, None))   # host-mel path: no upload
+    # self-describing so serve_continuous can reject a mismatched pairing
+    # (different clips list or encode_group) instead of decoding the wrong
+    # audio or KeyError-ing mid-run
+    return {"n": n, "encode_group": encode_group, "groups": groups}
 
 
 def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
@@ -175,6 +165,13 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         return []
     if admit_cap <= 0:
         admit_cap = int(os.environ.get("SMOLVISION_SERVE_ADMIT", "0") or 0)
+    if prestaged is not None and (prestaged["n"] != n or
+                                  prestaged["encode_group"] != encode_group):
+        raise ValueError(
+            f"prestaged uploads were built for n={prestaged['n']} clips / "
+            f"encode_group={prestaged['encode_group']}, but serve_continuous "
+            f"got n={n} / encode_group={encode_group} — rebuild with "
+            "prestage_uploads(engine, clips, encode_group)")
     order = sorted(range(n), key=lambda i: -len(clips[i]))  # longest first
     S = min(slots, max(2, 1 << (n - 1).bit_length()))
 
@@ -205,7 +202,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         if next_up >= n:
             return
         if prestaged is not None:    # groups are exact order-chunks
-            group, segs, up = prestaged[next_up // encode_group]
+            group, segs, up = prestaged["groups"][next_up // encode_group]
             next_up += len(group)
             up_ready.append((group, segs, up))
             return

@@ -364,10 +364,10 @@ def main():
     def devres_interleaved(name, engine_fn, slots=64, grp=32):
         e = engine_fn()
         walls = {"devres": [], "live": []}
-        pre = srv_mod.prestage_uploads(e, [perturb(base) for _ in range(128)],
-                                       encode_group=grp)
-        srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
-                                 slots=slots, encode_group=grp, prestaged=pre)
+        warm_clips = [perturb(base) for _ in range(128)]
+        pre = srv_mod.prestage_uploads(e, warm_clips, encode_group=grp)
+        srv_mod.serve_continuous(e, warm_clips, slots=slots,
+                                 encode_group=grp, prestaged=pre)
         srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
                                  slots=slots, encode_group=grp)
         log(f"probe_serving: {name} warm")
