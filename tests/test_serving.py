@@ -116,6 +116,24 @@ def test_prestaged_uploads_match_live(srv_engine, monkeypatch):
     assert staged == live
 
 
+def test_prestaged_mismatch_rejected(srv_engine, monkeypatch):
+    """A prestaged object built with different clips/encode_group must be
+    rejected up front (silent mismatch would decode the wrong audio)."""
+    import pytest as _pytest
+
+    from smolvision_tpu.runtime.serving import prestage_uploads, serve_continuous
+
+    eng = srv_engine
+    clips = _clips(6, seed=5)
+    monkeypatch.setenv("SMOLVISION_DEVICE_MEL", "1")
+    pre = prestage_uploads(eng, clips, encode_group=3)
+    with _pytest.raises(ValueError):
+        serve_continuous(eng, clips, slots=2, encode_group=2, prestaged=pre)
+    with _pytest.raises(ValueError):
+        serve_continuous(eng, clips[:5], slots=2, encode_group=3,
+                         prestaged=pre)
+
+
 def test_admit_cap_matches_full_wave(srv_engine):
     """admit_cap (the latency knob: bounded admission sub-waves) must be
     token-invisible — rows are independent under greedy decoding and

@@ -357,6 +357,41 @@ def main():
         env_interleaved("INTERLEAVED upsplit-vs-combined bf16 s64 g32",
                         "SMOLVISION_SERVE_NO_UPSPLIT", lambda: eng)
 
+    # on-chip encode-group sweep: with the upload artifact removed
+    # (prestaged), does a bigger conv/encoder dispatch unit pay?
+    def devres_grp_interleaved(name, engine_fn, arms=(32, 64), slots=64):
+        e = engine_fn()
+        walls = {g: [] for g in arms}
+        for g in arms:
+            cs = [perturb(base) for _ in range(128)]
+            srv_mod.serve_continuous(
+                e, cs, slots=slots, encode_group=g,
+                prestaged=srv_mod.prestage_uploads(e, cs, encode_group=g))
+            log(f"probe_serving: {name} g{g} warm")
+        audio_s = 128 * jfk_s
+        for rep in range(args.runs * 2):
+            g = arms[rep % 2]
+            clips = [perturb(base) for _ in range(128)]
+            pre = srv_mod.prestage_uploads(e, clips, encode_group=g)
+            t0 = time.monotonic()
+            srv_mod.serve_continuous(e, clips, slots=slots, encode_group=g,
+                                     prestaged=pre)
+            w = time.monotonic() - t0
+            walls[g].append(round(w, 3))
+            log(f"probe_serving: {name} g{g} rep{rep}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s")
+        rec = {"config": name}
+        for g, ws in walls.items():
+            rec[f"g{g}_walls_s"] = ws
+            rec[f"g{g}_best"] = round(audio_s / min(ws), 1)
+            rec[f"g{g}_median"] = round(audio_s / sorted(ws)[len(ws) // 2], 1)
+        results.append(rec)
+        log(json.dumps(rec))
+
+    if want("devresg"):
+        devres_grp_interleaved("INTERLEAVED devres g32-vs-g64 kv8 s64",
+                               eng_kv8)
+
     # device-resident audio A/B: prestage_uploads ships every group's
     # padded audio stack before the timer — the arm difference IS the
     # tunnel-upload term (~43 MB/s effective), i.e. what a production
