@@ -62,23 +62,26 @@ def batched_decode_chunk(params, cfg: ModelConfig, tokens, pos, kv,
                                         row_active=row_active)
 
 
-def admit_rows(big, small, rows, G: int):
-    """Copy the first `G` batch rows of `small` into `big` at row indices
-    `rows[g]` (row axis 2 of the [L, 2, B, KH, K, D] batched-cache layout):
-    G unrolled scalar-indexed dynamic_update_slice block copies — NEVER a
+def admit_rows(big, small, rows, G: int, src=None):
+    """Copy `G` batch rows of `small` into `big` at row indices `rows[g]`
+    (row axis 2 of the [L, 2, B, KH, K, D] batched-cache layout): G
+    unrolled scalar-indexed dynamic_update_slice block copies — NEVER a
     batch-varying-index scatter (CLAUDE.md landmine: a vmapped DUS with
     per-row starts lowers to a ~1300 ms scatter).  `small`'s K axis may be
-    shorter than `big`'s (prompt-region admit).  Handles the QuantKV int8
-    cache (both leaves; the index tuple truncates naturally for `s`).
-    Shared by serving admission (runtime/serving.py) and the stratified
-    multistream prefill (runtime/multistream._strat_jit)."""
+    shorter than `big`'s (prompt-region admit).  `src[g]` (default g)
+    selects which small row feeds rows[g] — partial admission of a
+    standby-prefilled wave.  Handles the QuantKV int8 cache (both leaves;
+    the index tuple truncates naturally for `s`).  Shared by serving
+    admission (runtime/serving.py) and the stratified multistream prefill
+    (runtime/multistream._strat_jit)."""
     import jax
 
     from smolvision_tpu.ops.quant import QuantKV
 
     def leaf(b, s, row_axis=2):
         for g in range(G):
-            blk = jax.lax.dynamic_slice_in_dim(s, g, 1, axis=row_axis)
+            sg = g if src is None else src[g]
+            blk = jax.lax.dynamic_slice_in_dim(s, sg, 1, axis=row_axis)
             idx = ((0,) * row_axis + (rows[g],)
                    + (0,) * (b.ndim - row_axis - 1))
             b = jax.lax.dynamic_update_slice(b, blk.astype(b.dtype), idx)

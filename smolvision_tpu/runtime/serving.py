@@ -76,23 +76,24 @@ def _serving_jits(engine):
 
     grow_j = jax.jit(kv_grow_k, static_argnums=(1,), donate_argnums=(0,))
 
-    # admit[G]: copy G rows' prompt KV from the compact group cache into the
-    # big cache's slots — G scalar-indexed DUS (plain block copies;
-    # shared helper parallel/batch.admit_rows)
+    # admit[K]: copy K rows' prompt KV from the standby group cache into
+    # the big cache's slots — K scalar-indexed DUS (plain block copies;
+    # shared helper parallel/batch.admit_rows).  src indices allow partial
+    # admission of a standby-prefilled wave as slots free up.
     admit_cache = {}
 
-    def admit_jit(G: int):
-        fn = admit_cache.get(G)
+    def admit_src_jit(K: int):
+        fn = admit_cache.get(K)
         if fn is None:
             fn = jax.jit(
-                lambda big, small, slots: pbatch.admit_rows(
-                    big, small, slots, G),
+                lambda big, small, slots, src: pbatch.admit_rows(
+                    big, small, slots, K, src=src),
                 donate_argnums=(0,))
-            admit_cache[G] = fn
+            admit_cache[K] = fn
         return fn
 
     engine._serving_jits_cache = (build, group_prefill, decode, grow_j,
-                                  admit_jit)
+                                  admit_src_jit)
     return engine._serving_jits_cache
 
 
@@ -175,7 +176,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     order = sorted(range(n), key=lambda i: -len(clips[i]))  # longest first
     S = min(slots, max(2, 1 << (n - 1).bit_length()))
 
-    build, group_prefill, decode, grow_j, admit_jit = _serving_jits(engine)
+    build, group_prefill, decode, grow_j, admit_src_jit = _serving_jits(engine)
 
     pcap = bs_mod._prompt_cap(max(_prompt_len(engine, len(clips[i]))
                                for i in order))
@@ -278,6 +279,68 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     # cache where 320 suffices — ~40% more KV bytes per step at B=64)
     pipe3 = os.environ.get("SMOLVISION_SERVE_NO_PIPE3", "") != "1"
 
+    # ---- standby wave prefill (SMOLVISION_SERVE_NO_STANDBY=1 reverts) --
+    # The group prefill writes only its own fresh small cache, and the
+    # prompt computation depends only on the clip — so the NEXT wave's
+    # build+prefill can be dispatched in a decode-chunk shadow, long
+    # before any slot frees.  At the wave boundary only the row-copy admit
+    # and host bookkeeping remain: the ~200 ms prefill stall disappears
+    # from the boundary and wave-2+ admission->first-token drops to ~an
+    # RTT.  (This is NOT eager admission — occupancy is unchanged; the
+    # prefill is merely computed early.)
+    standby = None          # {"group_idx", "lens", "first", "small_kv",
+    #                          "first_h", "consumed", "G"}
+    standby_on = (pipe3 and
+                  os.environ.get("SMOLVISION_SERVE_NO_STANDBY", "") != "1")
+
+    def _prepare_wave(G):
+        """Build + group-prefill clips order[admitted : admitted+G] into a
+        fresh small cache — no slot assignment, no big-cache write."""
+        nonlocal acap_all
+        while len(enc_ready) < G and next_enc < n:
+            encode_more()
+        group_idx = [order[admitted + g] for g in range(G)]
+        # pow2-bucket the group so admission compiles O(log S) programs,
+        # not one per distinct wave size; pad rows repeat the last clip
+        Gcap = 1 << (G - 1).bit_length() if G > 1 else 1
+        lens = []
+        id_rows = np.zeros((Gcap, pcap), np.int32)
+        astart = np.zeros(Gcap, np.int32)
+        alen = np.zeros(Gcap, np.int32)
+        blocks = []
+        for g, i in enumerate(group_idx):
+            blk, n_audio = enc_ready.pop(i)
+            ids, a0 = prompt_mod.build_asr_prompt(
+                cfg, n_audio, engine._prompt_tokens,
+                engine._force_tokens, None)
+            lens.append(len(ids))
+            id_rows[g, : len(ids)] = ids
+            astart[g] = a0
+            alen[g] = n_audio
+            if blk.shape[0] < acap_all:
+                blk = jnp.pad(blk, ((0, acap_all - blk.shape[0]), (0, 0)))
+            blocks.append(blk[:acap_all])
+        for g in range(G, Gcap):   # pad rows mirror the last real clip
+            id_rows[g] = id_rows[G - 1]
+            astart[g] = astart[G - 1]
+            alen[g] = alen[G - 1]
+            lens.append(lens[G - 1])
+            blocks.append(blocks[G - 1])
+        audio_stack = jnp.stack(blocks)
+        small_kv = pbatch.make_batched_kv(cfg, Gcap, pcap,
+                                          engine.batched_kv_dtype)
+        embeds = build(engine.dec_params, jnp.asarray(id_rows),
+                       audio_stack, jnp.asarray(astart),
+                       jnp.asarray(alen))
+        first, small_kv = group_prefill(
+            engine.dec_params, embeds, small_kv,
+            jnp.zeros((Gcap,), jnp.int32), jnp.zeros((Gcap,), jnp.int32),
+            jnp.asarray(np.asarray(lens, np.int32) - 1),
+            jnp.asarray(lens, dtype=jnp.int32))
+        return {"group_idx": group_idx, "lens": lens, "first": first,
+                "small_kv": small_kv, "first_h": None, "consumed": 0,
+                "G": G}
+
     t0 = time.monotonic()
     while emitted < n:
         # ---- admit into free slots ------------------------------------
@@ -298,78 +361,56 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             wave = min(len(free), n - admitted)
             if admit_cap > 0:
                 wave = min(wave, admit_cap)
-            while len(enc_ready) < wave and next_enc < n:
-                encode_more()
             t_wave = time.monotonic()   # admission instant for this wave
-            group_idx = [order[admitted + g] for g in range(wave)]
-            G = len(group_idx)
-            # pow2-bucket the group so admission compiles O(log S) programs,
-            # not one per distinct wave size; pad rows repeat the last clip
-            # into the same slot (the duplicate DUS rewrites identical bytes)
-            Gcap = 1 << (G - 1).bit_length() if G > 1 else 1
-            g_slots = free[:G] + [free[G - 1]] * (Gcap - G)
-            lens = []
-            id_rows = np.zeros((Gcap, pcap), np.int32)
-            astart = np.zeros(Gcap, np.int32)
-            alen = np.zeros(Gcap, np.int32)
-            blocks = []
-            for g, i in enumerate(group_idx):
-                blk, n_audio = enc_ready.pop(i)
-                ids, a0 = prompt_mod.build_asr_prompt(
-                    cfg, n_audio, engine._prompt_tokens,
-                    engine._force_tokens, None)
-                lens.append(len(ids))
-                id_rows[g, : len(ids)] = ids
-                astart[g] = a0
-                alen[g] = n_audio
-                if blk.shape[0] < acap_all:
-                    blk = jnp.pad(blk, ((0, acap_all - blk.shape[0]), (0, 0)))
-                blocks.append(blk[:acap_all])
-            for g in range(G, Gcap):   # pad rows mirror the last real clip
-                id_rows[g] = id_rows[G - 1]
-                astart[g] = astart[G - 1]
-                alen[g] = alen[G - 1]
-                lens.append(lens[G - 1])
-                blocks.append(blocks[G - 1])
-            audio_stack = jnp.stack(blocks)
-            small_kv = pbatch.make_batched_kv(cfg, Gcap, pcap, engine.batched_kv_dtype)
-            embeds = build(engine.dec_params, jnp.asarray(id_rows),
-                           audio_stack, jnp.asarray(astart),
-                           jnp.asarray(alen))
-            first, small_kv = group_prefill(
-                engine.dec_params, embeds, small_kv,
-                jnp.zeros((Gcap,), jnp.int32), jnp.zeros((Gcap,), jnp.int32),
-                jnp.asarray(np.asarray(lens, np.int32) - 1),
-                jnp.asarray(lens, dtype=jnp.int32))
-            # prefill shadow: with the group prefill dispatched and the
-            # device busy, push the next group's encode (upload + mel/conv
-            # dispatches) before blocking on `first` — same dispatch-order
-            # trick as the decode-chunk shadow below
-            if pipe3 and next_enc < n and next_enc - admitted < 2 * S:
-                upload_more()
-                encode_more()
-            first_h = np.asarray(jax.device_get(first))
+            if standby is None:
+                standby = _prepare_wave(wave)
+                # prefill shadow: with the group prefill dispatched and
+                # the device busy, push the next group's encode (upload +
+                # mel/conv dispatches) before blocking on `first` — same
+                # dispatch-order trick as the decode-chunk shadow below
+                if pipe3 and next_enc < n and next_enc - admitted < 2 * S:
+                    upload_more()
+                    encode_more()
+            if standby["first_h"] is None:
+                standby["first_h"] = np.asarray(
+                    jax.device_get(standby["first"]))
+            take = min(wave, standby["G"] - standby["consumed"])
+            src0 = standby["consumed"]
             now = time.monotonic()
-            slot_vec = jnp.asarray(np.asarray(g_slots, np.int32))
-            kv = admit_jit(Gcap)(kv, small_kv, slot_vec)
-            for g, i in enumerate(group_idx):
-                s = g_slots[g]
+            taken_slots = free[:take]
+            Kcap = 1 << (take - 1).bit_length() if take > 1 else 1
+            slot_vec = np.asarray(
+                taken_slots + [taken_slots[-1]] * (Kcap - take), np.int32)
+            src_vec = np.asarray(
+                list(range(src0, src0 + take))
+                + [src0 + take - 1] * (Kcap - take), np.int32)
+            kv = admit_src_jit(Kcap)(kv, standby["small_kv"],
+                                     jnp.asarray(slot_vec),
+                                     jnp.asarray(src_vec))
+            for k in range(take):
+                g = src0 + k
+                i = standby["group_idx"][g]
+                ln = standby["lens"][g]
+                ft = int(standby["first_h"][g])
+                s = taken_slots[k]
                 slot_clip[s] = i
                 slot_done[s] = False
-                rows[i] = [int(first_h[g])]
-                tokens_h[s] = first_h[g]
-                rope_off[s] = clock - lens[g]
-                prompt_max[s] = lens[g]
+                rows[i] = [ft]
+                tokens_h[s] = ft
+                rope_off[s] = clock - ln
+                prompt_max[s] = ln
                 region_min[s] = clock
                 produced[s] = 1
                 t_first[i] = now - t0
                 t_admit_first[i] = now - t_wave
-                if int(first_h[g]) in EOS_TOKEN_IDS \
-                        or engine.max_tokens <= 1:
+                if ft in EOS_TOKEN_IDS or engine.max_tokens <= 1:
                     slot_done[s] = True
                     emitted += 1
                     t_done[i] = now - t0
-            admitted += G
+            admitted += take
+            standby["consumed"] += take
+            if standby["consumed"] >= standby["G"]:
+                standby = None
             tokens_dev = jnp.asarray(tokens_h)
 
         if all(slot_done):
@@ -399,6 +440,14 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         if next_enc < n and (not enc_ready
                              if not pipe3 else next_enc - admitted < 2 * S):
             encode_more()
+        # standby: dispatch the NEXT wave's build+group-prefill behind the
+        # in-flight decode chunk — it fills the device-idle RTT gaps of the
+        # chunk loop and removes the prefill stall from the wave boundary
+        if standby_on and standby is None and admitted < n:
+            g_next = min(S, n - admitted)
+            if admit_cap > 0:
+                g_next = min(g_next, admit_cap)
+            standby = _prepare_wave(g_next)
         # one fetch for the chunk result AND the current-token mirror the
         # next admission wave needs — folding tokens_dev in here saves a
         # separate ~27 ms tunnel RTT per chunk
@@ -442,6 +491,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         "ttft_min_ms": round(float(tf[0]), 1),
         "ttft_p50_ms": round(float(tf[len(tf) // 2]), 1),
         "ttft_p99_ms": round(float(tf[min(len(tf) - 1, int(len(tf) * 0.99))]), 1),
+        "admit_ttft_min_ms": round(float(ta[0]), 1),
         "admit_ttft_p50_ms": round(float(ta[len(ta) // 2]), 1),
         "admit_ttft_p99_ms": round(float(ta[min(len(ta) - 1, int(len(ta) * 0.99))]), 1),
         "done_p50_ms": round(float(td[len(td) // 2]), 1),

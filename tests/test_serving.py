@@ -134,6 +134,21 @@ def test_prestaged_mismatch_rejected(srv_engine, monkeypatch):
                          prestaged=pre)
 
 
+def test_standby_prefill_matches_boundary_prefill(srv_engine, monkeypatch):
+    """Standby wave prefill (the next wave's group prefill dispatched in a
+    decode-chunk shadow instead of at the wave boundary) is a pure
+    re-schedule of the identical prefill program over identical inputs —
+    greedy tokens must be byte-identical with it disabled."""
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    clips = _clips(7, seed=21)
+    on = serve_continuous(eng, clips, slots=2)
+    monkeypatch.setenv("SMOLVISION_SERVE_NO_STANDBY", "1")
+    off = serve_continuous(eng, clips, slots=2)
+    assert on == off
+
+
 def test_admit_cap_matches_full_wave(srv_engine):
     """admit_cap (the latency knob: bounded admission sub-waves) must be
     token-invisible — rows are independent under greedy decoding and

@@ -318,9 +318,10 @@ def main():
     # round ahead of the encode dispatches) vs the round-3 combined
     # encode_more, interleaved
     def env_interleaved(name, env_var, engine_fn, arms=("on", "off"),
-                        slots=64, grp=32):
+                        slots=64, grp=32, clips_fn=None):
         e = engine_fn()
         walls = {a: [] for a in arms}
+        mk = clips_fn or (lambda: [perturb(base) for _ in range(128)])
 
         def set_arm(a):
             if a == "off":
@@ -330,14 +331,16 @@ def main():
 
         for a in arms:
             set_arm(a)
-            srv_mod.serve_continuous(e, [perturb(base) for _ in range(128)],
-                                     slots=slots, encode_group=grp)
+            srv_mod.serve_continuous(e, mk(), slots=slots, encode_group=grp)
             log(f"probe_serving: {name} {a} warm")
-        audio_s = 128 * jfk_s
+        for a in arms:   # second warm pass: late-discovered shapes
+            set_arm(a)
+            srv_mod.serve_continuous(e, mk(), slots=slots, encode_group=grp)
         for rep in range(args.runs * 2):
             a = arms[rep % 2]
             set_arm(a)
-            clips = [perturb(base) for _ in range(128)]
+            clips = mk()
+            audio_s = sum(len(c) for c in clips) / 16000.0
             t0 = time.monotonic()
             srv_mod.serve_continuous(e, clips, slots=slots, encode_group=grp)
             w = time.monotonic() - t0
@@ -345,6 +348,7 @@ def main():
             log(f"probe_serving: {name} {a} rep{rep}: {w:.2f} s "
                 f"= {audio_s / w:.0f} s-speech/s")
         set_arm("on")
+        audio_s = sum(len(c) for c in mk()) / 16000.0
         rec = {"config": name}
         for a, ws in walls.items():
             rec[f"{a}_walls_s"] = ws
@@ -469,6 +473,20 @@ def main():
     if want("admitcap"):
         admit_interleaved("INTERLEAVED admit16-vs-full bf16 s64 g32",
                           lambda: eng)
+
+    # standby wave prefill: next wave's group prefill dispatched behind
+    # the in-flight decode chunk vs computed at the wave boundary
+    if want("standby"):
+        env_interleaved("INTERLEAVED standby-vs-boundary bf16 s64 g32",
+                        "SMOLVISION_SERVE_NO_STANDBY", lambda: eng)
+    if want("standbykv8"):
+        env_interleaved("INTERLEAVED standby-vs-boundary kv8 s64 g32",
+                        "SMOLVISION_SERVE_NO_STANDBY", eng_kv8)
+    if want("standbymix"):
+        env_interleaved("INTERLEAVED standby-vs-boundary bf16 mixed-128",
+                        "SMOLVISION_SERVE_NO_STANDBY", lambda: eng,
+                        clips_fn=lambda: [perturb(c)
+                                          for c in mixed_queue(128)])
 
     if want("pipe3alt"):
         interleaved("INTERLEAVED pipe3-vs-legacy bf16 g32", lambda: eng, 32)
