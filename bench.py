@@ -31,7 +31,7 @@ input with -80 dB noise so the axon tunnel's dispatch memoization can never
 serve a cached result; runs are strictly serial in one process.
 
 Set SMOLVISION_BENCH_ONLY=offline[,streaming,segmented,serving,offline_q8,offline_spec,
-offline_17,multistream] to restrict; `multistream` runs ONLY when explicitly
+offline_17,multistream,seg17,stream17] to restrict; `multistream` runs ONLY when explicitly
 named (compile warmup up to ~17 min under server-side compile variance).
 """
 
@@ -482,6 +482,57 @@ def main() -> int:
             "unit": "x_realtime",
             "vs_baseline": round(rtf / BASE_OFFLINE_17, 2),
         })
+
+    # ---- 1.7B segmented + streaming (opt-in: BASELINE.md coverage) ------
+    # Not in the default set (fresh 1.7B-geometry shape ladders add ~10 min
+    # of warmup); run with SMOLVISION_BENCH_ONLY=seg17,stream17.
+    if "seg17" in only or "stream17" in only:
+        from tools.engineer_checkpoint import OUT_17, ensure_engineered
+
+        ensure_engineered(OUT_17, geom="1.7b")
+        eng17b = Engine(OUT_17, verbose=0)
+        eng17b.max_tokens = MAX_TOKENS
+        if "seg17" in only:
+            s89 = load_wav(CLIP_89S)
+            audio_s = len(s89) / 16000.0
+            eng17b.segment_sec = 30.0
+            eng17b.search_sec = 3.0
+            segment_mod.transcribe_audio(eng17b, _perturb(s89, rng))
+            log("bench: segmented-1.7b warmup done")
+            best_ms = _timed_runs(
+                "segmented-1.7b",
+                lambda c: segment_mod.transcribe_audio(eng17b, c), s89, rng)
+            eng17b.segment_sec = 0.0
+            rtf = audio_s / (best_ms / 1000.0)
+            emit({
+                "metric": "88.9 s clip segmented realtime factor "
+                          "(Qwen3-ASR-1.7B geometry, -S 30 -W 3)",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 3.34, 2),   # README.md:404
+            })
+        if "stream17" in only:
+            s45 = load_wav(CLIP_45S)
+            audio_s = len(s45) / 16000.0
+            eng17b.segment_sec = 0.0
+            eng17b.past_text_conditioning = True
+            eng17b.token_cb = lambda piece: None
+            stream_mod.transcribe_stream(eng17b, _perturb(s45, rng))
+            log("bench: streaming-1.7b warmup done")
+            best_ms = _timed_runs(
+                "streaming-1.7b",
+                lambda c: stream_mod.transcribe_stream(eng17b, c), s45, rng)
+            eng17b.token_cb = None
+            eng17b.past_text_conditioning = False
+            rtf = audio_s / (best_ms / 1000.0)
+            emit({
+                "metric": "45 s clip streaming realtime factor "
+                          "(Qwen3-ASR-1.7B geometry, --stream, enc cache ON)",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 2.54, 2),   # README.md:411
+            })
+        del eng17b
 
     # ---- offline headline: jfk.wav, -S 0 -------------------------------
     if want("offline"):
