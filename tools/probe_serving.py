@@ -314,6 +314,50 @@ def main():
         slot_interleaved("INTERLEAVED slots 64-vs-128 kv8 g32 queue=128",
                          eng_kv8)
 
+    # slot-depth A/B with the tunnel-upload term EXCLUDED (prestaged
+    # audio): the live slots=128 loss was measured through the ~43 MB/s
+    # upload bound that dominates queue=128 walls — on-chip, deeper slots
+    # amortize the decode weight stream further and may flip the verdict.
+    # queue=256 gives BOTH arms >=2 admission waves (standby prefill and
+    # mid-flight admission exercised equally).
+    def devres_slot_interleaved(name, engine_fn, arms=(64, 128), queue=256,
+                                grp=32):
+        e = engine_fn()
+        walls = {s: [] for s in arms}
+        for s in arms:                       # warm both program ladders
+            cs = [perturb(base) for _ in range(queue)]
+            srv_mod.serve_continuous(
+                e, cs, slots=s, encode_group=grp,
+                prestaged=srv_mod.prestage_uploads(e, cs, encode_group=grp))
+            log(f"probe_serving: {name} slots={s} warm")
+        audio_s = queue * jfk_s
+        for rep in range(args.runs * 2):
+            s = arms[rep % 2]
+            clips = [perturb(base) for _ in range(queue)]
+            pre = srv_mod.prestage_uploads(e, clips, encode_group=grp)
+            t0 = time.monotonic()
+            srv_mod.serve_continuous(e, clips, slots=s, encode_group=grp,
+                                     prestaged=pre)
+            w = time.monotonic() - t0
+            walls[s].append(round(w, 3))
+            log(f"probe_serving: {name} slots={s} rep{rep}: {w:.2f} s "
+                f"= {audio_s / w:.0f} s-speech/s")
+        rec = {"config": name}
+        for s, ws in walls.items():
+            rec[f"slots{s}_walls_s"] = ws
+            rec[f"slots{s}_best"] = round(audio_s / min(ws), 1)
+            rec[f"slots{s}_median"] = round(audio_s / sorted(ws)[len(ws) // 2], 1)
+        results.append(rec)
+        log(json.dumps(rec))
+
+    if want("devresslots"):
+        devres_slot_interleaved(
+            "INTERLEAVED devres slots 64-vs-128 kv8 g32 queue=256", eng_kv8)
+    if want("devresslotsbf16"):
+        devres_slot_interleaved(
+            "INTERLEAVED devres slots 64-vs-128 bf16 g32 queue=256",
+            lambda: eng)
+
     # upload-split A/B: two-stage encode queue (upload shadow-staged a
     # round ahead of the encode dispatches) vs the round-3 combined
     # encode_more, interleaved
