@@ -31,8 +31,9 @@ input with -80 dB noise so the axon tunnel's dispatch memoization can never
 serve a cached result; runs are strictly serial in one process.
 
 Set SMOLVISION_BENCH_ONLY=offline[,streaming,segmented,serving,offline_q8,offline_spec,
-offline_17,multistream,seg17,stream17] to restrict; `multistream` runs ONLY when explicitly
-named (compile warmup up to ~17 min under server-side compile variance).
+offline_17,offline_17_spec,multistream,seg17,stream17] to restrict; `multistream` runs
+ONLY when explicitly named (compile warmup up to ~17 min under server-side compile
+variance).
 """
 
 from __future__ import annotations
@@ -478,6 +479,49 @@ def main() -> int:
         emit({
             "metric": "jfk.wav offline realtime factor "
                       "(Qwen3-ASR-1.7B geometry, -S 0)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_OFFLINE_17, 2),
+        })
+
+    # ---- offline 1.7B + speculative decoding (--spec) -------------------
+    # The draft/verify win GROWS with model size (the verified bf16 stream
+    # is 2.8x the 0.6B's): interleaved A/B measured spec med 50.9x vs bf16
+    # med 40.8x (+25%), acceptance 4.56 tok/verify-iter vs 3.69 at 0.6B,
+    # texts bit-exact (tools/probe_spec17.py).
+    if want("offline_17_spec"):
+        from tools.engineer_checkpoint import OUT_17, ensure_engineered
+
+        rep17 = ensure_engineered(OUT_17, geom="1.7b")
+        if not rep17.get("ok"):
+            log("bench: WARNING 1.7b engineered-checkpoint probe failed")
+        samples = load_wav(JFK)
+        audio_s = len(samples) / 16000.0
+        eng17s = Engine(OUT_17, verbose=0, spec=True)
+        eng17s.max_tokens = MAX_TOKENS
+        eng17s.segment_sec = 0.0
+        t0 = time.monotonic()
+        segment_mod.transcribe_audio(eng17s, _perturb(samples, rng))
+        log(f"bench: offline-1.7b-spec warmup {time.monotonic() - t0:.1f} s")
+        best_ms = float("inf")
+        for i in range(RUNS + 2):
+            segment_mod.transcribe_audio(eng17s, _perturb(samples, rng))
+            ms = eng17s.perf.total_ms
+            log(f"bench: offline-1.7b-spec run {i + 1}: {ms:.0f} ms "
+                f"(mel+enc {eng17s.perf.encode_ms:.0f}, "
+                f"dec {eng17s.perf.decode_ms:.0f})")
+            best_ms = min(best_ms, ms)
+        if eng17s.perf.spec_iters:
+            p = eng17s.perf
+            log(f"bench: offline-1.7b-spec acceptance "
+                f"{p.spec_tokens}/{p.spec_iters}"
+                f" = {p.spec_tokens / p.spec_iters:.2f} tokens/verify-iter")
+        del eng17s
+        rtf = audio_s / (best_ms / 1000.0)
+        emit({
+            "metric": "jfk.wav offline realtime factor, speculative "
+                      "int8-draft decode, bf16-exact tokens "
+                      "(Qwen3-ASR-1.7B geometry, -S 0, --spec)",
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / BASE_OFFLINE_17, 2),

@@ -158,7 +158,8 @@ def main():
         runs = [("cpu-f32", {"SMOLVISION_PLATFORM": "cpu"}, ["--f32"])]
         if not args.skip_tpu:
             runs.append(("tpu-bf16", {}, []))
-        entry = {"mode": mode, "flags": " ".join(extra), "c_rc": c["rc"],
+        entry = {"mode": mode, "model": os.path.basename(model),
+                 "flags": " ".join(extra), "c_rc": c["rc"],
                  "c_secs": round(c["secs"], 1),
                  "c_stdout_bytes": len(c["stdout"]), "ours": {}}
         for label, env_extra, flags in runs:
