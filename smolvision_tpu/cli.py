@@ -69,7 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "KV-read bytes at B>=8 for a small accuracy trade; "
                         "also SMOLVISION_KV8=1")
     p.add_argument("--f32", action="store_true",
-                   help="load weights in float32 (parity debugging; slower)")
+                   help="float32 weights AND KV cache (the C engine's exact "
+                        "arithmetic family — its kv_cache_k/v are float*, "
+                        "qwen_asr_decoder.c:171-172; parity runs, slower)")
     p.add_argument("--no-batch-segments", action="store_true",
                    help="decode -S segments sequentially like the reference")
     p.add_argument("--serve", type=int, metavar="SLOTS", default=0,
@@ -142,6 +144,13 @@ def main(argv=None) -> int:
         eng = Engine(
             args.model_dir,
             param_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            # --f32 must match the C engine's family END TO END: weights
+            # f32 math AND f32 KV (kv_cache_k/v are float*,
+            # qwen_asr_decoder.c:168-175).  A bf16 KV under --f32 injects
+            # ~1e-2-level logit drift — ~100x honest f32 reordering noise —
+            # which flipped a 0.02-gap step in the 1.7B stream parity run
+            # (docs/PARITY_C.md; f64 torch-oracle referee sided with C).
+            kv_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
             enc_window_sec=args.enc_window_sec if args.enc_window_sec >= 0 else None,
             verbose=verbosity,
             q8=args.q8 or os.environ.get("SMOLVISION_Q8", "") == "1",

@@ -119,3 +119,29 @@ def test_cli_q25_stream_routes_to_thinker(tiny_q25_model_dir, wav_path):
     assert r.stdout.decode().count("\n") == 1
     err = r.stderr.decode()
     assert "Inference:" in err and "Streams:" not in err
+
+
+def test_cli_f32_selects_f32_kv_cache(tiny_model_dir, monkeypatch):
+    """--f32 is the C engine's arithmetic family END TO END: f32 weights
+    AND an f32 KV cache (kv_cache_k/v are float*, qwen_asr_decoder.c:
+    168-175).  A bf16 cache under --f32 injects ~1e-2 logit drift and
+    flipped a 0.02-gap step in the 1.7B stream parity run
+    (docs/PARITY_C.md) — pin the dtype wiring in-process."""
+    import jax.numpy as jnp
+
+    import smolvision_tpu.cli as cli
+    import smolvision_tpu.runtime.engine as eng_mod
+
+    seen = {}
+
+    def fake_engine(model_dir, **kw):
+        seen.update(kw)
+        raise RuntimeError("probe")   # cli reports load failure, rc=1
+
+    monkeypatch.setattr(eng_mod, "Engine", fake_engine)
+    for flags, want in ((["--f32"], jnp.float32), ([], jnp.bfloat16)):
+        seen.clear()
+        rc = cli.main(["-d", tiny_model_dir, "-i", "/dev/null"] + flags)
+        assert rc == 1 and seen, "fake Engine was not reached"
+        assert seen.get("param_dtype") == want, flags
+        assert seen.get("kv_dtype") == want, flags

@@ -142,3 +142,21 @@ def test_spec_streaming_matches_plain(spec_engines):
             eng.past_text_conditioning = False
         outs[tag] = (text, b"".join(pieces))
     assert outs["spec"] == outs["plain"]
+
+
+def test_spec_flag_toggle_matches_plain(spec_engines, speech_like_audio):
+    """Toggling engine.spec OFF on a spec-initialized engine must reproduce
+    the plain engine exactly (the flag is consulted per dispatch_and_fetch;
+    the resident int8 draft stays unused).  This is the single-engine A/B
+    methodology tools/probe_spec17.py relies on — two resident 1.7B engines
+    OOM the chip, so the probe toggles one engine between arms."""
+    plain, spec = spec_engines
+    ref = _greedy_tokens(plain, speech_like_audio, 23)
+    spec.spec = False
+    try:
+        off = _greedy_tokens(spec, speech_like_audio, 23)
+    finally:
+        spec.spec = True
+    assert off == ref
+    # and back on: still the exact spec==plain contract
+    assert _greedy_tokens(spec, speech_like_audio, 23) == ref
