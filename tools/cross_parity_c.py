@@ -31,6 +31,12 @@ margins; divergence index reported otherwise).
 Usage:
   python tools/cross_parity_c.py --modes text,audio
   python tools/cross_parity_c.py --modes text,audio,offline,stream --report
+  # second geometry (1.7B) / second family (Qwen2.5-Omni-7B — thinker modes
+  # only, --skip-tpu: 16.5 GB bf16 exceeds one v5e's HBM):
+  python tools/cross_parity_c.py --modes text,audio \
+      --model .bench_cache/qwen3-asr-1.7b-eng --report
+  python tools/cross_parity_c.py --modes text,audio --skip-tpu \
+      --model .bench_cache/qwen25-omni-7b-eng --report
 """
 
 from __future__ import annotations

@@ -602,14 +602,17 @@ def ensure_engineered(out: str = DEFAULT_OUT, seed: int = 7,
 
 
 def ensure_engineered_seg(out: str = SEG_OUT, seed: int = 7,
-                          rebuild: bool = False) -> dict:
-    """Checkpoint B: build + per-segment chains + segmented probe."""
+                          rebuild: bool = False, geom: str = "0.6b") -> dict:
+    """Checkpoint B: build + per-segment chains + segmented probe.
+    `geom` names any make_tiny_model preset (the chain surgery is
+    geometry-agnostic) — "1.7b" gives the cross-parity matrix its 1.7B
+    segmented row."""
     if not rebuild:
         cached = _cached_report(out)
         if cached is not None:
             return cached
 
-    _base_build(out, seed)
+    _base_build(out, seed, geom)
     samples = load_jfk()
     report = {"version": VERSION, "clip": JFK, "k_seg_chain": K_SEG_CHAIN,
               "flags": f"-S {SEG_SEGMENT_SEC:g} -W {SEG_SEARCH_SEC:g} "

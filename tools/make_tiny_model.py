@@ -38,6 +38,14 @@ PRESETS = {
     "tiny-q25": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128, enc_out=48,
                      conv_hidden=0, dec_h=48, dec_L=2, dec_heads=4, dec_kv=2,
                      head_dim=16, dec_inter=96, vocab=152064, q25=True),
+    # FULL Qwen2.5-Omni-7B geometry — the dims the reference hardcodes
+    # (qwen25_omni.c:197-215); needed for cross-engine parity because the
+    # C engine ignores config.json.  ~16.5 GB bf16: CPU-f32 parity only
+    # (exceeds one v5e's HBM).
+    "q25-7b": dict(enc_d=1280, enc_L=32, enc_heads=20, enc_ffn=5120,
+                   enc_out=3584, conv_hidden=0, dec_h=3584, dec_L=28,
+                   dec_heads=28, dec_kv=4, head_dim=128, dec_inter=18944,
+                   vocab=152064, q25=True),
     # decoder_sparse_step=2: layers 1 and 3 are MoE, layers 0 and 2 dense
     # (HF semantics: layer i is MoE iff (i+1) % sparse_step == 0)
     "tiny-moe-mixed": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128,
