@@ -31,7 +31,7 @@ input with -80 dB noise so the axon tunnel's dispatch memoization can never
 serve a cached result; runs are strictly serial in one process.
 
 Set SMOLVISION_BENCH_ONLY=offline[,streaming,segmented,serving,offline_q8,offline_spec,
-offline_17,offline_17_spec,multistream,seg17,stream17] to restrict; `multistream` runs
+offline_17,offline_17_spec,multistream,seg17,stream17,stream135] to restrict; `multistream` runs
 ONLY when explicitly named (compile warmup up to ~17 min under server-side compile
 variance).
 """
@@ -61,6 +61,7 @@ BASE_OFFLINE = 7.99     # jfk.wav, 0.6B, -S 0 (README.md:398-402)
 BASE_OFFLINE_17 = 4.29  # jfk.wav, 1.7B, -S 0 (README.md:402)
 BASE_SEGMENTED = 6.78   # 88.9 s, -S 30 -W 3 (README.md:404)
 BASE_STREAMING = 4.69   # 45 s, --stream, enc cache ON (README.md:406-411)
+BASE_STREAM135 = 0.96   # 135 s file, --stream, 0.6B (README.md:419-424)
 BASE_SERVING = 2000.0   # upstream vendor stack, 128 concurrency (MODEL.md:466)
 
 
@@ -320,6 +321,37 @@ def main() -> int:
             "unit": "x_realtime",
             "vs_baseline": round(rtf / BASE_STREAMING, 2),
             **({"latency": lat_obj} if lat_obj else {}),
+        })
+
+    # ---- long-file streaming: ~134 s, --stream semantics (opt-in) ------
+    # The reference's most dramatic streaming row: on a 135 s file its
+    # --stream drops to 0.96x realtime while its own offline -S 30 does
+    # 9.64x (README.md:419-424) — steady-state chunks carry the full
+    # 4-window prompt and the M3 Max can't keep up.  Our sliding window has
+    # the same bounded context, so the realtime factor should hold near the
+    # 45 s number.  Clip: the two real speech samples concatenated
+    # (45 s + 89 s = 133.9 s — same speaker/recording session).
+    if "stream135" in only:
+        s135 = np.concatenate([load_wav(CLIP_45S), load_wav(CLIP_89S)])
+        audio_s = len(s135) / 16000.0
+        eng.segment_sec = 0.0
+        eng.past_text_conditioning = True
+        eng.token_cb = lambda piece: None
+        stream_mod.transcribe_stream(eng, _perturb(s135, rng))
+        log(f"bench: stream135 warmup done ({eng.perf.total_ms:.0f} ms)")
+        best_ms = _timed_runs(
+            "stream135", lambda c: stream_mod.transcribe_stream(eng, c),
+            s135, rng)
+        eng.token_cb = None
+        eng.past_text_conditioning = False
+        rtf = audio_s / (best_ms / 1000.0)
+        emit({
+            "metric": "133.9 s clip streaming realtime factor "
+                      "(Qwen3-ASR-0.6B geometry, --stream, enc cache ON; "
+                      "reference drops to 0.96x on 135 s, README.md:419-424)",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASE_STREAM135, 2),
         })
 
     # ---- multi-stream: 8 concurrent 45 s streaming sessions ------------

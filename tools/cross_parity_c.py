@@ -113,13 +113,14 @@ MODES = {
     "segmented": ["-i", JFK, "-S", "5", "-W", "1", "--past-text", "no"],
     "stream": ["-i", SHORT_WAV, "--stream"],
 }
-# segmented runs against checkpoint B (per-segment chains); the full-clip
-# chain and the segment chains cannot coexist on one checkpoint (see
-# tools/engineer_checkpoint.py module docstring)
-MODE_MODEL = {"segmented": MODEL_SEG}
+# segmented runs against checkpoint B (per-segment chains, --seg-model);
+# the full-clip chain and the segment chains cannot coexist on one
+# checkpoint (see tools/engineer_checkpoint.py module docstring)
 
 
-def run_engine(cmd, env=None, timeout=3600):
+def run_engine(cmd, env=None, timeout=6 * 3600):
+    # 6 h: the q25-7b arm runs a 7B forward on ONE host core (nproc=1);
+    # budget per the CLAUDE.md landmine on unbounded cold-subprocess latency.
     t0 = time.monotonic()
     p = subprocess.run(cmd, capture_output=True, timeout=timeout, env=env)
     return {"stdout": p.stdout, "stderr": p.stderr.decode(errors="replace"),
@@ -138,6 +139,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", default="text,audio")
     ap.add_argument("--model", default=MODEL)
+    ap.add_argument("--seg-model", default=MODEL_SEG,
+                    help="checkpoint for the segmented mode (per-segment "
+                         "chains; build with engineer_checkpoint.py "
+                         "--only b --seg-geom <geom>)")
     ap.add_argument("--skip-tpu", action="store_true",
                     help="only run the CPU --f32 comparison")
     ap.add_argument("--report", action="store_true",
@@ -154,7 +159,7 @@ def main():
     ok_all = True
     for mode in args.modes.split(","):
         extra = MODES[mode]
-        model = MODE_MODEL.get(mode, args.model)
+        model = args.seg_model if mode == "segmented" else args.model
         print(f"== {mode}: {' '.join(extra)}  [model {os.path.basename(model)}]",
               flush=True)
         c = run_engine([bin_path, "-d", model] + extra)

@@ -646,6 +646,9 @@ def main():
     ap.add_argument("--geom", default="0.6b",
                     help="make_tiny_model preset for checkpoint A (e.g. "
                          "1.7b; pair with --out " + OUT_17 + ")")
+    ap.add_argument("--seg-geom", default="0.6b",
+                    help="make_tiny_model preset for checkpoint B (pair "
+                         "with --seg-out .bench_cache/qwen3-asr-1.7b-eng-seg)")
     args = ap.parse_args()
 
     if args.platform:
@@ -660,7 +663,8 @@ def main():
         print(f"checkpoint A {'OK' if report.get('ok') else 'FAILED'}: "
               f"{args.out}", flush=True)
     if args.only != "a":
-        report = ensure_engineered_seg(args.seg_out, args.seed, args.rebuild)
+        report = ensure_engineered_seg(args.seg_out, args.seed, args.rebuild,
+                                       geom=args.seg_geom)
         ok = ok and bool(report.get("ok"))
         print(f"checkpoint B {'OK' if report.get('ok') else 'FAILED'}: "
               f"{args.seg_out}", flush=True)
