@@ -90,3 +90,60 @@ def test_thinker_text_greedy_byte_exact(c_binary, parity_model_dir):
     assert len(c.stdout) > 10, "vacuous comparison: C emitted no text"
     assert ours.stdout == c.stdout, (
         f"token divergence: C={c.stdout[:120]!r} ours={ours.stdout[:120]!r}")
+
+
+MOE_MODEL = os.path.join(REPO, ".bench_cache", "qwen3-moe-synth")
+
+
+@pytest.fixture(scope="module")
+def moe_model_dir():
+    """Full-vocab MoE checkpoint: full 0.6B encoder + a 12-layer 16-expert
+    top-8 decoder with the real 0.6B attention dims (make_tiny_model
+    PRESETS['moe-c'] — a geometry the patched C binary can actually run;
+    the reference's only hardcoded MoE variant is the ~58 GB 30B)."""
+    if not os.path.exists(os.path.join(MOE_MODEL, "model.safetensors")):
+        sys.path.insert(0, REPO)
+        from tools.make_tiny_model import build
+
+        build("moe-c", MOE_MODEL, seed=0, dtype="bf16", full_vocab=True)
+    return MOE_MODEL
+
+
+@pytest.fixture(scope="module")
+def c_binary_moe(moe_model_dir):
+    """Reference binary with ONLY its detect_config constants regenerated
+    for the runnable MoE geometry (cross_parity_c._moe_geometry_patch);
+    all MoE code (qwen_asr_decoder.c:358-452) compiles unmodified."""
+    import json
+
+    sys.path.insert(0, REPO)
+    from tools.cross_parity_c import ensure_binary
+
+    with open(os.path.join(moe_model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    return ensure_binary(moe_cfg=cfg)
+
+
+def test_moe_thinker_text_greedy_byte_exact(c_binary_moe, moe_model_dir):
+    """The reference's full MoE decode path (router matvec, top-8 softmax
+    renorm, expert SwiGLU accumulate) vs our gather-decode MoE path,
+    byte-exact in the shared f32 arithmetic family.  The greedy trajectory
+    on this checkpoint also matched byte-exact in audio mode
+    (docs/PARITY_C.md run 2026-08-18); text mode alone is pinned here to
+    bound CI cost (~45 s warm)."""
+    flags = ["-d", moe_model_dir, "--thinker",
+             "--text", "the English language and",
+             "--temperature", "0", "--max-tokens", "12"]
+    c = subprocess.run([c_binary_moe] + flags, capture_output=True,
+                       timeout=1200)
+    assert c.returncode == 0, c.stderr.decode(errors="replace")[-500:]
+
+    env = dict(os.environ, SMOLVISION_PLATFORM="cpu")
+    ours = subprocess.run(
+        [sys.executable, "-m", "smolvision_tpu.cli"] + flags + ["--f32"],
+        capture_output=True, timeout=1200, env=env, cwd=REPO)
+    assert ours.returncode == 0, ours.stderr.decode(errors="replace")[-500:]
+
+    assert len(c.stdout) > 10, "vacuous comparison: C emitted no text"
+    assert ours.stdout == c.stdout, (
+        f"token divergence: C={c.stdout[:120]!r} ours={ours.stdout[:120]!r}")

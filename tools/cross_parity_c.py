@@ -37,6 +37,11 @@ Usage:
       --model .bench_cache/qwen3-asr-1.7b-eng --report
   python tools/cross_parity_c.py --modes text,audio --skip-tpu \
       --model .bench_cache/qwen25-omni-7b-eng --report
+  # MoE family (tools/make_tiny_model.py --preset moe-c --full-vocab):
+  # auto-detected from config.json; the C build gets its detect_config
+  # constants regenerated for the runnable geometry (_moe_geometry_patch)
+  python tools/cross_parity_c.py --modes text,audio \
+      --model .bench_cache/qwen3-moe-synth --report
 """
 
 from __future__ import annotations
@@ -63,10 +68,67 @@ SHORT_WAV = "/tmp/sv_parity_short.wav"
 REPORT = os.path.join(REPO, "docs", "PARITY_C.md")
 
 
-def ensure_binary() -> str:
+def _moe_geometry_patch(src: str, cfg: dict) -> str:
+    """Rewrite detect_config's 30B-MoE branch constants to `cfg`'s geometry.
+
+    The reference hardcodes exactly three variants (qwen_asr.c:134-204) and
+    its only MoE one is the 30B (48 layers x 128 experts, ~58 GB — whose f32
+    working copy exceeds this host's RAM), so MoE parity at a runnable size
+    needs the constant block regenerated.  This is the ONLY source change:
+    the detection probe tensor name (-> the MoE router gate, present in any
+    MoE checkpoint) and the assignments inside the `if (test_omni)` branch.
+    Every line of MoE *code* (router matvec, top-k selection, softmax,
+    expert SwiGLU accumulate, qwen_asr_decoder.c:358-452) runs unmodified.
+    """
+    import re
+
+    ac = cfg["thinker_config"]["audio_config"]
+    tc = cfg["thinker_config"]["text_config"]
+    assert tc["num_experts_per_tok"] <= 8, "C engine caps top_k at 8"
+    body = "\n".join(
+        f"        cfg->{k} = {v};" for k, v in [
+            ("enc_d_model", ac["d_model"]),
+            ("enc_layers", ac["encoder_layers"]),
+            ("enc_heads", ac["encoder_attention_heads"]),
+            ("enc_head_dim", ac["d_model"] // ac["encoder_attention_heads"]),
+            ("enc_ffn_dim", ac["encoder_ffn_dim"]),
+            ("enc_output_dim", ac["output_dim"]),
+            ("dec_hidden", tc["hidden_size"]),
+            ("dec_layers", tc["num_hidden_layers"]),
+            ("dec_heads", tc["num_attention_heads"]),
+            ("dec_kv_heads", tc["num_key_value_heads"]),
+            ("dec_head_dim", tc["head_dim"]),
+            ("dec_intermediate", tc["moe_intermediate_size"]),
+            ("is_moe", 1),
+            ("num_experts", tc["num_experts"]),
+            ("num_experts_per_tok", tc["num_experts_per_tok"]),
+            ("moe_intermediate", tc["moe_intermediate_size"]),
+            ("norm_topk_prob", 1),
+        ])
+    block = ("if (test_omni) {\n"
+             "        /* MoE parity geometry (constants patched by"
+             " tools/cross_parity_c.py) */\n"
+             + body + "\n"
+             "        if (qwen_verbose >= 1)"
+             " fprintf(stderr, \"Detected: MoE (parity geometry)\\n\");\n\n"
+             "    } else if (test) {")
+    out, n = re.subn(r"if \(test_omni\) \{.*?\} else if \(test\) \{",
+                     block.replace("\\", "\\\\"), src, count=1, flags=re.S)
+    assert n == 1, "detect_config MoE branch not found"
+    out = out.replace(
+        "thinker.audio_tower.layers.31.self_attn.q_proj.weight",
+        "thinker.model.layers.0.mlp.gate.weight")
+    return out
+
+
+def ensure_binary(moe_cfg: dict | None = None) -> str:
     """Copy the reference C sources to a scratch dir and `make` them.
-    Cached: rebuilt only when a source is newer than the binary."""
-    bin_path = os.path.join(BUILD_DIR, "qwen_asr")
+    Cached: rebuilt only when a source is newer than the binary.
+    `moe_cfg`: a checkpoint config.json dict — builds a SEPARATE binary
+    whose detect_config constants (only) are regenerated for that MoE
+    geometry (see _moe_geometry_patch)."""
+    build_dir = BUILD_DIR + ("_moe" if moe_cfg else "")
+    bin_path = os.path.join(build_dir, "qwen_asr")
     srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
             + glob.glob(os.path.join(REF_SRC, "*.h"))
             + [os.path.join(REF_SRC, "Makefile")])
@@ -74,12 +136,18 @@ def ensure_binary() -> str:
         bin_mtime = os.path.getmtime(bin_path)
         if all(os.path.getmtime(s) <= bin_mtime for s in srcs):
             return bin_path
-    os.makedirs(BUILD_DIR, exist_ok=True)
+    os.makedirs(build_dir, exist_ok=True)
     for s in srcs:
-        shutil.copy2(s, BUILD_DIR)
+        shutil.copy2(s, build_dir)
+    if moe_cfg is not None:
+        asr_c = os.path.join(build_dir, "qwen_asr.c")
+        with open(asr_c) as f:
+            src = f.read()
+        with open(asr_c, "w") as f:
+            f.write(_moe_geometry_patch(src, moe_cfg))
     subprocess.run(
         ["make", "qwen_asr", "CFLAGS=-O2 -march=native -ffast-math"],
-        cwd=BUILD_DIR, check=True, capture_output=True)
+        cwd=build_dir, check=True, capture_output=True)
     return bin_path
 
 
@@ -149,11 +217,15 @@ def main():
                     help=f"append results to {REPORT}")
     args = ap.parse_args()
 
-    bin_path = ensure_binary()
-    ensure_short_wav()
     if not os.path.exists(os.path.join(args.model, "model.safetensors")):
         sys.exit(f"model not found: {args.model} — run "
                  "tools/engineer_checkpoint.py first")
+    with open(os.path.join(args.model, "config.json")) as f:
+        model_cfg = json.load(f)
+    is_moe = "num_experts" in model_cfg.get("thinker_config", {}).get(
+        "text_config", {})
+    bin_path = ensure_binary(moe_cfg=model_cfg if is_moe else None)
+    ensure_short_wav()
 
     results = []
     ok_all = True

@@ -57,6 +57,20 @@ PRESETS = {
     "0.6b": dict(enc_d=896, enc_L=18, enc_heads=14, enc_ffn=3584, enc_out=1024,
                  conv_hidden=480, dec_h=1024, dec_L=28, dec_heads=16, dec_kv=8,
                  head_dim=128, dec_inter=3072, vocab=151936),
+    # MoE geometry for cross-engine parity vs the C binary.  The reference
+    # hardcodes MoE as the 30B variant only (qwen_asr.c:152-171: 48 layers,
+    # 128 experts — a ~58 GB checkpoint whose f32 copy exceeds this host's
+    # RAM), so tools/cross_parity_c.py patches ONLY the detect_config
+    # constant block of its /tmp source copy to this geometry: full 0.6B
+    # encoder (every encoder code path at real scale) + a 12-layer MoE
+    # decoder with real 0.6B attention dims and the real moe_intermediate
+    # (768), 16 experts top-8 (the C engine's topk_idx[8] caps top_k at 8,
+    # qwen_asr_decoder.c:387).
+    "moe-c": dict(enc_d=896, enc_L=18, enc_heads=14, enc_ffn=3584,
+                  enc_out=1024, conv_hidden=480, dec_h=1024, dec_L=12,
+                  dec_heads=16, dec_kv=8, head_dim=128, dec_inter=768,
+                  vocab=151936,
+                  moe=dict(num_experts=16, top_k=8, moe_inter=768)),
     "1.7b": dict(enc_d=1024, enc_L=24, enc_heads=16, enc_ffn=4096, enc_out=2048,
                  conv_hidden=480, dec_h=2048, dec_L=28, dec_heads=16, dec_kv=8,
                  head_dim=128, dec_inter=6144, vocab=151936),
