@@ -162,6 +162,11 @@ class Engine:
         # a decode cost approaching the int8 stream.  Orthogonal to --q8
         # (which trades exactness); meaningless combined with it.
         self.spec = bool(spec) and not self.q8 and not self.moe_offload
+        if spec and not self.spec:
+            print("warning: --spec disabled (meaningless with --q8 / "
+                  "--moe-offload); output follows the quantized/offload "
+                  "path, NOT bit-exact bf16 greedy", file=sys.stderr,
+                  flush=True)
         self.dec_params_draft = None
         self._spec_chunk_jit = None
         if self.spec:

@@ -397,11 +397,14 @@ def _pre_encode_round(engine, states):
                              st.local[lo : cursor - st.local_base]))
     if len(reqs) < 2:
         return
-    import jax as _jax
-    if _jax.default_backend() == "tpu":
+    from smolvision_tpu.runtime.batch_segments import _use_device_mel
+
+    if _use_device_mel(engine.cfg, len(reqs)):
         # device mel (one packed f16 upload + matmul-DFT on the MXU) — the
         # serving front end's path; host numpy log_mel on this single-core
-        # host costs ~5-15 ms PER SPAN (~16-20 spans/round at N=16)
+        # host costs ~5-15 ms PER SPAN (~16-20 spans/round at N=16).
+        # Shared gate so SMOLVISION_DEVICE_MEL=0 (host-mel bit-exactness
+        # escape hatch) applies to pre-encodes like every other batch path.
         from smolvision_tpu.runtime.batch_segments import (
             _encode_batch_device_mel,
         )

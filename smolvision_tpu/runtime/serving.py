@@ -159,7 +159,9 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     cfg = engine.cfg
     engine.prepare_prompt()
     tok = engine.tokenizer
-    assert cfg.family != "q25", "continuous serving: qwen3 family only"
+    if cfg.family == "q25":   # CLI blocks this earlier; guard library callers
+        raise ValueError("continuous serving supports the qwen3 family only "
+                         "(q25 checkpoints route through the thinker path)")
 
     n = len(clips)
     if n == 0:

@@ -15,6 +15,8 @@ guaranteed:
 import numpy as np
 import pytest
 
+from tests.workloads import serving_clips as _clips
+
 
 def _lossless_rows(rng, shape):
     """f32 rows whose per-row int8 quantization is exact: integer levels in
@@ -92,16 +94,6 @@ def kv8_engine(tiny_model_dir):
     return eng
 
 
-def _clips(n, seed=11):
-    rng = np.random.default_rng(seed)
-    out = []
-    for i in range(n):
-        dur = 0.8 + 0.45 * (i % 4)
-        t = np.arange(int(16000 * dur)) / 16000
-        sig = (0.3 * np.sin(2 * np.pi * (160 + 25 * i) * t)
-               + 0.02 * rng.standard_normal(len(t)))
-        out.append(sig.astype(np.float32))
-    return out
 
 
 def test_batched_cache_is_quantized(kv8_engine):

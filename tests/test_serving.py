@@ -5,6 +5,8 @@ of late-admitted rows, and slot reuse may never change greedy tokens."""
 import numpy as np
 import pytest
 
+from tests.workloads import serving_clips as _clips
+
 
 @pytest.fixture(scope="module")
 def srv_engine(tiny_model_dir):
@@ -16,16 +18,6 @@ def srv_engine(tiny_model_dir):
     return eng
 
 
-def _clips(n, seed=11):
-    rng = np.random.default_rng(seed)
-    out = []
-    for i in range(n):
-        dur = 0.8 + 0.45 * (i % 4)       # mixed lengths force admission waves
-        t = np.arange(int(16000 * dur)) / 16000
-        sig = (0.3 * np.sin(2 * np.pi * (160 + 25 * i) * t)
-               + 0.02 * rng.standard_normal(len(t)))
-        out.append(sig.astype(np.float32))
-    return out
 
 
 def test_continuous_matches_one_shot(srv_engine):

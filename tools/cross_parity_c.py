@@ -129,12 +129,21 @@ def ensure_binary(moe_cfg: dict | None = None) -> str:
     geometry (see _moe_geometry_patch)."""
     build_dir = BUILD_DIR + ("_moe" if moe_cfg else "")
     bin_path = os.path.join(build_dir, "qwen_asr")
+    stamp_path = os.path.join(build_dir, "geometry.json")
+    stamp = json.dumps(moe_cfg, sort_keys=True) if moe_cfg else ""
     srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
             + glob.glob(os.path.join(REF_SRC, "*.h"))
             + [os.path.join(REF_SRC, "Makefile")])
     if os.path.exists(bin_path):
         bin_mtime = os.path.getmtime(bin_path)
-        if all(os.path.getmtime(s) <= bin_mtime for s in srcs):
+        cached_stamp = ""
+        if os.path.exists(stamp_path):
+            with open(stamp_path) as f:
+                cached_stamp = f.read()
+        # the patched constants are part of the cache key: a second MoE
+        # checkpoint with different geometry must NOT reuse this binary
+        if (all(os.path.getmtime(s) <= bin_mtime for s in srcs)
+                and cached_stamp == stamp):
             return bin_path
     os.makedirs(build_dir, exist_ok=True)
     for s in srcs:
@@ -148,6 +157,8 @@ def ensure_binary(moe_cfg: dict | None = None) -> str:
     subprocess.run(
         ["make", "qwen_asr", "CFLAGS=-O2 -march=native -ffast-math"],
         cwd=build_dir, check=True, capture_output=True)
+    with open(stamp_path, "w") as f:
+        f.write(stamp)
     return bin_path
 
 
