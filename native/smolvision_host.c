@@ -175,9 +175,12 @@ SV_EXPORT void sv_silence_mask(const float *samples, long n, uint8_t *keep) {
     for (long w = 0; w < n_win; w++) {
         long s = w * win, e = s + win;
         if (e > n) e = n;
-        double energy = 0.0;
-        for (long i = s; i < e; i++) energy += (double)samples[i] * samples[i];
-        rms[w] = (float)sqrt(energy / (double)(e - s > 0 ? e - s : 1));
+        /* f32 sequential accumulation — the reference's arithmetic family
+         * (qwen_asr.c:461-472); double here could flip near-tie threshold
+         * decisions vs the C engine */
+        float energy = 0.0f;
+        for (long i = s; i < e; i++) energy += samples[i] * samples[i];
+        rms[w] = sqrtf(energy / (float)(e - s > 0 ? e - s : 1));
     }
     float sm = rms[0];
     for (long w = 0; w < n_win; w++) {

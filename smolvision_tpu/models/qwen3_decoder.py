@@ -437,7 +437,6 @@ def decoder_forward(params, cfg: ModelConfig, embeds, start_pos, valid_len, kv,
     if kv_min is None:
         kv_min = jnp.int32(0)
     positions = rope_start + jnp.arange(Tcap)
-    kv_valid_len = start_pos + valid_len
     cos, sin = rope_tables(positions, D, cfg.rope_theta)
     wdt = wdtype(params["layers"]["wqkv"])
     assert not isinstance(kv, QuantKV), \

@@ -55,7 +55,7 @@ def synthetic_encoder(cfg: ModelConfig, param_dtype=jnp.bfloat16, seed=None):
 
 
 def synthetic_decoder(cfg: ModelConfig, param_dtype=jnp.bfloat16, seed=None):
-    rng = None if seed is None else np.random.default_rng(None if seed is None else seed + 1)
+    rng = None if seed is None else np.random.default_rng(seed + 1)
     H = cfg.dec_hidden
     L = cfg.dec_layers
     Hq = cfg.dec_heads * cfg.dec_head_dim

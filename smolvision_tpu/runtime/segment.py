@@ -54,22 +54,32 @@ def compact_silence(samples: np.ndarray, verbose: int = 0) -> np.ndarray:
 
     n_win = (n + win - 1) // win
     padded_len = n_win * win
-    buf = np.zeros(padded_len, dtype=np.float64)
+    # f32 SEQUENTIAL per-window energy — the reference's exact arithmetic
+    # (qwen_asr.c:461-472).  The trailing zero pad is rounding-neutral
+    # (x + 0.0f == x), so all windows share one vectorized walk: accumulate
+    # column-by-column, which reproduces C's sample-order f32 rounding.
+    buf = np.zeros(padded_len, dtype=np.float32)
     buf[:n] = samples
-    sq = buf.reshape(n_win, win) ** 2
-    lens = np.full(n_win, win, dtype=np.float64)
-    lens[-1] = n - (n_win - 1) * win or win
-    rms = np.sqrt(sq.sum(axis=1) / lens)
+    cols = np.ascontiguousarray(buf.reshape(n_win, win).T)
+    acc = np.zeros(n_win, dtype=np.float32)
+    for j in range(win):
+        acc += cols[j] * cols[j]
+    lens = np.full(n_win, win, dtype=np.float32)
+    lens[-1] = (n - (n_win - 1) * win) or win
+    rms = np.sqrt(acc / lens)
 
-    # EMA smoothing (sequential; n_win is small)
+    # EMA smoothing — sequential in f32, as the reference (qwen_asr.c:475-479)
+    a32 = np.float32(alpha)
+    one_m = np.float32(1.0) - a32
     smooth = np.empty_like(rms)
     s = rms[0]
     for i, r in enumerate(rms):
-        s = (1 - alpha) * s + alpha * r
+        s = one_m * s + a32 * r
         smooth[i] = s
 
     noise_floor = np.sort(smooth)[int((n_win - 1) * 0.25)]
-    thresh = float(np.clip(noise_floor * 1.8, base_thresh, max_thresh))
+    thresh = noise_floor * np.float32(1.8)
+    thresh = min(max(thresh, np.float32(base_thresh)), np.float32(max_thresh))
     is_voice = smooth > thresh
 
     # Reject short voice bursts
@@ -116,19 +126,21 @@ def find_split_point(samples: np.ndarray, target: int, search_sec: float) -> int
     lo = max(0, target - half)
     hi = min(n, target + half)
     win = (ENERGY_WINDOW_MS * SAMPLE_RATE) // 1000  # 1600
-    best_energy = np.inf
-    best_center = target
-    pos = lo
-    sq = samples.astype(np.float64) ** 2
-    csum = np.concatenate([[0.0], np.cumsum(sq)])
-    while pos + win <= hi:
-        end = min(pos + win, n)
-        energy = (csum[end] - csum[pos]) / (end - pos)
-        if energy < best_energy:
-            best_energy = energy
-            best_center = pos + (end - pos) // 2
-        pos += win // 2
-    return best_center
+    starts = np.arange(lo, hi - win + 1, win // 2)
+    if len(starts) == 0:
+        return target
+    # per-window f32 SEQUENTIAL sum of squares — the reference's exact
+    # arithmetic (qwen_asr.c:629-640); a prefix-sum formulation rounds
+    # differently and can flip near-tie minima, shifting every downstream
+    # segment boundary.  All windows are full width (starts + win <= hi <= n).
+    wins = samples[starts[:, None] + np.arange(win)[None, :]].astype(np.float32)
+    cols = np.ascontiguousarray(wins.T)
+    acc = np.zeros(len(starts), dtype=np.float32)
+    for j in range(win):
+        acc += cols[j] * cols[j]
+    energy = acc / np.float32(win)
+    best = int(np.argmin(energy))  # first minimum, as C's strict '<' scan
+    return int(starts[best]) + win // 2
 
 
 def split_points(samples: np.ndarray, segment_sec: float, search_sec: float) -> List[int]:
@@ -159,19 +171,32 @@ def should_retry_unconditioned(full_result: str, seg_text: Optional[str],
         min_tokens = max(int(core_sec * 1.75), 12)
         if n_text_tokens < min_tokens:
             return True
-    if full_result and len(seg_text) >= 48 and seg_text in full_result:
+    # length gate is BYTES (C strlen, qwen_asr.c:862), not characters —
+    # 20 CJK chars are 60 UTF-8 bytes and must trigger the retry
+    if (full_result and len(seg_text.encode("utf-8")) >= 48
+            and seg_text in full_result):
         return True
     return False
 
 
+_ASCII_SPACE = frozenset(b" \t\n\r\v\f")
+_ASCII_PUNCT = frozenset(
+    b"!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")  # C-locale ispunct == ASCII punct
+
+
 def _should_insert_boundary_space(prev_ch: str, next_ch: str) -> bool:
+    """Byte-level heuristic, as the reference (qwen_asr.c:869-876): the C
+    engine tests the last BYTE of the accumulated text and the first BYTE
+    of the new segment with C-locale isspace/ispunct, under which any
+    UTF-8 continuation/lead byte (>=0x80) is neither — so e.g. a segment
+    starting with U+3000 still gets a separating space."""
     if not prev_ch or not next_ch:
         return False
-    if prev_ch.isspace() or next_ch.isspace():
+    pb = prev_ch.encode("utf-8")[-1]
+    nb = next_ch.encode("utf-8")[0]
+    if pb in _ASCII_SPACE or nb in _ASCII_SPACE:
         return False
-    import string
-
-    if next_ch in string.punctuation:
+    if nb in _ASCII_PUNCT:
         return False
     return True
 
@@ -236,7 +261,6 @@ def transcribe_audio(engine, samples: np.ndarray) -> Optional[str]:
             if engine.token_cb:
                 engine.token_cb(seg_text.encode("utf-8"))
         return result
-    result_parts: List[str] = []
     result = ""
     use_past = engine.past_text_conditioning
     do_cleanup = engine.past_text_conditioning
@@ -254,20 +278,23 @@ def transcribe_audio(engine, samples: np.ndarray) -> Optional[str]:
         if use_past and result:
             past_tokens = tok.encode(result)
 
-        emitted_space = False
         if do_cleanup:
             engine.token_cb = None  # buffer; emit finalized text below
         elif saved_cb:
             # fast path: stream tokens immediately, maybe with one separator
+            # byte semantics throughout, as segment_emit_cb
+            # (qwen_asr.c:884-898, :1032-1033): last byte of the result and
+            # first byte of the piece under C-locale isspace/ispunct
             state = {"first": True}
-            prepend_space = bool(result) and not result[-1].isspace()
+            prepend_space = bool(result) and (
+                result[-1].encode("utf-8")[-1] not in _ASCII_SPACE)
 
             def _cb(piece: bytes, _state=state, _prepend=prepend_space):
                 if _state["first"]:
                     _state["first"] = False
                     if _prepend and piece:
-                        c0 = chr(piece[0]) if piece[0] < 128 else "x"
-                        if not c0.isspace() and not _is_punct(c0):
+                        c0 = piece[0]
+                        if c0 not in _ASCII_SPACE and c0 not in _ASCII_PUNCT:
                             saved_cb(b" ")
                 saved_cb(piece)
 
@@ -291,7 +318,9 @@ def transcribe_audio(engine, samples: np.ndarray) -> Optional[str]:
         engine.token_cb = saved_cb
         if not seg_text:
             continue
-        seg_text = seg_text.lstrip() if do_cleanup else seg_text
+        # ASCII whitespace only (C isspace byte loop, qwen_asr.c:1080) —
+        # str.lstrip() would also eat U+3000/U+00A0, which the C engine keeps
+        seg_text = seg_text.lstrip(" \t\n\r\v\f") if do_cleanup else seg_text
         if not seg_text:
             continue
 
@@ -308,8 +337,3 @@ def transcribe_audio(engine, samples: np.ndarray) -> Optional[str]:
     engine.token_cb = saved_cb
     return result
 
-
-def _is_punct(c: str) -> bool:
-    import string
-
-    return c in string.punctuation

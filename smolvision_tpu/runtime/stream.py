@@ -185,6 +185,11 @@ class StreamState:
         self.tok = engine.tokenizer
         self.forced = bool(engine._force_tokens)
 
+        if live is None:
+            # reported duration is the ORIGINAL clip length, even under
+            # --skip-silence (qwen_asr.c:1345 uses the pre-compaction
+            # n_samples; compaction at :1284-1289 only shrinks the work)
+            engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
         if live is None and engine.skip_silence:
             samples = compact_silence(samples, engine.verbose)
 
@@ -199,7 +204,6 @@ class StreamState:
             self.use_enc_cache = True  # live requires the cache (bounded memory)
 
         if live is None:
-            engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
             self.local = np.asarray(samples, dtype=np.float32)
             self.local_base = 0
             self.total_samples = len(self.local)
@@ -581,9 +585,10 @@ def _stream_impl(engine, samples: Optional[np.ndarray], live) -> Optional[str]:
     if engine.token_cb is None and live is None:
         engine.perf.reset()
         engine.prepare_prompt()
+        # pre-compaction duration, as the reference reports (qwen_asr.c:1345)
+        engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
         if engine.skip_silence:
             samples = compact_silence(samples, engine.verbose)
-        engine.perf.audio_ms = 1000.0 * len(samples) / SAMPLE_RATE
         text, _ = engine.transcribe_segment(samples)
         return text
 
