@@ -66,3 +66,52 @@ def test_collapse_heuristics():
     assert should_retry_unconditioned("prefix " + dup, dup, SAMPLE_RATE, 30)
     # empty segment always retries
     assert should_retry_unconditioned("r", "", SAMPLE_RATE, 0)
+
+
+def test_collapse_retry_gate_counts_utf8_bytes():
+    """The 48-length duplicate gate is BYTES (C strlen, qwen_asr.c:862):
+    20 CJK chars = 60 UTF-8 bytes must trigger, 20 ASCII chars must not."""
+    cjk = "好" * 20  # 60 bytes
+    assert should_retry_unconditioned("x " + cjk + " y", cjk, SAMPLE_RATE, 30)
+    assert not should_retry_unconditioned("x " + "d" * 20 + " y", "d" * 20,
+                                          SAMPLE_RATE, 30)
+
+
+def test_boundary_space_uses_c_locale_byte_semantics():
+    """qwen_asr.c:869-876 tests BYTES with C-locale isspace/ispunct: UTF-8
+    lead/continuation bytes (>=0x80) are neither, so Unicode whitespace and
+    punctuation do NOT suppress the separator the way ASCII does."""
+    from smolvision_tpu.runtime.segment import _should_insert_boundary_space
+
+    assert _should_insert_boundary_space("a", "b")
+    assert not _should_insert_boundary_space("a", " ")     # ASCII space next
+    assert not _should_insert_boundary_space(" ", "b")     # ASCII space prev
+    assert not _should_insert_boundary_space("a", ".")     # ASCII punct next
+    # Unicode whitespace/punctuation: C sees a non-space non-punct byte
+    assert _should_insert_boundary_space("　", "b")    # ideographic space
+    assert _should_insert_boundary_space("a", "。")    # CJK full stop
+    assert _should_insert_boundary_space("好", "你")  # CJK text
+
+
+def test_split_energy_matches_sequential_f32_reference():
+    """The vectorized column walk must reproduce the C engine's per-window
+    sequential f32 accumulation exactly (qwen_asr.c:629-640)."""
+    sr = SAMPLE_RATE
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(4 * sr) * 0.3).astype(np.float32)
+    win = 1600
+    lo, hi = sr, 3 * sr
+    # scalar transcription of the C loop
+    best_energy = np.float32(np.inf)
+    best_center = 2 * sr
+    pos = lo
+    while pos + win <= hi:
+        energy = np.float32(0.0)
+        for j in range(pos, pos + win):
+            energy = np.float32(energy + np.float32(x[j]) * np.float32(x[j]))
+        energy = np.float32(energy / np.float32(win))
+        if energy < best_energy:
+            best_energy = energy
+            best_center = pos + win // 2
+        pos += win // 2
+    assert find_split_point(x, target=2 * sr, search_sec=1.0) == best_center
