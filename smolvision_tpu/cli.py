@@ -247,6 +247,14 @@ def main(argv=None) -> int:
         except (OSError, ValueError) as e:
             print(f"smolvision: cannot load audio: {e}", file=sys.stderr)
             return 1
+        # pre-validate: one sub-mel-frame clip would otherwise crash the
+        # whole batch from inside the encode worker with a raw traceback
+        for f, c in zip(input_files, clips):
+            if len(c) < 160:
+                print(f"smolvision: cannot load audio: {f}: too short "
+                      f"({len(c)} samples; need at least one 10 ms mel frame)",
+                      file=sys.stderr)
+                return 1
 
         if args.stream:
             # N concurrent streaming sessions sharing one engine's weights;

@@ -97,7 +97,8 @@ class LiveAudio:
                 pending = first
 
             while True:
-                data = pending + stream.read(CHUNK_BYTES - len(pending))
+                chunk = stream.read(CHUNK_BYTES - len(pending))
+                data = pending + chunk
                 pending = b""
                 if not data:
                     break
@@ -106,9 +107,11 @@ class LiveAudio:
                 if usable:
                     samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32) / 32768.0
                     self._append(samples)
-                if len(data) < CHUNK_BYTES:
-                    # short read near EOF; keep going until read() returns b""
-                    continue
+                if not chunk:
+                    # EOF with a trailing odd byte: it can never complete a
+                    # sample — looping on `data` (still 1 byte) would spin
+                    # forever without ever signalling EOF
+                    break
         finally:
             self._set_eof()
 

@@ -70,6 +70,30 @@ def _conv_bucket(n: int) -> int:
     return bucket(n, 4) if n < 64 else -(-n // 64) * 64
 
 
+
+def _conv_partial_tails(engine, rems, tails_of):
+    """Shared partial-tail stage: group tail chunks by width, run each width
+    group through the width-specialized conv stem ONCE, and return the
+    (partial_rows, partial_blocks) bookkeeping `_pool_and_encode` consumes.
+    `tails_of(width, idxs)` supplies that group's [n, 128, width] mel array
+    (host-stacked tails or device-sliced ones) — the ONLY difference between
+    the host-mel and device-mel encode paths."""
+    partial_rows = {}           # b -> (block_idx, row_start, n_rows)
+    partial_blocks = []         # flat [rows, d] device blocks
+    by_width = {}
+    for b, rem in enumerate(rems):
+        if rem:
+            by_width.setdefault(rem, []).append(b)
+    for w, idxs in by_width.items():
+        out = engine._conv_stem(engine.enc_params, tails_of(w, idxs))
+        n, rows_w, d_ = out.shape
+        blk = len(partial_blocks)
+        partial_blocks.append(out.reshape(n * rows_w, d_))
+        for j, b in enumerate(idxs):
+            partial_rows[b] = (blk, j * rows_w, rows_w)
+    return partial_rows, partial_blocks
+
+
 def _encode_batch(engine, mels: Sequence[np.ndarray]):
     """Encode B mel spectrograms with batched conv + vmapped transformer.
 
@@ -139,20 +163,9 @@ def _encode_batch(engine, mels: Sequence[np.ndarray]):
     # each group's output stays ONE device block — per-clip rows are
     # addressed by pool offset, never sliced out (a per-clip slice is a
     # dispatch, and dispatches over a remote tunnel are milliseconds)
-    partial_rows = {}           # b -> (block_idx, row_start, n_rows)
-    partial_blocks = []         # flat [rows, d] device blocks
-    by_width = {}
-    for b, rem in enumerate(rems):
-        if rem:
-            by_width.setdefault(rem, []).append(b)
-    for w, idxs in by_width.items():
-        arr = jnp.asarray(np.stack([np_parts[b] for b in idxs]))
-        out = engine._conv_stem(engine.enc_params, arr)  # [n, rows_w, d]
-        n, rows_w, d_ = out.shape
-        blk = len(partial_blocks)
-        partial_blocks.append(out.reshape(n * rows_w, d_))
-        for j, b in enumerate(idxs):
-            partial_rows[b] = (blk, j * rows_w, rows_w)
+    partial_rows, partial_blocks = _conv_partial_tails(
+        engine, rems,
+        lambda w, idxs: jnp.asarray(np.stack([np_parts[b] for b in idxs])))
 
     full_starts = []
     off = 0
@@ -221,13 +234,17 @@ def _pool_and_encode(engine, B, full_tok, n_pool_blocks, full_starts,
     return out, n_tokens
 
 
-def _use_device_mel(cfg, B: int) -> bool:
+def _use_device_mel(cfg, B: int, param_dtype=None) -> bool:
     """Shared gate for the device-mel serving front end: TPU default for
     qwen3-family batches >2; SMOLVISION_DEVICE_MEL=0 forces host mel
     (bit-exact vs the sequential engine), =1 forces device mel anywhere
-    (CPU tests)."""
+    (CPU tests).  An f32 engine (--f32, the C-parity arithmetic family)
+    always takes the host-mel path: the device front end's f16 audio
+    upload is outside that family."""
     import os
 
+    if param_dtype == jnp.float32:
+        return False
     dm_env = os.environ.get("SMOLVISION_DEVICE_MEL", "")
     return (cfg.family != "q25" and B > 2 and dm_env != "0"
             and (dm_env == "1" or jax.default_backend() == "tpu"))
@@ -255,7 +272,12 @@ def _upload_audio(engine, segments: Sequence[np.ndarray]):
     buf = np.zeros((B, pcap), np.float16)
     for b, s in enumerate(segments):
         p = reflect_pad(np.asarray(s, dtype=np.float32))
-        buf[b, : len(p)] = p.astype(np.float16)
+        # len(p) = n + N_FFT can exceed pcap (e.g. frames % (2*chunk) == 0
+        # with n % HOP != 0); every mel frame reads < pcap samples
+        # ((frames-1)*HOP + N_FFT <= pcap - HOP), so the excess tail is
+        # unused — truncate instead of overflowing the row
+        m = min(len(p), pcap)
+        buf[b, :m] = p[:m].astype(np.float16)
     return jnp.asarray(buf), frames_list, fcap
 
 
@@ -320,22 +342,13 @@ def _encode_batch_device_mel(engine, segments: Sequence[np.ndarray],
 
     full_counts = [f // chunk for f in frames_list]
     rems = [f % chunk for f in frames_list]
-    partial_rows = {}
-    partial_blocks = []
-    by_width = {}
-    for b, rem in enumerate(rems):
-        if rem:
-            by_width.setdefault(rem, []).append(b)
-    for w, idxs in by_width.items():
+
+    def tails_of(w, idxs):
         rows = jnp.asarray(idxs, jnp.int32)
         starts = jnp.asarray([full_counts[b] * chunk for b in idxs], jnp.int32)
-        arr = jits["tails"](mel_t, rows, starts, w)
-        out = engine._conv_stem(engine.enc_params, arr)   # [n, rows_w, d]
-        n, rows_w, d_ = out.shape
-        blk = len(partial_blocks)
-        partial_blocks.append(out.reshape(n * rows_w, d_))
-        for j, b in enumerate(idxs):
-            partial_rows[b] = (blk, j * rows_w, rows_w)
+        return jits["tails"](mel_t, rows, starts, w)
+
+    partial_rows, partial_blocks = _conv_partial_tails(engine, rems, tails_of)
 
     full_starts = [b * nc for b in range(B)]
     return _pool_and_encode(engine, B, full_tok, B * nc, full_starts,
@@ -464,6 +477,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     # forces f32 on TPU too.
     xfer_dt = (np.float16 if jax.default_backend() == "tpu"
                and os.environ.get("SMOLVISION_MEL_F32", "") != "1"
+               and engine.param_dtype != jnp.float32   # --f32: stay in family
                else np.float32)
 
     def mel_chunks(seg):
@@ -479,7 +493,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
                 if frames % chunk else None)
         return frames, full, part
 
-    use_device_mel = _use_device_mel(cfg, B)
+    use_device_mel = _use_device_mel(cfg, B, engine.param_dtype)
     if use_device_mel:
         if engine.verbose >= 1 and not getattr(engine, "_device_mel_noted", False):
             engine._device_mel_noted = True

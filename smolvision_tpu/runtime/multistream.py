@@ -399,7 +399,7 @@ def _pre_encode_round(engine, states):
         return
     from smolvision_tpu.runtime.batch_segments import _use_device_mel
 
-    if _use_device_mel(engine.cfg, len(reqs)):
+    if _use_device_mel(engine.cfg, len(reqs), engine.param_dtype):
         # device mel (one packed f16 upload + matmul-DFT on the MXU) — the
         # serving front end's path; host numpy log_mel on this single-core
         # host costs ~5-15 ms PER SPAN (~16-20 spans/round at N=16).

@@ -66,7 +66,9 @@ class Sampler:
         probs /= probs.sum()
         r = self.rng.random()
         cum = np.cumsum(probs)
-        return int(np.searchsorted(cum, r, side="left"))
+        # f32 cum[-1] can round below r (~1e-7/draw): clamp to the last id,
+        # as the reference's fall-through does (qwen_asr.c:2304-2312)
+        return min(int(np.searchsorted(cum, r, side="left")), len(probs) - 1)
 
 
 def transform_logits_jnp(logits, recent, n_recent, penalty, temp, top_k: int):

@@ -128,7 +128,7 @@ def prestage_uploads(engine, clips: Sequence[np.ndarray],
     for k in range(0, n, encode_group):
         group = order[k : k + encode_group]
         segs = [clips[i] for i in group]
-        if bs_mod._use_device_mel(cfg, len(segs)):
+        if bs_mod._use_device_mel(cfg, len(segs), engine.param_dtype):
             up = bs_mod._upload_audio(engine, segs)
             jax.block_until_ready(up[0])
             groups.append((group, segs, up))
@@ -212,7 +212,7 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         group = order[next_up : next_up + encode_group]
         next_up += len(group)
         segs = [clips[i] for i in group]
-        if bs_mod._use_device_mel(cfg, len(segs)):
+        if bs_mod._use_device_mel(cfg, len(segs), engine.param_dtype):
             up_ready.append((group, segs,
                              bs_mod._upload_audio(engine, segs)))
         else:

@@ -215,3 +215,18 @@ def test_cap_granularity_is_transparent(seg_engine, monkeypatch):
     monkeypatch.setenv("SMOLVISION_CAP128", "1")
     cap128 = bs.transcribe_segments_batched(eng, segs)
     assert cap128 == cap64
+
+
+def test_upload_audio_fits_exact_chunk_multiple(seg_engine):
+    """A clip whose frame count is an exact conv-bucket multiple while
+    n % HOP != 0 makes len(reflect_pad) > pcap; the row copy must truncate
+    the (unused) tail instead of overflowing (broadcast ValueError)."""
+    from smolvision_tpu.ops.mel import HOP_LENGTH, num_frames
+    from smolvision_tpu.runtime.batch_segments import _upload_audio
+
+    chunk = seg_engine.cfg.enc_chunk_size
+    n = 2 * chunk * HOP_LENGTH + 1  # frames = 2*chunk exactly, n % HOP = 1
+    assert num_frames(n) % (2 * chunk) == 0 and n % HOP_LENGTH != 0
+    clips = [np.zeros(n, np.float32), np.zeros(n // 2, np.float32)]
+    buf, frames, fcap = _upload_audio(seg_engine, clips)
+    assert buf.shape[0] == 2 and frames[0] == 2 * chunk

@@ -116,3 +116,16 @@ def test_live_stream_end_to_end(tiny_model_dir):
     text = stream_mod.transcribe_stream_live(eng, live)
     thread.join(timeout=10)
     assert text is not None  # ran to EOF without deadlock
+
+
+def test_live_odd_trailing_byte_sets_eof():
+    """A stream truncated mid-sample (odd byte count) must still terminate
+    the reader and signal EOF — the final odd byte can never complete a
+    sample, and looping on it would spin forever."""
+    samples = (np.ones(1000) * 0.25 * 32767).astype("<i2")
+    live, t = _start(SlowStream(samples.tobytes() + b"\x7f"))
+    live.wait_for(1000)
+    t.join(timeout=10)
+    assert not t.is_alive()
+    _, got, eof = live.snapshot_and_reset()
+    assert len(got) == 1000 and eof

@@ -97,3 +97,21 @@ def test_host_draw_reproducible_per_seed():
         assert a == b
     assert Sampler(seed=0).sample(logits) != Sampler(seed=99).sample(logits) \
         or True  # different seeds MAY collide; reproducibility is the pin
+
+
+def test_sampler_clamps_cumsum_shortfall():
+    """f32 cumsum can total < 1.0; a draw above it must clamp to the last
+    token id (the reference's fall-through, qwen_asr.c:2304-2312), not
+    return vocab_size."""
+    from smolvision_tpu.runtime.sampling import Sampler
+
+    s = Sampler(temperature=1.0, top_k=0, seed=0)
+
+    class _AlwaysTop:
+        def random(self):
+            return 1.0 - 1e-16
+
+    s.rng = _AlwaysTop()
+    logits = np.zeros(1024, np.float32)  # uniform: cum[-1] rounds near 1.0
+    tok = s.sample(logits.copy())
+    assert 0 <= tok <= 1023
