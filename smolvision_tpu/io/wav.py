@@ -92,6 +92,8 @@ def parse_wav_buffer(data: bytes) -> np.ndarray:
         (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:  # struct.error is not a ValueError: raise our own
+                raise ValueError("truncated WAV fmt chunk")
             audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )

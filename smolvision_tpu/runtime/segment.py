@@ -40,10 +40,34 @@ def compact_silence(samples: np.ndarray, verbose: int = 0) -> np.ndarray:
     Adaptive RMS gate: 10 ms windows, EMA smoothing (alpha 0.2), threshold =
     25th-percentile noise floor x1.8 clamped to [-54 dBFS, 0.025], <50 ms
     voice spikes rejected, 30 ms speech-edge padding, first 600 ms of each
-    silence kept."""
+    silence kept.  Native fast path (sv_silence_mask) when the host lib is
+    built; both paths implement the reference's f32 arithmetic exactly, so
+    their keep decisions are identical (test_native.py pins this)."""
     n = len(samples)
     if n <= 0:
         return samples
+    win = 160  # 10 ms
+
+    from smolvision_tpu.utils import native
+
+    keep = (native.silence_keep_mask(np.ascontiguousarray(
+                samples, dtype=np.float32))
+            if native.available() else None)
+    if keep is None:
+        keep = _silence_keep_mask_numpy(samples)
+    else:
+        keep = keep.astype(bool)
+
+    mask = np.repeat(keep, win)[:n]
+    out = samples[mask]
+    if len(out) == 0:
+        out = samples[: min(n, SAMPLE_RATE // 2)]
+    return np.ascontiguousarray(out, dtype=np.float32)
+
+
+def _silence_keep_mask_numpy(samples: np.ndarray) -> np.ndarray:
+    """Pure-numpy keep mask (per 10 ms window), the sv_silence_mask twin."""
+    n = len(samples)
     win = 160  # 10 ms
     base_thresh = 0.002
     max_thresh = 0.025
@@ -111,12 +135,7 @@ def compact_silence(samples: np.ndarray, verbose: int = 0) -> np.ndarray:
             silence_count += 1
             if silence_count <= pass_windows:
                 keep[w] = True
-
-    mask = np.repeat(keep, win)[:n]
-    out = samples[mask]
-    if len(out) == 0:
-        out = samples[: min(n, SAMPLE_RATE // 2)]
-    return np.ascontiguousarray(out, dtype=np.float32)
+    return keep
 
 
 def find_split_point(samples: np.ndarray, target: int, search_sec: float) -> int:

@@ -99,3 +99,41 @@ def test_mel_jax_matches_numpy(speech_like_audio):
 
 def test_num_frames():
     assert mel_mod.num_frames(16000 * 11) == mel_mod.log_mel(np.zeros(16000 * 11, np.float32) + 1e-3).shape[1]
+
+
+def test_wav_parser_rejects_corrupt_input_cleanly(tmp_path):
+    """Truncated/garbage/hostile WAV bytes must raise ValueError (one-line
+    CLI error), never an unhandled struct/index/overflow crash."""
+    import struct
+
+    from smolvision_tpu.io.wav import load_wav
+
+    rng = np.random.default_rng(13)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    good = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 8) + b"\0" * 8)
+    cases = [
+        b"",                                    # empty
+        b"RIFF",                                # truncated magic
+        good[:20],                              # truncated header
+        good[:40],                              # truncated fmt
+        b"OggS" + good[4:],                     # wrong container
+        good[:8] + b"XXXX" + good[12:],         # wrong wave tag
+        good.replace(b"data", b"zzzz"),         # missing data chunk
+        # oversized declared chunk length
+        good[:44] + struct.pack("<I", 0x7FFFFFFF) + good[48:],
+        bytes(rng.integers(0, 256, 128, dtype=np.uint8)),  # garbage
+    ]
+    for i, blob in enumerate(cases):
+        p = tmp_path / f"bad{i}.wav"
+        p.write_bytes(blob)
+        try:
+            load_wav(str(p))
+        except (ValueError, OSError):
+            continue
+        except Exception as e:  # noqa: BLE001 - the assertion target
+            raise AssertionError(f"case {i}: raised {type(e).__name__}: {e}")
+        # parsing 'successfully' is acceptable only for the oversized-length
+        # case if the reader clamps; everything else must error
+        assert i == 7, f"case {i}: corrupt wav parsed without error"
