@@ -239,15 +239,18 @@ def _use_device_mel(cfg, B: int, param_dtype=None) -> bool:
     qwen3-family batches >2; SMOLVISION_DEVICE_MEL=0 forces host mel
     (bit-exact vs the sequential engine), =1 forces device mel anywhere
     (CPU tests).  An f32 engine (--f32, the C-parity arithmetic family)
-    always takes the host-mel path: the device front end's f16 audio
-    upload is outside that family."""
+    defaults to the host-mel path — the device front end's f16 audio upload
+    is outside that family — but the explicit =1 force still wins (the CPU
+    equivalence tests run f32 engines)."""
     import os
 
-    if param_dtype == jnp.float32:
-        return False
     dm_env = os.environ.get("SMOLVISION_DEVICE_MEL", "")
-    return (cfg.family != "q25" and B > 2 and dm_env != "0"
-            and (dm_env == "1" or jax.default_backend() == "tpu"))
+    if dm_env == "0" or cfg.family == "q25" or B <= 2:
+        return False
+    if dm_env == "1":
+        return True
+    return (param_dtype != jnp.float32
+            and jax.default_backend() == "tpu")
 
 
 def _upload_audio(engine, segments: Sequence[np.ndarray]):
