@@ -16,7 +16,13 @@ Two execution modes:
     coordinator only replaces the model-call middle of each chunk, and
     per-session tokens are EXACTLY those of a solo run (tested): greedy
     argmax is deterministic and the batched decoder matches the sequential
-    one token-for-token.  One decode dispatch serves all N sessions, so
+    one token-for-token.  The exactness contract is pinned in the host-mel
+    regime (CPU tests; SMOLVISION_DEVICE_MEL=0 forces it anywhere): on TPU
+    the default pre-encode uses the f16 device-mel front end (the same
+    ~1e-4-mel relaxation the serving path takes, _use_device_mel) while
+    prediction MISSES fall back to host mel inside begin_chunk — the same
+    relaxation class as bf16 decode drift, but not bit-identical to solo.
+    One decode dispatch serves all N sessions, so
     aggregate throughput scales with N until the batch hits its bandwidth
     bound instead of paying N single-stream decodes.
   * THREADED (live sources, or SMOLVISION_BATCH_STREAMS=0): one host thread
@@ -160,8 +166,8 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
         arr_lens = [len(np.asarray(s)) for s in sources
                     if isinstance(s, np.ndarray)]
         horizon = max(arr_lens) if arr_lens else 45 * 16000
-        _prewarm_batched(engine, cache.B, horizon,
-                         max(st.max_new for st in states))
+        cache.prewarm_args = (horizon, max(st.max_new for st in states))
+        _prewarm_batched(engine, cache.B, *cache.prewarm_args)
 
     while True:
         act = [st for st in states if st.active()]
@@ -284,8 +290,10 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
                 pshape, S((B,), i32), S((), i32), kv_s, S((B,), i32),
                 S((B,), i32), S((B,), i32), S((), i32), S((), i32),
                 S((B,), jnp.bool_)))
-        for blk in (64, 128, 256, 512, pcap):
-            blk = min(blk, pcap)
+        blks = [64]
+        while blks[-1] * 2 < pcap:      # every pow2 width the runtime's
+            blks.append(blks[-1] * 2)   # ladder quantization can pick
+        for blk in (*blks, pcap):
             if ("pf", blk, kcap) in seen:
                 continue
             seen.add(("pf", blk, kcap))
@@ -352,6 +360,13 @@ def _compact_rows(engine, cache: "_BatchKV", row_of, act_states):
     row_of.clear()
     for i, st in enumerate(act_states):
         row_of[id(st)] = i
+    if getattr(cache, "prewarm_args", None):
+        # the prewarmed programs are keyed on B: without re-issuing the
+        # ladder at the new bucket, the first post-compaction round blocks
+        # on cold serialized prefill+decode compiles (the exact warmup
+        # class _prewarm_batched exists to prevent).  .compile() RPCs
+        # return fast on axon; already-compiled shapes dedupe server-side.
+        _prewarm_batched(engine, new_b, *cache.prewarm_args)
 
 
 def _pre_encode_round(engine, states):
@@ -694,6 +709,27 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             if s_hi >= MSTRAT_MIN_S:
                 strat_rows, S = lo, s_hi
     W = min(bucket(max_len - S, 64), pcap - S)
+    if os.environ.get("SMOLVISION_MSTREAM_WQUANT", "1") != "0":
+        # Quantize W to the PREWARMED width ladder (pow2 + full pcap): an
+        # off-ladder width — the pcap-S cap (e.g. 320) or a 64-bucket like
+        # 448 — is a fresh big-prefill program compiling serially
+        # mid-round over the tunnel.  Rounding W UP / sliding S DOWN
+        # recomputes kept rows only (identical by determinism).
+        # Interleaved A/B (8x45s, 4 pairs, 2026-08-19): medians 11.4 s
+        # quant vs 17.3 s plain but adjacent pairs split 2-2 under the
+        # axon server's variance — throughput-neutral on the conditioned
+        # workload (its few shapes repeat, so plain pays each off-ladder
+        # compile once).  Default ON for the tail risk it removes: novel
+        # shape mixes stall tens of seconds per off-ladder compile.
+        # SMOLVISION_MSTREAM_WQUANT=0 restores exact-width blocks.
+        Wq = 64
+        while Wq < W:
+            Wq *= 2
+        if Wq >= pcap:
+            S, W = 0, pcap
+        else:
+            S = min(S, pcap - Wq)
+            W = Wq
 
     build, _prefill_full, _decode_lp = _batched_jits(engine)
     rope_start = np.full((B,), S, dtype=np.int32)   # logical == cache pos
