@@ -308,7 +308,7 @@ def main() -> int:
         lat_obj = None
         if lat is not None:
             first, p50, p99 = lat
-            lat_obj = {"first_commit_ms": round(first, 1) if first else None,
+            lat_obj = {"first_commit_ms": round(first, 1) if first is not None else None,
                        "chunk_p50_ms": round(p50, 1),
                        "chunk_p99_ms": round(p99, 1),
                        "chunks": len(eng.perf.stream_chunk_ms)}

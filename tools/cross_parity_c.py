@@ -154,6 +154,11 @@ def ensure_binary(moe_cfg: dict | None = None) -> str:
             src = f.read()
         with open(asr_c, "w") as f:
             f.write(_moe_geometry_patch(src, moe_cfg))
+    # -march=native -ffast-math is the reference's OWN shipped default
+    # (its Makefile: CFLAGS_BASE = -Wall -Wextra -O3 -march=native
+    # -ffast-math), so this is the arithmetic family the parity target
+    # actually ships with; a strict -O2 build was also compared once and
+    # produced identical output (docs/PARITY_C.md diagnosis chain, step 1)
     subprocess.run(
         ["make", "qwen_asr", "CFLAGS=-O2 -march=native -ffast-math"],
         cwd=build_dir, check=True, capture_output=True)
@@ -231,6 +236,10 @@ def main():
     if not os.path.exists(os.path.join(args.model, "model.safetensors")):
         sys.exit(f"model not found: {args.model} — run "
                  "tools/engineer_checkpoint.py first")
+    if "segmented" in args.modes.split(",") and not os.path.exists(
+            os.path.join(args.seg_model, "model.safetensors")):
+        sys.exit(f"segmented mode needs {args.seg_model} — run "
+                 "tools/engineer_checkpoint.py --only b first")
     with open(os.path.join(args.model, "config.json")) as f:
         model_cfg = json.load(f)
     is_moe = "num_experts" in model_cfg.get("thinker_config", {}).get(
@@ -261,7 +270,11 @@ def main():
             r = run_engine([sys.executable, "-m", "smolvision_tpu.cli",
                             "-d", model] + extra + flags, env=env)
             div = first_divergence(c["stdout"], r["stdout"])
-            match = (div == -1 and r["rc"] == c["rc"])
+            # a MATCH must be a real token comparison: both engines exited
+            # cleanly and the C side produced output — two identical
+            # failures (rc=1, empty stdout) are NOT parity evidence
+            match = (div == -1 and r["rc"] == c["rc"] == 0
+                     and len(c["stdout"]) > 0)
             entry["ours"][label] = {
                 "rc": r["rc"], "secs": round(r["secs"], 1),
                 "stdout_bytes": len(r["stdout"]),

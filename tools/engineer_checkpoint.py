@@ -101,6 +101,24 @@ OUT_17 = os.path.join(REPO, ".bench_cache", "qwen3-asr-1.7b-eng")
 JFK = "/root/reference/samples/jfk.wav"
 
 
+LM_HEAD_NAME = "thinker.lm_head.weight"
+
+
+def patch_logit_rows(st_path: str, rows: dict):
+    """Patch engineered rows into EVERY tensor that produces logits: the
+    embedding, and — for untied geometries (q25: tie_word_embeddings false,
+    a separate thinker.lm_head.weight on disk) — the lm_head too.  The
+    device-side surgery (_patch_device) ties lm_head = embed, so disk must
+    carry the same rows in both tensors or a fresh engine load cannot
+    reproduce the engineered chain."""
+    patch_rows(st_path, EMBED_NAME, rows)
+    with open(st_path, "rb") as f:
+        (header_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(header_len).decode("utf-8"))
+    if LM_HEAD_NAME in header:
+        patch_rows(st_path, LM_HEAD_NAME, rows)
+
+
 def patch_rows(st_path: str, name: str, rows: dict):
     """Overwrite rows of a 2-D bf16 tensor in a .safetensors file in place
     (layout and header untouched)."""
@@ -380,7 +398,7 @@ def engineer_full_chain(model_dir: str, samples: np.ndarray):
     targets = [TOKEN_ASR_TEXT] + list(CHAIN_IDS) + [TOKEN_ENDOFTEXT]
     _, _, stats = _walk_chain(eng, step, set_row, (h0, logits0, kv, total),
                               targets, T, "full", disk_rows, beta=1.0)
-    patch_rows(st_path, EMBED_NAME, disk_rows)
+    patch_logit_rows(st_path, disk_rows)
     ok, min_gap = _audit_trajectory(eng, prefill_state, step, samples,
                                     targets, "full")
     del eng
@@ -434,7 +452,7 @@ def engineer_seg_chains(model_dir: str, samples: np.ndarray):
     eos_row = _shared_row(eos_cons, "eos")
     disk_rows[TOKEN_ENDOFTEXT] = eos_row
     _patch_device(eng, set_row, TOKEN_ENDOFTEXT, eos_row)
-    patch_rows(st_path, EMBED_NAME, disk_rows)
+    patch_logit_rows(st_path, disk_rows)
 
     all_ok = True
     for label, clip, chain in trajs:
@@ -481,7 +499,7 @@ def engineer_text_chain(model_dir: str, text: str = TEXT_PROMPT):
     _, _, stats = _walk_chain(eng, step, set_row, (h, logits, kv, total),
                               list(TEXT_CHAIN_IDS), T, "text", disk_rows,
                               beta=1.0)
-    patch_rows(st_path, EMBED_NAME, disk_rows)
+    patch_logit_rows(st_path, disk_rows)
     del eng
     return stats
 
@@ -543,18 +561,22 @@ def _base_build(out: str, seed: int, geom: str = "0.6b"):
         os.remove(p)
     st_path = os.path.join(out, "model.safetensors")
     orig = read_rows(st_path, EMBED_NAME, [TOKEN_ENDOFTEXT, TOKEN_IM_END])
-    patch_rows(st_path, EMBED_NAME,
-               {TOKEN_ENDOFTEXT: orig[TOKEN_ENDOFTEXT] * EOS_SCALE,
-                TOKEN_IM_END: orig[TOKEN_IM_END] * EOS_SCALE})
+    patch_logit_rows(st_path,
+                     {TOKEN_ENDOFTEXT: orig[TOKEN_ENDOFTEXT] * EOS_SCALE,
+                      TOKEN_IM_END: orig[TOKEN_IM_END] * EOS_SCALE})
     print("EOS rows downscaled", flush=True)
 
 
-def _cached_report(out: str):
+def _cached_report(out: str, geom: str):
     probe_path = os.path.join(out, "PROBE.json")
     if os.path.exists(probe_path):
         with open(probe_path) as f:
             report = json.load(f)
-        if report.get("ok") and report.get("version") == VERSION:
+        # geom participates in the cache key: a cached checkpoint of a
+        # DIFFERENT geometry at the same path must rebuild, not be
+        # silently returned as "OK"
+        if (report.get("ok") and report.get("version") == VERSION
+                and report.get("geom") == geom):
             return report
     return None
 
@@ -565,7 +587,7 @@ def ensure_engineered(out: str = DEFAULT_OUT, seed: int = 7,
     Idempotent (a dir with a passing current-version PROBE.json is returned
     as-is).  Importable by bench.py."""
     if not rebuild:
-        cached = _cached_report(out)
+        cached = _cached_report(out, geom)
         if cached is not None:
             return cached
 
@@ -608,13 +630,14 @@ def ensure_engineered_seg(out: str = SEG_OUT, seed: int = 7,
     geometry-agnostic) — "1.7b" gives the cross-parity matrix its 1.7B
     segmented row."""
     if not rebuild:
-        cached = _cached_report(out)
+        cached = _cached_report(out, geom)
         if cached is not None:
             return cached
 
     _base_build(out, seed, geom)
     samples = load_jfk()
-    report = {"version": VERSION, "clip": JFK, "k_seg_chain": K_SEG_CHAIN,
+    report = {"version": VERSION, "clip": JFK, "geom": geom,
+              "k_seg_chain": K_SEG_CHAIN,
               "flags": f"-S {SEG_SEGMENT_SEC:g} -W {SEG_SEARCH_SEC:g} "
                        "--past-text no"}
     report["seg_chains"] = engineer_seg_chains(out, samples)
