@@ -119,3 +119,45 @@ def test_kv_cache_growth(tiny_engine):
     toks2 = []
     eng.decode_greedy(first2, pos2, 400, lambda t: (toks2.append(t) or True))
     assert toks == toks2
+
+@pytest.mark.parametrize("preset", ["tiny-mha", "tiny-gqa4"])
+def test_gqa_edge_geometries_match_oracle(preset, tmp_path_factory,
+                                          speech_like_audio):
+    """End-to-end greedy parity at the GQA layout edges: MHA (kv == heads)
+    and maximum grouping (kv == 1, wider head_dim).  The default tiny
+    geometry's 2:1 ratio cannot distinguish a broken head-repeat /
+    reshape from a correct one when the factors happen to coincide."""
+    import jax.numpy as jnp
+
+    from tools.make_tiny_model import build
+    from smolvision_tpu.runtime.engine import Engine
+
+    path = str(tmp_path_factory.mktemp("models") / preset)
+    build(preset, path, seed=3, dtype="f32")
+    eng = Engine(path, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+    assert (eng.cfg.dec_kv_heads == eng.cfg.dec_heads) == (preset == "tiny-mha")
+
+    mel = log_mel(speech_like_audio)
+    reader = MultiSafetensors(path)
+    ref_tokens = oracle_transcribe_tokens(reader, eng.cfg, mel, max_tokens=12)
+    reader.close()
+
+    audio, n_audio = eng.encode_mel(mel)
+    from smolvision_tpu.runtime import prompt as prompt_mod
+
+    ids, audio_start = prompt_mod.build_asr_prompt(eng.cfg, n_audio)
+    eng.reset_kv()
+    first, pos = eng.prefill_ids(ids, audio, audio_start, n_audio)
+    got = []
+
+    def on_token(tid):
+        got.append(tid)
+        return len(got) < 12
+
+    eng.decode_greedy(first, pos, 12, on_token)
+    ref = []
+    for t in ref_tokens[:12]:
+        if t in (151643, 151645):
+            break
+        ref.append(t)
+    assert got == ref, (got, ref)

@@ -31,6 +31,15 @@ PRESETS = {
     "tiny": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128, enc_out=48,
                  conv_hidden=16, dec_h=48, dec_L=2, dec_heads=4, dec_kv=2,
                  head_dim=16, dec_inter=96, vocab=151936),
+    # GQA-edge geometries for the oracle parity sweep (tests/test_model_parity):
+    # MHA (kv == heads) and maximum grouping (kv == 1) exercise the repeat/
+    # reshape layout logic the default 2:1 ratio cannot distinguish
+    "tiny-mha": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128, enc_out=48,
+                     conv_hidden=16, dec_h=48, dec_L=2, dec_heads=4, dec_kv=4,
+                     head_dim=16, dec_inter=96, vocab=151936),
+    "tiny-gqa4": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128, enc_out=48,
+                      conv_hidden=16, dec_h=48, dec_L=2, dec_heads=4, dec_kv=1,
+                      head_dim=32, dec_inter=96, vocab=151936),
     "tiny-moe": dict(enc_d=64, enc_L=2, enc_heads=2, enc_ffn=128, enc_out=48,
                      conv_hidden=16, dec_h=48, dec_L=2, dec_heads=4, dec_kv=2,
                      head_dim=16, dec_inter=96, vocab=151936,
