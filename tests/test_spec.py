@@ -160,3 +160,22 @@ def test_spec_flag_toggle_matches_plain(spec_engines, speech_like_audio):
     assert off == ref
     # and back on: still the exact spec==plain contract
     assert _greedy_tokens(spec, speech_like_audio, 23) == ref
+
+
+def test_spec_mixed_moe_matches_plain(tiny_moe_mixed_model_dir,
+                                      speech_like_audio):
+    """Spec over the MIXED dense/MoE stack (decoder_sparse_step=2): the
+    int8 draft must quantize and route BOTH layer kinds — dense layers'
+    fused gate_up and sparse layers' expert stacks — and still verify to
+    the plain engine's exact greedy tokens."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime.engine import Engine
+
+    plain = Engine(tiny_moe_mixed_model_dir, param_dtype=jnp.float32,
+                   kv_dtype=jnp.float32)
+    spec = Engine(tiny_moe_mixed_model_dir, param_dtype=jnp.float32,
+                  kv_dtype=jnp.float32, spec=True)
+    ref = _greedy_tokens(plain, speech_like_audio, 12)
+    got = _greedy_tokens(spec, speech_like_audio, 12)
+    assert got == ref
