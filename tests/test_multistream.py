@@ -502,3 +502,55 @@ def test_batched_live_trickle_matches_full(ms_engine):
     texts = ms.run_streams(ms_engine, lives)
     th.join()
     assert texts == ref
+
+
+def test_batched_chunks_match_solo_raw_tokens_moe(tiny_moe_model_dir,
+                                                  monkeypatch):
+    """The batched coordinator over the MoE decoder (batched MoE delta
+    prefill + bounded decode): raw per-chunk token sequences must equal
+    solo runs, same contract as the dense case above."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    eng = Engine(tiny_moe_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
+    eng.stream_max_new_tokens = 6
+    eng.max_tokens = 16
+    eng.past_text_conditioning = True
+
+    clips = _clips()
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append((id(self), list(chunk_tokens)))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    solo_runs = []
+    for c in clips:
+        s = ms.clone_session(eng)
+        s.token_cb = lambda piece: None
+        log.clear()
+        stream_mod.transcribe_stream(s, c)
+        solo_runs.append([t for _, t in log])
+
+    log.clear()
+    ms.run_streams(eng, clips)
+    per = {}
+    order = []
+    for sid, toks in log:
+        if sid not in per:
+            order.append(sid)
+            per[sid] = []
+        per[sid].append(toks)
+    batched_runs = [per[sid] for sid in order]
+
+    assert len(batched_runs) == len(solo_runs)
+    assert any(any(r) for r in solo_runs), "no chunks decoded: vacuous"
+    for i, (s, b) in enumerate(zip(solo_runs, batched_runs)):
+        assert s == b, f"session {i}: solo {s} vs batched {b}"
