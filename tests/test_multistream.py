@@ -554,3 +554,36 @@ def test_batched_chunks_match_solo_raw_tokens_moe(tiny_moe_model_dir,
     assert any(any(r) for r in solo_runs), "no chunks decoded: vacuous"
     for i, (s, b) in enumerate(zip(solo_runs, batched_runs)):
         assert s == b, f"session {i}: solo {s} vs batched {b}"
+
+
+def test_wquant_off_matches_wquant_on(ms_engine, monkeypatch):
+    """SMOLVISION_MSTREAM_WQUANT=0 (exact-width delta blocks) and the
+    default ladder-quantized widths (W rounded up to a prewarmed pow2, S
+    slid down) must produce identical per-chunk tokens — quantization only
+    recomputes kept rows, which determinism defines as identical."""
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    clips = _clips()
+    ms_engine.past_text_conditioning = True
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append(list(chunk_tokens))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    runs = []
+    for env in ("0", None):
+        if env is None:
+            monkeypatch.delenv("SMOLVISION_MSTREAM_WQUANT", raising=False)
+        else:
+            monkeypatch.setenv("SMOLVISION_MSTREAM_WQUANT", env)
+        log.clear()
+        ms.run_streams(ms_engine, clips)
+        runs.append(list(log))
+    ms_engine.past_text_conditioning = False
+    assert any(runs[0]), "no chunks decoded: vacuous"
+    assert runs[0] == runs[1]
