@@ -204,3 +204,52 @@ def test_batched_cache_flash_matches_two_part(B, T, K, H, KH, D, start):
             kv_min=kv_min, prompt_max=pm, region_start=rs)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_batched_cache_flash_random_shape_sweep():
+    """Seeded random-shape sweep of the batched delta-prefill kernel vs the
+    two-part XLA reference: randomized (B, T, K, H, KH, D, start) within
+    the kernel's granularity constraints plus random per-row kv_min /
+    prompt_max / region_start — guards mask/grid edge combinations the
+    fixed parametrize tuples cannot enumerate."""
+    import dataclasses
+
+    from smolvision_tpu.config import QWEN3_ASR_06B
+    from smolvision_tpu.kernels.flash_attention import (
+        batched_cache_flash_attention,
+    )
+    from smolvision_tpu.models.qwen3_decoder import _batched_attention_two_part
+
+    rng = np.random.default_rng(29)
+    for trial in range(6):
+        B = int(rng.integers(1, 4))
+        T = 64 * int(rng.integers(1, 4))
+        KH = int(rng.choice([1, 2, 4]))
+        G = int(rng.choice([1, 2, 4]))
+        H = KH * G
+        D = int(rng.choice([32, 64]))
+        start = 64 * int(rng.integers(0, 4))
+        K = start + T + 64 * int(rng.integers(0, 3))
+        cfg = dataclasses.replace(QWEN3_ASR_06B, dec_heads=H, dec_kv_heads=KH,
+                                  dec_head_dim=D)
+        q = _rand(rng, B, T, H, D)
+        k_new = _rand(rng, B, T, KH, D)
+        v_new = _rand(rng, B, T, KH, D)
+        k_cache = _rand(rng, B, KH, K, D)
+        v_cache = _rand(rng, B, KH, K, D)
+        kv_min = jnp.asarray(rng.integers(0, max(start, 1), B), jnp.int32)
+        if start > 0:
+            pm = jnp.asarray(rng.integers(1, start + 1, B), jnp.int32)
+            rs = jnp.asarray(rng.integers(start // 2, K + 1, B), jnp.int32)
+        else:
+            pm, rs = None, None
+        got = batched_cache_flash_attention(
+            q, k_new, v_new, k_cache, v_cache, jnp.int32(start), kv_min,
+            prompt_max=pm, region_start=rs, gqa_groups=G)
+        expect = _batched_attention_two_part(
+            q, k_new, v_new, k_cache, v_cache, jnp.int32(start), cfg,
+            kv_min=kv_min, prompt_max=pm, region_start=rs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), rtol=2e-5, atol=2e-5,
+            err_msg=f"trial {trial}: B={B} T={T} K={K} H={H} KH={KH} "
+                    f"D={D} start={start}")
