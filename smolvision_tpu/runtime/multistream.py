@@ -568,6 +568,31 @@ def _strat_jit(engine):
     return fn
 
 
+def quantize_block(S: int, W: int, pcap: int):
+    """Quantize a delta-prefill block [S, S+W) to the PREWARMED width
+    ladder (pow2 widths + full pcap, _prewarm_batched): an off-ladder
+    width — the pcap-S cap (e.g. 320) or a 64-bucket like 448 — is a
+    fresh big-prefill program compiling serially mid-round over the
+    tunnel.  Rounding W UP and sliding S DOWN recomputes kept rows only
+    (identical by determinism — the reuse contract).  Invariants pinned
+    by tests/test_multistream.py: S' <= S, S' + W' <= pcap, W' >= W,
+    S' stays 64-granular, W' is a pow2 or the full pcap.
+
+    Interleaved A/B (8x45s, 4 pairs, 2026-08-19): medians 11.4 s quant
+    vs 17.3 s plain but adjacent pairs split 2-2 under the axon server's
+    variance — throughput-neutral on the conditioned workload (its few
+    shapes repeat, so plain pays each off-ladder compile once).  Default
+    ON for the tail risk it removes: novel shape mixes stall tens of
+    seconds per off-ladder compile.  SMOLVISION_MSTREAM_WQUANT=0
+    restores exact-width blocks."""
+    Wq = 64
+    while Wq < W:
+        Wq *= 2
+    if Wq >= pcap:
+        return 0, pcap
+    return min(S, pcap - Wq), Wq
+
+
 def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     """One shared-clock round: batch every active session's (delta prefill +
     bounded greedy decode) through the batch-native decoder in the NATURAL
@@ -710,26 +735,7 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
                 strat_rows, S = lo, s_hi
     W = min(bucket(max_len - S, 64), pcap - S)
     if os.environ.get("SMOLVISION_MSTREAM_WQUANT", "1") != "0":
-        # Quantize W to the PREWARMED width ladder (pow2 + full pcap): an
-        # off-ladder width — the pcap-S cap (e.g. 320) or a 64-bucket like
-        # 448 — is a fresh big-prefill program compiling serially
-        # mid-round over the tunnel.  Rounding W UP / sliding S DOWN
-        # recomputes kept rows only (identical by determinism).
-        # Interleaved A/B (8x45s, 4 pairs, 2026-08-19): medians 11.4 s
-        # quant vs 17.3 s plain but adjacent pairs split 2-2 under the
-        # axon server's variance — throughput-neutral on the conditioned
-        # workload (its few shapes repeat, so plain pays each off-ladder
-        # compile once).  Default ON for the tail risk it removes: novel
-        # shape mixes stall tens of seconds per off-ladder compile.
-        # SMOLVISION_MSTREAM_WQUANT=0 restores exact-width blocks.
-        Wq = 64
-        while Wq < W:
-            Wq *= 2
-        if Wq >= pcap:
-            S, W = 0, pcap
-        else:
-            S = min(S, pcap - Wq)
-            W = Wq
+        S, W = quantize_block(S, W, pcap)
 
     build, _prefill_full, _decode_lp = _batched_jits(engine)
     rope_start = np.full((B,), S, dtype=np.int32)   # logical == cache pos

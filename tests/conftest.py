@@ -72,6 +72,27 @@ def tiny_q25_model_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def moe_visible_model_dir(tmp_path_factory):
+    """tiny-moe with the full-coverage vocab and the special-id embed
+    region downscaled: random greedy trajectories land on visible tok{id}
+    pieces instead of attracting to <asr_text> (which decodes to "") —
+    combined with set_force_language, transcript comparisons over this
+    checkpoint are NON-vacuous token-trace comparisons."""
+    import os
+
+    from tools.engineer_checkpoint import EMBED_NAME, patch_rows, read_rows
+    from tools.make_tiny_model import build
+
+    d = str(tmp_path_factory.mktemp("models") / "moe-visible")
+    build("tiny-moe", d, seed=1, dtype="bf16", full_vocab=True)
+    st = os.path.join(d, "model.safetensors")
+    special = list(range(151643, 151936))
+    orig = read_rows(st, EMBED_NAME, special)
+    patch_rows(st, EMBED_NAME, {k: v * 0.05 for k, v in orig.items()})
+    return d
+
+
+@pytest.fixture(scope="session")
 def speech_like_audio():
     """Deterministic synthetic 'speech': a few seconds of AM-modulated tones
     with pauses — enough structure for mel/encoder/segmenter tests."""

@@ -233,31 +233,19 @@ def test_upload_audio_fits_exact_chunk_multiple(seg_engine):
 
 
 def test_batched_segments_moe_matches_sequential_nonvacuous(
-        tmp_path_factory):
+        moe_visible_model_dir):
     """Batched segments over the MoE decoder (the batch-native capacity-
     dispatch prefill + gather decode), NON-vacuous: force_language opens
-    the <asr_text> gate and the full-coverage vocab makes every greedy id
-    a visible "tok{id}" piece, so text equality IS token-trace equality."""
+    the <asr_text> gate and the moe_visible checkpoint keeps greedy
+    trajectories on visible full-vocab pieces, so text equality IS
+    token-trace equality."""
     import jax.numpy as jnp
 
-    from tools.make_tiny_model import build
     from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
     from smolvision_tpu.runtime.engine import Engine
 
-    d = str(tmp_path_factory.mktemp("models") / "moe-fv")
-    build("tiny-moe", d, seed=1, dtype="bf16", full_vocab=True)  # patch_rows needs BF16
-    # random checkpoints greedily attract to a SPECIAL token (here
-    # <asr_text>, which decodes to "") — downscale the whole special-id
-    # region so the trajectory lands on visible tok{id} pieces
-    import os
-
-    from tools.engineer_checkpoint import EMBED_NAME, patch_rows, read_rows
-
-    st = os.path.join(d, "model.safetensors")
-    special = list(range(151643, 151936))
-    orig = read_rows(st, EMBED_NAME, special)
-    patch_rows(st, EMBED_NAME, {k: v * 0.05 for k, v in orig.items()})
-    eng = Engine(d, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+    eng = Engine(moe_visible_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
     eng.max_tokens = 8
     assert eng.set_force_language("English")
     rng = np.random.default_rng(9)

@@ -223,7 +223,11 @@ def test_batched_cache_flash_random_shape_sweep():
     rng = np.random.default_rng(29)
     for trial in range(6):
         B = int(rng.integers(1, 4))
-        T = 64 * int(rng.integers(1, 4))
+        # T up to 512 with block_q down to 64 makes (G*T)//bq exceed G —
+        # q-tiles that SPLIT a G-folded group (the production W=512
+        # multistream shape); T <= 192 alone never leaves the 1-tile case
+        T = 64 * int(rng.integers(1, 9))
+        block_q = int(rng.choice([64, 128, 256]))
         KH = int(rng.choice([1, 2, 4]))
         G = int(rng.choice([1, 2, 4]))
         H = KH * G
@@ -245,7 +249,7 @@ def test_batched_cache_flash_random_shape_sweep():
             pm, rs = None, None
         got = batched_cache_flash_attention(
             q, k_new, v_new, k_cache, v_cache, jnp.int32(start), kv_min,
-            prompt_max=pm, region_start=rs, gqa_groups=G)
+            prompt_max=pm, region_start=rs, gqa_groups=G, block_q=block_q)
         expect = _batched_attention_two_part(
             q, k_new, v_new, k_cache, v_cache, jnp.int32(start), cfg,
             kv_min=kv_min, prompt_max=pm, region_start=rs)

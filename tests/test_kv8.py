@@ -173,19 +173,23 @@ def test_multistream_kv8_smoke(tiny_model_dir):
         assert isinstance(r, str)
 
 
-def test_serving_matches_one_shot_under_kv8_moe(tiny_moe_model_dir):
+def test_serving_matches_one_shot_under_kv8_moe(moe_visible_model_dir):
     """kv8 + MoE: the quantized batched cache must plumb through the MoE
     decode (capacity-dispatch prefill + expert gather) identically in the
-    scheduler and the one-shot batch."""
+    scheduler and the one-shot batch.  NON-vacuous: forced language + the
+    moe_visible checkpoint make the compared transcripts real token
+    traces (an earlier version compared ['']*5 == ['']*5)."""
     import jax.numpy as jnp
 
     from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
     from smolvision_tpu.runtime.engine import Engine
     from smolvision_tpu.runtime.serving import serve_continuous
 
-    eng = Engine(tiny_moe_model_dir, param_dtype=jnp.float32,
+    eng = Engine(moe_visible_model_dir, param_dtype=jnp.float32,
                  kv_dtype=jnp.float32, kv8=True)
     eng.max_tokens = 6
+    assert eng.set_force_language("English")
     clips = _clips(5, seed=3)
     one_shot = transcribe_segments_batched(eng, clips)
     assert serve_continuous(eng, clips, slots=2) == one_shot
+    assert any(t for t in one_shot), "comparison vacuous"

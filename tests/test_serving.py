@@ -174,29 +174,18 @@ def test_continuous_latency_percentiles(srv_engine):
     assert lat["admit_ttft_p99_ms"] <= lat["ttft_p99_ms"] + 1e-6
 
 
-def test_continuous_moe_matches_one_shot_nonvacuous(tmp_path_factory):
+def test_continuous_moe_matches_one_shot_nonvacuous(moe_visible_model_dir):
     """Continuous serving over the MoE decoder (slot admission + batched
-    MoE decode), NON-vacuous: forced language + downscaled special-id
-    region make every compared transcript real visible tokens (same
-    recipe as tests/test_batch_segments.py's MoE case)."""
-    import os
-
+    MoE decode), NON-vacuous via the shared moe_visible checkpoint +
+    forced language."""
     import jax.numpy as jnp
 
-    from tools.engineer_checkpoint import EMBED_NAME, patch_rows, read_rows
-    from tools.make_tiny_model import build
     from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
     from smolvision_tpu.runtime.engine import Engine
     from smolvision_tpu.runtime.serving import serve_continuous
 
-    d = str(tmp_path_factory.mktemp("models") / "moe-srv")
-    build("tiny-moe", d, seed=1, dtype="bf16", full_vocab=True)
-    st = os.path.join(d, "model.safetensors")
-    special = list(range(151643, 151936))
-    orig = read_rows(st, EMBED_NAME, special)
-    patch_rows(st, EMBED_NAME, {k: v * 0.05 for k, v in orig.items()})
-
-    eng = Engine(d, param_dtype=jnp.float32, kv_dtype=jnp.float32)
+    eng = Engine(moe_visible_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
     eng.max_tokens = 6
     assert eng.set_force_language("English")
     clips = _clips(5, seed=7)
