@@ -189,7 +189,19 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
             if n_pending:
                 time.sleep(0.005)   # live buffers filling; don't spin
             continue
-        if len(works) == 1:
+        if (len(works) == 1
+                and os.environ.get("SMOLVISION_MSTREAM_SOLO_BATCHED",
+                                   "1") == "0"):
+            # LEGACY solo fallback (opt-in via ...SOLO_BATCHED=0).  The
+            # default routes singleton rounds through the batched
+            # machinery below (one active row, pad rows masked), which
+            # preserves KV reuse in BOTH directions: the solo transition
+            # previously cost a full re-prefill AND invalidated the
+            # session's batched row (its signature advances), so a live
+            # fleet with one straggler alternating 1-active/2-active
+            # rounds paid two full prefills per alternation
+            # (docs/MULTISTREAM.md).  Token-exact either way
+            # (test_multistream.py pins both paths against each other).
             st, w = works[0]
             if not getattr(st, "_solo_kv_valid", False):
                 # Every earlier round for this session ran through the

@@ -142,10 +142,13 @@ def test_batched_chunks_match_solo_raw_tokens(ms_engine, monkeypatch):
     outputs in batched and solo execution.  Mixed durations make the last
     session fall back to run_solo_chunk after batched rounds (the stale-
     solo-KV path: its view's cache never saw the batched rounds and must be
-    reset + fully re-prefilled)."""
+    reset + fully re-prefilled).  SOLO_BATCHED=0 forces the legacy solo
+    fallback so this test keeps covering that path (the default routes
+    singleton rounds through the batched machinery)."""
     from smolvision_tpu.runtime import multistream as ms
     from smolvision_tpu.runtime import stream as stream_mod
 
+    monkeypatch.setenv("SMOLVISION_MSTREAM_SOLO_BATCHED", "0")
     clips = _clips()  # 3/4/5 s -> sessions drain at different rounds
     ms_engine.past_text_conditioning = True
 
@@ -587,3 +590,52 @@ def test_quantize_block_invariants():
     assert quantize_block(64, 320, 384) == (0, 384)   # Wq 512 >= pcap
     assert quantize_block(64, 192, 512) == (64, 256)
     assert quantize_block(128, 64, 512) == (128, 64)  # already on ladder
+
+
+def test_singleton_batched_matches_solo_fallback(ms_engine, monkeypatch):
+    """Default singleton-round routing (through the batched machinery, one
+    active row — preserves KV reuse across 1-active rounds) must produce
+    the same per-chunk tokens as the legacy solo fallback
+    (SMOLVISION_MSTREAM_SOLO_BATCHED=0).  Mixed durations guarantee
+    singleton rounds occur (the longest session outlives the others)."""
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+
+    clips = _clips()  # 3/4/5 s -> the 5 s session runs singleton rounds
+    ms_engine.past_text_conditioning = True
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append(list(chunk_tokens))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    solo_called = []
+    orig_solo = stream_mod.run_solo_chunk
+
+    def solo_spy(st, w):
+        solo_called.append(1)
+        return orig_solo(st, w)
+
+    monkeypatch.setattr(stream_mod, "run_solo_chunk", solo_spy)
+
+    runs = []
+    for env in ("0", None):
+        if env is None:
+            monkeypatch.delenv("SMOLVISION_MSTREAM_SOLO_BATCHED",
+                               raising=False)
+        else:
+            monkeypatch.setenv("SMOLVISION_MSTREAM_SOLO_BATCHED", env)
+        log.clear()
+        solo_called.clear()
+        ms.run_streams(ms_engine, clips)
+        runs.append(list(log))
+        if env == "0":
+            assert solo_called, "workload produced no singleton rounds: "                                 "the comparison would be vacuous"
+        else:
+            assert not solo_called, "default still routed solo"
+    ms_engine.past_text_conditioning = False
+    assert any(runs[0]), "no chunks decoded: vacuous"
+    assert runs[0] == runs[1]
