@@ -35,6 +35,9 @@ Usage:
   # only, --skip-tpu: 16.5 GB bf16 exceeds one v5e's HBM):
   python tools/cross_parity_c.py --modes text,audio \
       --model .bench_cache/qwen3-asr-1.7b-eng --report
+  # (rebuild after cache loss: python tools/engineer_checkpoint.py
+  #  --base-only --geom q25-7b --out .bench_cache/qwen25-omni-7b-eng —
+  #  thinker modes need no chain surgery, just the EOS downscale)
   python tools/cross_parity_c.py --modes text,audio --skip-tpu \
       --model .bench_cache/qwen25-omni-7b-eng --report
   # MoE family (tools/make_tiny_model.py --preset moe-c --full-vocab):

@@ -672,11 +672,22 @@ def main():
     ap.add_argument("--seg-geom", default="0.6b",
                     help="make_tiny_model preset for checkpoint B (pair "
                          "with --seg-out .bench_cache/qwen3-asr-1.7b-eng-seg)")
+    ap.add_argument("--base-only", action="store_true",
+                    help="build + EOS-downscale only, NO chain surgery — "
+                         "for thinker-mode parity checkpoints where chains "
+                         "are unneeded (q25-7b) or unreachable (MoE: "
+                         "step-hidden cosines 0.95+ leave the shared-row "
+                         "least-squares ill-conditioned, docs/PARITY_C.md)")
     args = ap.parse_args()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+
+    if args.base_only:
+        _base_build(args.out, args.seed, args.geom)
+        print(f"base checkpoint (no chains): {args.out}", flush=True)
+        return
 
     ok = True
     if args.only != "b":
