@@ -85,7 +85,7 @@ def _perturb(samples, rng):
     return (samples + rng.normal(0.0, NOISE, len(samples))).astype(np.float32)
 
 
-def _timed_runs(label, fn, samples, rng, runs=RUNS, use_perf=None):
+def _timed_runs(label, fn, samples, rng, runs=RUNS):
     """Best wall-clock ms over `runs` perturbed-input repetitions."""
     best = float("inf")
     for i in range(runs):
@@ -93,8 +93,6 @@ def _timed_runs(label, fn, samples, rng, runs=RUNS, use_perf=None):
         t0 = time.monotonic()
         fn(clip)
         ms = (time.monotonic() - t0) * 1000.0
-        if use_perf is not None:
-            ms = use_perf()
         log(f"bench: {label} run {i + 1}: {ms:.0f} ms")
         best = min(best, ms)
     return best
