@@ -326,8 +326,12 @@ def main() -> int:
     # --stream drops to 0.96x realtime while its own offline -S 30 does
     # 9.64x (README.md:419-424) — steady-state chunks carry the full
     # 4-window prompt and the M3 Max can't keep up.  Our sliding window has
-    # the same bounded context, so the realtime factor should hold near the
-    # 45 s number.  Clip: the two real speech samples concatenated
+    # the same bounded context, and the realtime factor HOLDS: measured
+    # 14.28x best-of-3 (warm runs 9.4-25 s) on 2026-08-19 — ~14.9x the
+    # reference.  One earlier window measured 1.56x with ~90 s warm runs;
+    # tools/probe_stream135.py attributed that entirely to an axon
+    # slow-compile period (cold run 179 s, warm 10.4 s = 12.9x; steady
+    # chunks ~120-180 ms).  Clip: the two real speech samples concatenated
     # (45 s + 89 s = 133.9 s — same speaker/recording session).
     if "stream135" in only:
         s135 = np.concatenate([load_wav(CLIP_45S), load_wav(CLIP_89S)])
