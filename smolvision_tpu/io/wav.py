@@ -80,9 +80,17 @@ def resample_sinc(samples: np.ndarray, in_rate: int, out_rate: int = SAMPLE_RATE
 
 
 def parse_wav_buffer(data: bytes) -> np.ndarray:
-    """Parse a WAV byte buffer -> float32 mono samples at 16 kHz."""
-    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
+    """Parse a WAV byte buffer -> float32 mono samples at 16 kHz.
+
+    Chunk-walk semantics mirror qwen_asr_audio.c:40-69 exactly (pinned by
+    the input-space fuzz, tools/fuzz_parity_c.py): every chunk is visited
+    and the LAST fmt / data chunks win; a chunk whose declared size
+    overruns the file ends the walk BEFORE being parsed (so an overrun
+    data header means rejection, not clamping); odd chunk sizes are
+    word-aligned; a fmt chunk shorter than 16 bytes is skipped.
+    """
+    if len(data) < 44 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a valid WAV file")
 
     pos = 12
     fmt = None
@@ -90,43 +98,47 @@ def parse_wav_buffer(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
         (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + chunk_size]
-        if chunk_id == b"fmt ":
-            if len(body) < 16:  # struct.error is not a ValueError: raise our own
-                raise ValueError("truncated WAV fmt chunk")
+        if pos + 8 + chunk_size > len(data):
+            break
+        if chunk_id == b"fmt " and chunk_size >= 16:
             audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", body, 0
+                "<HHIIHH", data, pos + 8
             )
             fmt = (audio_format, channels, sample_rate, bits)
         elif chunk_id == b"data":
-            pcm = body
+            pcm = data[pos + 8 : pos + 8 + chunk_size]
         pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
-        if fmt and pcm is not None:
-            break
+
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
 
     audio_format, channels, sample_rate, bits = fmt
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
     if audio_format == 1 and bits == 16:
-        raw = np.frombuffer(pcm, dtype="<i2")
+        raw = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
         if channels > 1:
+            # channel mix matches the C loop bit-for-bit: int16 values
+            # summed in f32 (exact: integer magnitudes < 2^24), f32 divide
+            # by the channel count, then the exact /2^15 scale
             raw = raw[: len(raw) // channels * channels].reshape(-1, channels)
-            samples = raw.mean(axis=1, dtype=np.float64) / 32768.0
+            sums = raw.astype(np.float32).sum(axis=1, dtype=np.float32)
+            samples = (sums / np.float32(channels)) / np.float32(32768.0)
         else:
-            samples = raw.astype(np.float64) / 32768.0
+            samples = raw.astype(np.float32) / np.float32(32768.0)
     elif audio_format == 3 and bits == 32:  # IEEE float (convenience extension)
-        raw = np.frombuffer(pcm, dtype="<f4")
+        raw = np.frombuffer(pcm[: len(pcm) // 4 * 4], dtype="<f4")
         if channels > 1:
             raw = raw[: len(raw) // channels * channels].reshape(-1, channels)
-            samples = raw.mean(axis=1, dtype=np.float64)
+            samples = raw.sum(axis=1, dtype=np.float32) / np.float32(channels)
         else:
-            samples = raw.astype(np.float64)
+            samples = raw.astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV format {audio_format} / {bits}-bit")
 
     if sample_rate != SAMPLE_RATE:
         return resample_sinc(samples, sample_rate, SAMPLE_RATE)
-    return samples.astype(np.float32)
+    return samples
 
 
 def load_wav(path: str) -> np.ndarray:

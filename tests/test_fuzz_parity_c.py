@@ -1,0 +1,75 @@
+"""Input-space differential parity vs the reference C binary (CI subset).
+
+tools/fuzz_parity_c.py sweeps ~50 input-space cases (WAV container edges,
+resample rates, channel mixes, duration boundaries, tokenizer-hostile
+text); this pins a representative fast subset in CI so regressions in the
+parsers/resampler/mel/prompt/tokenizer surface as byte divergences, not
+just unit-test drift.  One case per input-handling subsystem:
+
+  text_cjk            tokenizer multi-byte BPE (no pre-tokenizer regex)
+  text_emoji          surrogate-pair / ZWJ byte pieces
+  wav_370ms           conv partial-tail chunk arithmetic
+  wav_rate44k         Kaiser-sinc resampler (44.1k -> 16k, non-integer)
+  wav_stereo_distinct channel averaging (qwen_asr_audio.c:83-92 semantics)
+  wav_junk_mid        RIFF chunk walk w/ odd-size padding (qwen_asr_audio.c:51-69)
+
+Both engines run the same arithmetic family (C: bf16 weights/f32 math;
+ours: CPU --f32), so byte-exact stdout is required.  The fuzz-c checkpoint
+(4-layer/256-dim, full 480-ch conv stem, full vocab) keeps the C engine's
+single-core scalar run to seconds per case.  Skip knob shared with
+test_c_parity: SMOLVISION_SKIP_C_PARITY=1.
+"""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SMOLVISION_SKIP_C_PARITY") == "1"
+    or not os.path.isdir("/root/reference")
+    or shutil.which("gcc") is None
+    or shutil.which("make") is None,
+    reason="reference sources / toolchain unavailable",
+)
+
+CASES = ["text_cjk", "text_emoji", "wav_370ms", "wav_rate44k",
+         "wav_stereo_distinct", "wav_junk_mid"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_env():
+    sys.path.insert(0, REPO)
+    from tools import fuzz_parity_c as fz
+    from tools.cross_parity_c import ensure_binary
+
+    cfg = fz.ensure_model()
+    bin_path = ensure_binary(dense_cfg=cfg)
+    audio = fz.build_audio_cases(np.random.default_rng(0xF022))
+    os.makedirs(fz.WAV_DIR, exist_ok=True)
+    return fz, bin_path, audio
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_fuzz_case_byte_exact(fuzz_env, name):
+    fz, bin_path, audio = fuzz_env
+    if name in fz.TEXT_CASES:
+        tail = ["--thinker", "--text", fz.TEXT_CASES[name],
+                "--temperature", "0", "--max-tokens", "12"]
+    else:
+        wav_path = os.path.join(fz.WAV_DIR, name + ".wav")
+        with open(wav_path, "wb") as f:
+            f.write(audio[name])
+        tail = ["--thinker", "-i", wav_path,
+                "--temperature", "0", "--max-tokens", "16"]
+    args = ["-d", fz.MODEL] + tail
+    res = fz.run_case(name, args, args, bin_path)
+    assert res["match"], (
+        f"{name}: c_rc={res['c_rc']} our_rc={res['our_rc']} "
+        f"div@{res['divergence_byte']} C={res['c_stdout'][:100]!r} "
+        f"ours={res['our_stdout'][:100]!r}\n"
+        f"our stderr: {res['our_stderr_tail']}")

@@ -124,16 +124,65 @@ def _moe_geometry_patch(src: str, cfg: dict) -> str:
     return out
 
 
-def ensure_binary(moe_cfg: dict | None = None) -> str:
+def _dense_geometry_patch(src: str, cfg: dict) -> str:
+    """Rewrite detect_config's 0.6B fallback-branch constants to `cfg`'s
+    dense geometry.  Same contract as _moe_geometry_patch: the ONLY source
+    change is the constant block inside the final `else` (which a checkpoint
+    with <19 encoder layers falls into anyway — no probe rename needed);
+    every line of model *code* runs unmodified.  Used by the input-space
+    parity fuzz (tools/fuzz_parity_c.py) to make the C engine runnable in
+    seconds on the tiny `fuzz-c` checkpoint.  The conv stem stays at the
+    hardcoded QWEN_CONV_HIDDEN=480 (qwen_asr.h:39) — the checkpoint carries
+    full-size conv weights."""
+    import re
+
+    ac = cfg["thinker_config"]["audio_config"]
+    tc = cfg["thinker_config"]["text_config"]
+    assert ac["downsample_hidden_size"] == 480, \
+        "C engine hardcodes QWEN_CONV_HIDDEN=480"
+    body = "\n".join(
+        f"        cfg->{k} = {v};" for k, v in [
+            ("enc_d_model", ac["d_model"]),
+            ("enc_layers", ac["encoder_layers"]),
+            ("enc_heads", ac["encoder_attention_heads"]),
+            ("enc_head_dim", ac["d_model"] // ac["encoder_attention_heads"]),
+            ("enc_ffn_dim", ac["encoder_ffn_dim"]),
+            ("enc_output_dim", ac["output_dim"]),
+            ("dec_hidden", tc["hidden_size"]),
+            ("dec_layers", tc["num_hidden_layers"]),
+            ("dec_heads", tc["num_attention_heads"]),
+            ("dec_kv_heads", tc["num_key_value_heads"]),
+            ("dec_head_dim", tc["head_dim"]),
+            ("dec_intermediate", tc["intermediate_size"]),
+        ])
+    block = ("else {\n"
+             "        /* dense parity geometry (constants patched by"
+             " tools/cross_parity_c.py) */\n"
+             + body + "\n"
+             "        if (qwen_verbose >= 1)"
+             " fprintf(stderr, \"Detected: dense (parity geometry)\\n\");\n"
+             "    }\n\n    /* Common parameters */")
+    out, n = re.subn(r"else \{\s*/\* 0\.6B model \*/.*?\}\s*"
+                     r"/\* Common parameters \*/",
+                     block.replace("\\", "\\\\"), src, count=1, flags=re.S)
+    assert n == 1, "detect_config 0.6B fallback branch not found"
+    return out
+
+
+def ensure_binary(moe_cfg: dict | None = None,
+                  dense_cfg: dict | None = None) -> str:
     """Copy the reference C sources to a scratch dir and `make` them.
     Cached: rebuilt only when a source is newer than the binary.
     `moe_cfg`: a checkpoint config.json dict — builds a SEPARATE binary
     whose detect_config constants (only) are regenerated for that MoE
-    geometry (see _moe_geometry_patch)."""
-    build_dir = BUILD_DIR + ("_moe" if moe_cfg else "")
+    geometry (see _moe_geometry_patch).  `dense_cfg`: same, for a dense
+    non-hardcoded geometry (see _dense_geometry_patch)."""
+    assert not (moe_cfg and dense_cfg)
+    build_dir = BUILD_DIR + ("_moe" if moe_cfg else "_dense" if dense_cfg else "")
     bin_path = os.path.join(build_dir, "qwen_asr")
     stamp_path = os.path.join(build_dir, "geometry.json")
-    stamp = json.dumps(moe_cfg, sort_keys=True) if moe_cfg else ""
+    patch_cfg = moe_cfg or dense_cfg
+    stamp = json.dumps(patch_cfg, sort_keys=True) if patch_cfg else ""
     srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
             + glob.glob(os.path.join(REF_SRC, "*.h"))
             + [os.path.join(REF_SRC, "Makefile")])
@@ -151,12 +200,14 @@ def ensure_binary(moe_cfg: dict | None = None) -> str:
     os.makedirs(build_dir, exist_ok=True)
     for s in srcs:
         shutil.copy2(s, build_dir)
-    if moe_cfg is not None:
+    if patch_cfg is not None:
         asr_c = os.path.join(build_dir, "qwen_asr.c")
         with open(asr_c) as f:
             src = f.read()
+        patched = (_moe_geometry_patch(src, moe_cfg) if moe_cfg
+                   else _dense_geometry_patch(src, dense_cfg))
         with open(asr_c, "w") as f:
-            f.write(_moe_geometry_patch(src, moe_cfg))
+            f.write(patched)
     # -march=native -ffast-math is the reference's OWN shipped default
     # (its Makefile: CFLAGS_BASE = -Wall -Wextra -O3 -march=native
     # -ffast-math), so this is the arithmetic family the parity target

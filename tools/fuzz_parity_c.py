@@ -1,0 +1,427 @@
+#!/usr/bin/env python3
+"""Input-space differential parity fuzz: smolvision_tpu vs the reference C binary.
+
+The engineered-checkpoint parity matrix (docs/PARITY_C.md) pins byte-exact
+token traces on FIXED inputs; this tool sweeps the INPUT space on a fixed
+tiny checkpoint instead — WAV container edges, sample-rate resampling,
+channel mixing, duration boundaries (conv chunks, encoder windows), signal
+pathologies, and tokenizer-hostile text — and byte-compares stdout (thinker
+greedy, ungated: stdout equality IS token-trace equality on the full
+synthetic vocab) plus exit codes between the two engines.  A gated-ASR
+tail (ASR_CASES) additionally sweeps offline/segmented/silence-skip/stream
+modes with --language English (which opens the <asr_text> gate from the
+prompt, qwen_asr.c:592,781 — every token emitted, no surgery needed).
+
+Cost model: the C engine runs its generic scalar kernels on one core, so the
+checkpoint is the tiny `fuzz-c` geometry (tools/make_tiny_model.py) — full
+480-channel conv stem (QWEN_CONV_HIDDEN is hardcoded, qwen_asr.h:39) but a
+4-layer/256-dim stack, built with --full-vocab; the C binary gets its
+detect_config fallback-branch constants regenerated for it
+(cross_parity_c._dense_geometry_patch).  Whole corpus: ~10-20 min.
+
+Both engines run the same arithmetic family: ours CPU + --f32 (the C engine
+is bf16-weights/f32-math).  A divergence therefore means a semantic
+difference (parser, resampler, mix, mel, prompt, tokenizer) or an
+accumulation-order tie-flip; rerun the case with --only NAME to triage.
+
+Usage:
+  python tools/fuzz_parity_c.py                 # full corpus
+  python tools/fuzz_parity_c.py --only text_cjk,wav_rate8k
+  python tools/fuzz_parity_c.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.cross_parity_c import ensure_binary, first_divergence  # noqa: E402
+
+MODEL = os.path.join(REPO, ".bench_cache", "qwen3-fuzz-c")
+MODEL_MOE = os.path.join(REPO, ".bench_cache", "qwen3-fuzz-moe-c")
+WAV_DIR = "/tmp/sv_fuzz_wavs"
+
+
+# ---------------------------------------------------------------------------
+# corpus: text cases (tokenizer + prompt-build + decode parity; cheap C-side)
+# ---------------------------------------------------------------------------
+
+TEXT_CASES = {
+    "text_plain": "the quick brown fox jumps over the lazy dog",
+    "text_leading_space": "   leading and   multiple   spaces",
+    "text_trailing_space": "trailing spaces   ",
+    "text_tabs_newlines": "line one\n\tline two\r\nline three",
+    "text_cjk": "语音识别系统的跨引擎一致性测试",
+    "text_japanese": "日本語のテキストと英語mixed text",
+    "text_emoji": "emoji test \U0001F600\U0001F680 family \U0001F468\u200d\U0001F469\u200d\U0001F467",
+    "text_combining": "cafe\u0301 nai\u0308ve a\u030a ring",
+    "text_rtl": "\u0645\u0631\u062d\u0628\u0627 hello \u05e9\u05dc\u05d5\u05dd",
+    "text_greek_math": "\u03a9\u2248\u00e7\u221a\u222b \u00b5\u2202\u2206",
+    "text_digits_punct": "1,234.56!? (50%) [a-b] {c;d} <e|f> #tag @user",
+    "text_single_char": "x",
+    "text_single_space": " ",
+    "text_long_repeat": "buffalo " * 40,
+    "text_bytes_high": "\u00df\u00fe\u00f0 \u00c6\u00d8\u00c5 \u0152\u0153",
+    "text_control_del": "before\x7fafter \x01 bell\x07",
+    "text_nbsp_zwsp": "non\u00a0breaking\u200bzero width\u2009thin",
+    "text_quotes": "\"double\" 'single' \u201ccurly\u201d \u2018c2\u2019 `tick`",
+    "text_backslash": "C:\\path\\to\\file and \\n literal \\t",
+    "text_korean_thai": "\ud55c\uad6d\uc5b4 \u0e20\u0e32\u0e29\u0e32\u0e44\u0e17\u0e22",
+    "text_cyrillic": "\u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u043f\u0440\u043e\u0432\u0435\u0440\u043a\u0430",
+    "text_surrogate_pairs": "\U0001D49C\U0001D4B5 math script \U0002070E rare CJK",
+}
+
+
+# ---------------------------------------------------------------------------
+# corpus: audio cases
+# ---------------------------------------------------------------------------
+
+def _sig_tone_am(rng, n, sr):
+    t = np.arange(n) / sr
+    return (0.30 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+            + 0.15 * np.sin(2 * np.pi * 880 * t) * (t % 1.0 < 0.4)
+            + 0.01 * rng.standard_normal(n))
+
+
+def _sig_noise(rng, n, sr):
+    return 0.2 * rng.standard_normal(n)
+
+
+def _sig_bursts(rng, n, sr):
+    sig = np.zeros(n)
+    t = np.arange(n) / sr
+    for k in range(0, n, sr // 2):
+        end = min(k + sr // 8, n)
+        tt = t[k:end]
+        sig[k:end] = 0.4 * np.sin(2 * np.pi * (300 + 100 * (k // (sr // 2))) * tt)
+    return sig + 0.002 * rng.standard_normal(n)
+
+
+def _sig_near_silent(rng, n, sr):
+    return 1e-4 * rng.standard_normal(n)
+
+
+def _sig_clipped_square(rng, n, sr):
+    t = np.arange(n) / sr
+    return np.sign(np.sin(2 * np.pi * 97 * t)) * 1.5  # clips to +-1 in s16
+
+
+def _sig_dc_chirp(rng, n, sr):
+    t = np.arange(n) / sr
+    return 0.3 + 0.25 * np.sin(2 * np.pi * (100 + 400 * t) * t)
+
+
+def make_wav(sig: np.ndarray, sr: int, channels: int = 1,
+             pre_chunks: list | None = None, mid_chunks: list | None = None,
+             trailing: bytes = b"", data_size_override: int | None = None,
+             extra_data: np.ndarray | None = None) -> bytes:
+    """Build a WAV byte buffer with controllable chunk layout.
+
+    pre_chunks / mid_chunks: [(id4, payload)] inserted before fmt / between
+    fmt and data.  data_size_override: lie in the data chunk header.
+    extra_data: a SECOND data chunk appended after the first (the reference
+    walks all chunks and the last one wins, qwen_asr_audio.c:51-69)."""
+    if channels > 1 and sig.ndim == 1:
+        sig = np.stack([sig] * channels, axis=1)
+    pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+
+    def chunk(cid, payload, size=None):
+        b = cid + struct.pack("<I", len(payload) if size is None else size) + payload
+        if len(payload) & 1:
+            b += b"\x00"  # word alignment padding
+        return b
+
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * 2 * channels,
+                      2 * channels, 16)
+    body = b""
+    for cid, payload in (pre_chunks or []):
+        body += chunk(cid, payload)
+    body += chunk(b"fmt ", fmt)
+    for cid, payload in (mid_chunks or []):
+        body += chunk(cid, payload)
+    body += chunk(b"data", pcm, size=data_size_override)
+    if extra_data is not None:
+        pcm2 = (np.clip(extra_data, -1, 1) * 32767).astype("<i2").tobytes()
+        body += chunk(b"data", pcm2)
+    body += trailing
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def build_audio_cases(rng) -> dict:
+    """name -> wav bytes.  Durations target the mel/conv/window boundaries:
+    conv chunks are 100 mel frames (1.00 s), encoder windows 104 tokens =
+    832 frames = 8.32 s."""
+    cases = {}
+
+    def std(name, sig_fn, dur, sr=16000, **kw):
+        n = int(round(dur * sr))
+        cases[name] = make_wav(sig_fn(rng, n, sr), sr, **kw)
+
+    # durations at conv-chunk / token boundaries (16 kHz mono)
+    std("wav_25ms", _sig_tone_am, 0.025)           # sub-window audio
+    std("wav_125ms", _sig_noise, 0.125)
+    std("wav_370ms", _sig_tone_am, 0.370)          # partial tail chunk
+    std("wav_1s_exact", _sig_tone_am, 1.000)       # exactly 100 frames
+    std("wav_1s_minus1frame", _sig_tone_am, (16000 - 160) / 16000)
+    std("wav_1s_plus1frame", _sig_tone_am, (16000 + 160) / 16000)
+    std("wav_2s1", _sig_bursts, 2.100)
+    std("wav_odd_samples", _sig_noise, 16001 / 16000)  # non-multiple of hop
+    # encoder window boundary: 104 tokens = 8.32 s; one token = 80 ms
+    std("wav_window_minus1tok", _sig_tone_am, 8.32 - 0.08)
+    std("wav_window_exact", _sig_tone_am, 8.32)
+    std("wav_window_plus1tok", _sig_bursts, 8.32 + 0.08)
+
+    # signal pathologies
+    std("wav_near_silent", _sig_near_silent, 1.7)
+    std("wav_clipped_square", _sig_clipped_square, 1.3)
+    std("wav_dc_chirp", _sig_dc_chirp, 1.5)
+
+    # resampler parity (the Kaiser-sinc path; every rate != 16000 resamples)
+    std("wav_rate8k", _sig_tone_am, 1.5, sr=8000)
+    std("wav_rate11k", _sig_bursts, 1.2, sr=11025)
+    std("wav_rate22k", _sig_tone_am, 1.1, sr=22050)
+    std("wav_rate44k", _sig_noise, 1.0, sr=44100)
+    std("wav_rate48k", _sig_tone_am, 0.9, sr=48000)
+
+    # channel mixing (the C engine averages ANY channel count in f32,
+    # qwen_asr_audio.c:83-92)
+    n = int(1.4 * 16000)
+    left = _sig_tone_am(rng, n, 16000)
+    right = _sig_bursts(rng, n, 16000)
+    cases["wav_stereo_distinct"] = make_wav(
+        np.stack([left, right], axis=1), 16000, channels=2)
+    tri = np.stack([left, right, _sig_noise(rng, n, 16000)], axis=1)
+    cases["wav_3ch"] = make_wav(tri, 16000, channels=3)
+
+    # container-layout edges (reference walk: qwen_asr_audio.c:51-69 —
+    # skips unknown chunks with word alignment, LAST fmt/data win, stops at
+    # the first chunk whose declared size overruns the file)
+    sig = _sig_tone_am(rng, int(1.2 * 16000), 16000)
+    cases["wav_list_chunk"] = make_wav(
+        sig, 16000, pre_chunks=[(b"LIST", b"INFOIART" + struct.pack("<I", 5) + b"fuzz\x00")])
+    cases["wav_junk_mid"] = make_wav(
+        sig, 16000, mid_chunks=[(b"fact", struct.pack("<I", 12345)),
+                                (b"junk", b"\x00" * 37)])  # odd size: padding
+    cases["wav_trailing_garbage"] = make_wav(
+        sig, 16000, trailing=b"\xde\xad\xbe\xef" * 8)
+    cases["wav_two_data_chunks"] = make_wav(
+        sig, 16000, extra_data=_sig_bursts(rng, int(0.9 * 16000), 16000))
+    # data chunk header claims more bytes than the file holds: the C walk
+    # stops before parsing it -> no data chunk -> parse error (rc != 0);
+    # both engines must agree on the REJECTION
+    cases["wav_data_overrun"] = make_wav(
+        sig, 16000, data_size_override=len(sig) * 2 + 100000)
+
+    return cases
+
+
+# ---------------------------------------------------------------------------
+# corpus: gated ASR-mode cases (offline / segmented / silence-skip / stream)
+#
+# `--language English` puts <asr_text> in the PROMPT (qwen_asr.c:592,781),
+# so the gate is open from step 1 and every generated token is emitted —
+# no checkpoint surgery needed.  Decode is bounded by EOS or the shared
+# 2048-token cap (qwen_asr.c:777 == engine.max_tokens); random-checkpoint
+# trajectories usually enter a repeat cycle without EOS, so a case can run
+# the full cap (~1-3 min/arm on the fuzz-c geometry) — the subset below is
+# chosen short.  These sweep the input-DEPENDENT host logic the fixed-input
+# parity matrix can't: silence-VAD arithmetic on pathological signals,
+# segment split search across energy profiles, collapse-retry heuristics,
+# resample->segment interactions, streaming chunking on odd durations.
+# ---------------------------------------------------------------------------
+
+ASR_CASES = {
+    # name -> (audio case, extra flags)
+    "asr_off_2s1": ("wav_2s1", ["-S", "0"]),
+    "asr_off_rate44k": ("wav_rate44k", ["-S", "0"]),
+    "asr_off_near_silent": ("wav_near_silent", ["-S", "0"]),
+    "asr_seg_2s1": ("wav_2s1", ["-S", "1", "-W", "0.5", "--past-text", "no"]),
+    "asr_seg_bursts_sil": ("wav_2s1", ["-S", "1", "-W", "0.5",
+                                       "--skip-silence", "--past-text", "no"]),
+    "asr_sil_near_silent": ("wav_near_silent", ["-S", "0", "--skip-silence"]),
+    "asr_strm_window": ("wav_window_plus1tok", ["--stream"]),
+    "asr_strm_odd": ("wav_odd_samples", ["--stream"]),
+    # system-prompt splice in the ASR prompt build (PREFIX_HEAD + prompt
+    # tokens + PREFIX_TAIL, qwen_asr.c:386-420)
+    "asr_off_sysprompt": ("wav_2s1", ["-S", "0", "--prompt",
+                                      "Preserve spelling: CPU, CUDA, ß中文"]),
+}
+
+# extra thinker-mode prompt-layout cases (ungated, max-tokens-bounded):
+# combined audio+text uses the AUDIO path layout in the reference
+# (qwen_asr.c:2384-2399 — user text does not change the embedding layout),
+# and --prompt splices system-prompt tokens into the prefix on both paths
+THINKER_EXTRA = {
+    "think_sysprompt_text": (None, ["--thinker", "--text", "alpha beta",
+                                    "--prompt", "You transcribe exactly.",
+                                    "--temperature", "0", "--max-tokens", "12"]),
+    "think_audio_plus_text": ("wav_1s_exact",
+                              ["--thinker", "--text", "ignored by layout",
+                               "--temperature", "0", "--max-tokens", "8"]),
+    "think_audio_sysprompt": ("wav_370ms",
+                              ["--thinker", "--prompt", "system bias éè",
+                               "--temperature", "0", "--max-tokens", "8"]),
+}
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+def ensure_model(moe: bool = False) -> dict:
+    model = MODEL_MOE if moe else MODEL
+    preset = "fuzz-moe-c" if moe else "fuzz-c"
+    cfg_path = os.path.join(model, "config.json")
+    if not os.path.exists(os.path.join(model, "model.safetensors")):
+        from tools.make_tiny_model import build
+        print(f"building {preset} checkpoint -> {model}", flush=True)
+        build(preset, model, seed=7, full_vocab=True)
+    with open(cfg_path) as f:
+        return json.load(f)
+
+
+def run_case(name: str, args_c, args_ours, bin_path, timeout=900,
+             allow_empty=False):
+    c = subprocess.run([bin_path] + args_c, capture_output=True, timeout=timeout)
+    env = dict(os.environ, SMOLVISION_PLATFORM="cpu")
+    r = subprocess.run([sys.executable, "-m", "smolvision_tpu.cli"]
+                       + args_ours + ["--f32"], capture_output=True,
+                       timeout=timeout, env=env)
+    div = first_divergence(c.stdout, r.stdout)
+    if c.returncode == 0:
+        # allow_empty: gated ASR modes can legitimately emit nothing (e.g.
+        # near-silent audio fully dropped by --skip-silence) — both engines
+        # agreeing on emptiness IS the check there, while for ungated
+        # thinker cases an empty C stdout means the case itself broke
+        match = div == -1 and r.returncode == 0 and (
+            len(c.stdout) > 0 or allow_empty)
+    else:
+        # rejection case: both engines must reject (rc != 0, empty stdout)
+        match = r.returncode != 0 and c.stdout == r.stdout == b""
+    return {"case": name, "match": match, "c_rc": c.returncode,
+            "our_rc": r.returncode, "divergence_byte": div,
+            "c_bytes": len(c.stdout), "our_bytes": len(r.stdout),
+            "c_stdout": c.stdout, "our_stdout": r.stdout,
+            "c_stderr_tail": c.stderr.decode(errors="replace")[-300:],
+            "our_stderr_tail": r.stderr.decode(errors="replace")[-300:]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma-separated case names to run")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--max-tokens", type=int, default=16)
+    ap.add_argument("--moe", action="store_true",
+                    help="run on the fuzz-moe-c checkpoint (router/top-8/"
+                         "expert-accumulate surface); thinker cases only — "
+                         "the gated-ASR host logic is family-independent "
+                         "and already swept on the dense geometry")
+    ap.add_argument("--json-out", default="",
+                    help="write full per-case results JSON here")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0xF022)
+    audio = build_audio_cases(rng)
+    names = list(TEXT_CASES) + list(audio) + list(THINKER_EXTRA)
+    if not args.moe:
+        names += list(ASR_CASES)
+    if args.list:
+        print("\n".join(names))
+        return 0
+    only = {s.strip() for s in args.only.split(",") if s.strip()}
+    if only:
+        unknown = only - set(names)
+        assert not unknown, f"unknown cases: {unknown}"
+
+    cfg = ensure_model(moe=args.moe)
+    bin_path = (ensure_binary(moe_cfg=cfg) if args.moe
+                else ensure_binary(dense_cfg=cfg))
+    model_dir = MODEL_MOE if args.moe else MODEL
+    os.makedirs(WAV_DIR, exist_ok=True)
+
+    mt = str(args.max_tokens)
+    results, fails = [], []
+    t_all = time.monotonic()
+    for name in names:
+        if only and name not in only:
+            continue
+        allow_empty = False
+        ours_extra = []
+        if name in TEXT_CASES:
+            tail = ["--thinker", "--text", TEXT_CASES[name],
+                    "--temperature", "0", "--max-tokens", "12"]
+        elif name in ASR_CASES:
+            wav_name, flags = ASR_CASES[name]
+            wav_path = os.path.join(WAV_DIR, wav_name + ".wav")
+            with open(wav_path, "wb") as f:
+                f.write(audio[wav_name])
+            tail = ["-i", wav_path, "--language", "English"] + flags
+            allow_empty = True
+            if name.startswith("asr_seg"):
+                # segmented cases decode OUR side sequentially like the C
+                # engine: the batched-segment optimization is a different
+                # f32 summation ORDER (batched vs single-row matmuls) and
+                # an unengineered 2048-token trajectory crosses thin
+                # argmax ties it can flip (measured: 1 flip at ~token 370
+                # of segment 2 on asr_seg_2s1; sequential = byte-exact).
+                # Token-equivalence of the batched path itself is pinned
+                # by tests/test_batch_segments.py.
+                ours_extra = ["--no-batch-segments"]
+        elif name in THINKER_EXTRA:
+            wav_name, flags = THINKER_EXTRA[name]
+            tail = list(flags)
+            if wav_name is not None:
+                wav_path = os.path.join(WAV_DIR, wav_name + ".wav")
+                with open(wav_path, "wb") as f:
+                    f.write(audio[wav_name])
+                tail += ["-i", wav_path]
+        else:
+            wav_path = os.path.join(WAV_DIR, name + ".wav")
+            with open(wav_path, "wb") as f:
+                f.write(audio[name])
+            tail = ["--thinker", "-i", wav_path,
+                    "--temperature", "0", "--max-tokens", mt]
+        common = ["-d", model_dir] + tail
+        t0 = time.monotonic()
+        res = run_case(name, common, common + ours_extra, bin_path,
+                       allow_empty=allow_empty)
+        res["secs"] = round(time.monotonic() - t0, 1)
+        status = "OK " if res["match"] else "FAIL"
+        print(f"{status} {name:26s} {res['secs']:6.1f}s  c_rc={res['c_rc']} "
+              f"our_rc={res['our_rc']} c={res['c_bytes']}B ours={res['our_bytes']}B"
+              + ("" if res["match"] else f" div@{res['divergence_byte']}"),
+              flush=True)
+        if not res["match"]:
+            d = max(0, res["divergence_byte"])
+            print(f"   C   : {res['c_stdout'][max(0, d - 20):d + 40]!r}")
+            print(f"   ours: {res['our_stdout'][max(0, d - 20):d + 40]!r}")
+            print(f"   C stderr: ...{res['c_stderr_tail'][-160:]}")
+            print(f"   our stderr: ...{res['our_stderr_tail'][-160:]}")
+            fails.append(name)
+        results.append(res)
+
+    print(f"\n{len(results) - len(fails)}/{len(results)} matched "
+          f"({time.monotonic() - t_all:.0f}s total)")
+    if fails:
+        print("FAILED: " + ", ".join(fails))
+    if args.json_out:
+        slim = [{k: (v if not isinstance(v, bytes) else v.decode(errors="replace"))
+                 for k, v in r.items()} for r in results]
+        with open(args.json_out, "w") as f:
+            json.dump(slim, f, indent=1)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

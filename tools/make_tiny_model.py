@@ -83,6 +83,24 @@ PRESETS = {
     "1.7b": dict(enc_d=1024, enc_L=24, enc_heads=16, enc_ffn=4096, enc_out=2048,
                  conv_hidden=480, dec_h=2048, dec_L=28, dec_heads=16, dec_kv=8,
                  head_dim=128, dec_inter=6144, vocab=151936),
+    # Dense geometry for the input-space parity fuzz vs the C binary
+    # (tools/fuzz_parity_c.py).  Full 480-channel conv stem because the C
+    # engine hardcodes QWEN_CONV_HIDDEN (qwen_asr.h:39) — only the branch
+    # constants of detect_config are patchable — but a small encoder stack
+    # and a 4-layer decoder so one C-side thinker run on a ~2 s clip takes
+    # seconds, not minutes.  Full vocab keeps QWEN_VOCAB_SIZE honest and
+    # (with --full-vocab) makes stdout equality a token-trace check.
+    "fuzz-c": dict(enc_d=256, enc_L=4, enc_heads=4, enc_ffn=512, enc_out=256,
+                   conv_hidden=480, dec_h=256, dec_L=4, dec_heads=4, dec_kv=2,
+                   head_dim=64, dec_inter=512, vocab=151936),
+    # MoE twin of fuzz-c: input-space fuzz over the router/top-8/expert
+    # accumulate path (near-tie router logits across varied audio are the
+    # numeric surface the fixed-input MoE parity rows can't sweep)
+    "fuzz-moe-c": dict(enc_d=256, enc_L=4, enc_heads=4, enc_ffn=512,
+                       enc_out=256, conv_hidden=480, dec_h=256, dec_L=4,
+                       dec_heads=4, dec_kv=2, head_dim=64, dec_inter=256,
+                       vocab=151936,
+                       moe=dict(num_experts=16, top_k=8, moe_inter=256)),
 }
 
 
