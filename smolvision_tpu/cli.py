@@ -326,7 +326,12 @@ def main(argv=None) -> int:
             samples = None
             if args.input_wav or args.stdin:
                 samples = load_input()
-                if samples is None:
+                # the reference proceeds text-only when the audio load
+                # fails but --text is present (main.c:242-245:
+                # qwen_load_wav returns NULL and thinker_generate(NULL, 0,
+                # text) runs the text path); only fail when there is
+                # nothing left to generate from
+                if samples is None and not args.thinker_text:
                     return 1
             text = eng.thinker_generate(samples, args.thinker_text)
         elif args.stream and args.stdin:

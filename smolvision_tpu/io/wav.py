@@ -147,9 +147,16 @@ def load_wav(path: str) -> np.ndarray:
 
 
 def read_pcm_stdin() -> np.ndarray:
-    """Read all of stdin; auto-detect WAV vs raw s16le 16 kHz mono."""
+    """Read all of stdin; auto-detect WAV vs raw s16le 16 kHz mono.
+
+    Autodetect mirrors qwen_read_pcm_stdin (qwen_asr_audio.c:206-218):
+    under 4 bytes is an error, and the "RIFF" prefix ALONE routes to the
+    WAV parser — RIFF-prefixed data with a bad body is a parse error, not
+    a fallback to raw PCM (the reference never falls back)."""
     data = sys.stdin.buffer.read()
-    if len(data) >= 12 and data[0:4] == b"RIFF" and data[8:12] == b"WAVE":
+    if len(data) < 4:
+        raise ValueError("no data on stdin")
+    if data[0:4] == b"RIFF":
         return parse_wav_buffer(data)
     raw = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     return (raw.astype(np.float32) / 32768.0)

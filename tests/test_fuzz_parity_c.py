@@ -73,3 +73,55 @@ def test_fuzz_case_byte_exact(fuzz_env, name):
         f"div@{res['divergence_byte']} C={res['c_stdout'][:100]!r} "
         f"ours={res['our_stdout'][:100]!r}\n"
         f"our stderr: {res['our_stderr_tail']}")
+
+
+# --- Qwen2.5-Omni family subset -------------------------------------------
+# One case per q25-specific surface (full corpus: fuzz_parity_c --q25):
+#   q25_win_plus1tok   flat 100-token window boundary + stride-2 conv count
+#   q25_asr_win        ungated ASR->thinker routing w/ default system prompt
+#   q25_text           tokenizer through the q25 prompt layout + separate
+#                      lm_head / biased-QKV / no-qk-norm decoder
+
+@pytest.fixture(scope="module")
+def q25_env():
+    sys.path.insert(0, REPO)
+    from tools import fuzz_parity_c as fz
+    from tools.cross_parity_c import ensure_binary
+
+    cfg = fz.ensure_model(q25=True)
+    bin_path = ensure_binary(q25_cfg=cfg)
+    audio = fz.build_q25_audio_cases(np.random.default_rng(0xF022))
+    os.makedirs(fz.WAV_DIR, exist_ok=True)
+    return fz, bin_path, audio
+
+
+Q25_CASES = ["q25_text", "q25_win_plus1tok", "q25_asr_win"]
+
+
+@pytest.mark.parametrize("name", Q25_CASES)
+def test_q25_fuzz_case_byte_exact(q25_env, name):
+    fz, bin_path, audio = q25_env
+    if name == "q25_text":
+        tail = ["--thinker", "--text", fz.TEXT_CASES["text_cjk"],
+                "--temperature", "0", "--max-tokens", "12"]
+    elif name in fz.Q25_MODE_CASES:
+        wav_name, flags = fz.Q25_MODE_CASES[name]
+        tail = list(flags)
+        if wav_name is not None:
+            wav_path = os.path.join(fz.WAV_DIR, wav_name + ".wav")
+            with open(wav_path, "wb") as f:
+                f.write(audio[wav_name])
+            tail += ["-i", wav_path]
+    else:
+        wav_path = os.path.join(fz.WAV_DIR, name + ".wav")
+        with open(wav_path, "wb") as f:
+            f.write(audio[name])
+        tail = ["--thinker", "-i", wav_path,
+                "--temperature", "0", "--max-tokens", "16"]
+    args = ["-d", fz.MODEL_Q25] + tail
+    res = fz.run_case(name, args, args, bin_path)
+    assert res["match"], (
+        f"{name}: c_rc={res['c_rc']} our_rc={res['our_rc']} "
+        f"div@{res['divergence_byte']} C={res['c_stdout'][:100]!r} "
+        f"ours={res['our_stdout'][:100]!r}\n"
+        f"our stderr: {res['our_stderr_tail']}")

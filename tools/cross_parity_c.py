@@ -169,19 +169,71 @@ def _dense_geometry_patch(src: str, cfg: dict) -> str:
     return out
 
 
+def _q25_geometry_patch(src: str, cfg: dict) -> str:
+    """Rewrite q25_load's hardcoded Qwen2.5-Omni-7B constant block
+    (qwen25_omni.c:198-215 — the q25 family ignores config.json entirely)
+    to `cfg`'s geometry.  Same contract as the other two patches: ONLY the
+    constant assignments change; every line of q25 model code (conv stem,
+    flat 100-token windows, global PE, bos/eos rows, biased-QKV decoder,
+    separate lm_head, qwen25_omni_{encoder,decoder}.c) runs unmodified.
+    Applied to qwen25_omni.c, not qwen_asr.c.  n_window stays 100 and
+    vocab stays Q25_VOCAB_SIZE — both are part of the family contract."""
+    import re
+
+    ac = cfg["thinker_config"]["audio_config"]
+    tc = cfg["thinker_config"]["text_config"]
+    assert tc["vocab_size"] == 152064, "C engine hardcodes Q25_VOCAB_SIZE"
+    body = "\n".join(
+        f"    cfg->{k} = {v};" for k, v in [
+            ("enc_d_model", ac["d_model"]),
+            ("enc_layers", ac["encoder_layers"]),
+            ("enc_heads", ac["encoder_attention_heads"]),
+            ("enc_head_dim", ac["d_model"] // ac["encoder_attention_heads"]),
+            ("enc_ffn_dim", ac["encoder_ffn_dim"]),
+            ("enc_output_dim", ac["output_dim"]),
+            ("enc_n_window", 100),
+            ("dec_hidden", tc["hidden_size"]),
+            ("dec_layers", tc["num_hidden_layers"]),
+            ("dec_heads", tc["num_attention_heads"]),
+            ("dec_kv_heads", tc["num_key_value_heads"]),
+            ("dec_head_dim", tc["head_dim"]),
+            ("dec_intermediate", tc["intermediate_size"]),
+        ])
+    block = ("q25_config_t *cfg = &ctx->config;\n"
+             "    /* q25 parity geometry (constants patched by"
+             " tools/cross_parity_c.py) */\n"
+             + body + "\n"
+             "    cfg->vocab_size = Q25_VOCAB_SIZE;\n"
+             "    cfg->dec_rms_norm_eps = 1e-6f;\n"
+             "    cfg->dec_rope_theta = 1e6f;\n\n"
+             "    if (qwen_verbose >= 1)"
+             " fprintf(stderr, \"Detected: Qwen2.5-Omni (parity geometry)\\n\");")
+    out, n = re.subn(
+        r"q25_config_t \*cfg = &ctx->config;.*?"
+        r"if \(qwen_verbose >= 1\) fprintf\(stderr, \"Detected: "
+        r"Qwen2\.5-Omni-7B\\n\"\);",
+        block.replace("\\", "\\\\"), src, count=1, flags=re.S)
+    assert n == 1, "q25_load hardcoded config block not found"
+    return out
+
+
 def ensure_binary(moe_cfg: dict | None = None,
-                  dense_cfg: dict | None = None) -> str:
+                  dense_cfg: dict | None = None,
+                  q25_cfg: dict | None = None) -> str:
     """Copy the reference C sources to a scratch dir and `make` them.
     Cached: rebuilt only when a source is newer than the binary.
     `moe_cfg`: a checkpoint config.json dict — builds a SEPARATE binary
     whose detect_config constants (only) are regenerated for that MoE
     geometry (see _moe_geometry_patch).  `dense_cfg`: same, for a dense
-    non-hardcoded geometry (see _dense_geometry_patch)."""
-    assert not (moe_cfg and dense_cfg)
-    build_dir = BUILD_DIR + ("_moe" if moe_cfg else "_dense" if dense_cfg else "")
+    non-hardcoded geometry (see _dense_geometry_patch).  `q25_cfg`: same,
+    for the Qwen2.5-Omni family (patches qwen25_omni.c's q25_load block,
+    see _q25_geometry_patch)."""
+    assert sum(c is not None for c in (moe_cfg, dense_cfg, q25_cfg)) <= 1
+    build_dir = BUILD_DIR + ("_moe" if moe_cfg else "_dense" if dense_cfg
+                             else "_q25" if q25_cfg else "")
     bin_path = os.path.join(build_dir, "qwen_asr")
     stamp_path = os.path.join(build_dir, "geometry.json")
-    patch_cfg = moe_cfg or dense_cfg
+    patch_cfg = moe_cfg or dense_cfg or q25_cfg
     stamp = json.dumps(patch_cfg, sort_keys=True) if patch_cfg else ""
     srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
             + glob.glob(os.path.join(REF_SRC, "*.h"))
@@ -201,12 +253,14 @@ def ensure_binary(moe_cfg: dict | None = None,
     for s in srcs:
         shutil.copy2(s, build_dir)
     if patch_cfg is not None:
-        asr_c = os.path.join(build_dir, "qwen_asr.c")
-        with open(asr_c) as f:
+        target = "qwen25_omni.c" if q25_cfg else "qwen_asr.c"
+        c_path = os.path.join(build_dir, target)
+        with open(c_path) as f:
             src = f.read()
         patched = (_moe_geometry_patch(src, moe_cfg) if moe_cfg
-                   else _dense_geometry_patch(src, dense_cfg))
-        with open(asr_c, "w") as f:
+                   else _dense_geometry_patch(src, dense_cfg) if dense_cfg
+                   else _q25_geometry_patch(src, q25_cfg))
+        with open(c_path, "w") as f:
             f.write(patched)
     # -march=native -ffast-math is the reference's OWN shipped default
     # (its Makefile: CFLAGS_BASE = -Wall -Wextra -O3 -march=native

@@ -27,6 +27,8 @@ accumulation-order tie-flip; rerun the case with --only NAME to triage.
 Usage:
   python tools/fuzz_parity_c.py                 # full corpus
   python tools/fuzz_parity_c.py --only text_cjk,wav_rate8k
+  python tools/fuzz_parity_c.py --moe           # router/top-8 surface
+  python tools/fuzz_parity_c.py --q25           # Qwen2.5-Omni family
   python tools/fuzz_parity_c.py --list
 """
 
@@ -49,6 +51,7 @@ from tools.cross_parity_c import ensure_binary, first_divergence  # noqa: E402
 
 MODEL = os.path.join(REPO, ".bench_cache", "qwen3-fuzz-c")
 MODEL_MOE = os.path.join(REPO, ".bench_cache", "qwen3-fuzz-moe-c")
+MODEL_Q25 = os.path.join(REPO, ".bench_cache", "qwen25-fuzz-c")
 WAV_DIR = "/tmp/sv_fuzz_wavs"
 
 
@@ -257,6 +260,67 @@ ASR_CASES = {
                                       "Preserve spelling: CPU, CUDA, ß中文"]),
 }
 
+# ---------------------------------------------------------------------------
+# corpus: Qwen2.5-Omni cases (--q25)
+#
+# The q25 family has its own encoder arithmetic the dense corpus can't
+# reach: stride-2 conv1d token count (tokens = (mel_frames-1)/2 + 1,
+# qwen25_omni_encoder.c:191-204), FLAT 100-token attention windows over
+# one global sequence (:221-227 — no per-chunk PE restart), bos/eos
+# embedding rows appended around the projection (:288-298), biased QKV /
+# no qk-norm / separate lm_head in the decoder, and its own thinker
+# prompt layout.  Durations below target the window and conv boundaries:
+# 100 tokens = 199 mel frames ~= 1.99-2.00 s; one token = 2 frames = 20 ms.
+# ASR mode on q25 is the UNGATED thinker with a default system prompt
+# (q25_transcribe_audio, qwen25_omni.c:590-607) — greedy at --temperature 0,
+# so stdout equality is a full token-trace check with no checkpoint surgery.
+# ---------------------------------------------------------------------------
+
+def build_q25_audio_cases(rng) -> dict:
+    cases = {}
+
+    def std(name, sig_fn, dur, sr=16000, **kw):
+        n = int(round(dur * sr))
+        cases[name] = make_wav(sig_fn(rng, n, sr), sr, **kw)
+
+    std("q25_25ms", _sig_tone_am, 0.025)            # minimal clip
+    std("q25_370ms", _sig_tone_am, 0.370)           # odd conv tail
+    std("q25_1tok", _sig_noise, 0.045)              # 1-2 encoder tokens
+    # 100-token window boundary: +-1 token = +-20 ms around ~2.0 s
+    std("q25_win_minus1tok", _sig_tone_am, 1.98)
+    std("q25_win_exact", _sig_tone_am, 2.00)
+    std("q25_win_plus1tok", _sig_bursts, 2.02)
+    std("q25_two_windows", _sig_bursts, 4.00)       # 2 full windows
+    std("q25_partial_third", _sig_tone_am, 5.30)    # 2 windows + partial
+    # family-crossed input handling (resample/mix feed the q25 mel)
+    std("q25_rate44k", _sig_tone_am, 1.3, sr=44100)
+    std("q25_near_silent", _sig_near_silent, 1.1)
+    n = int(1.2 * 16000)
+    cases["q25_stereo"] = make_wav(
+        np.stack([_sig_tone_am(rng, n, 16000), _sig_bursts(rng, n, 16000)],
+                 axis=1), 16000, channels=2)
+    return cases
+
+
+# q25 mode-layer cases: ASR routing (ungated transcribe w/ default system
+# prompt) and thinker prompt splicing; audio name -> extra flags
+Q25_MODE_CASES = {
+    "q25_asr_win": ("q25_win_plus1tok",
+                    ["--temperature", "0", "--max-tokens", "20"]),
+    "q25_asr_rate44k": ("q25_rate44k",
+                        ["--temperature", "0", "--max-tokens", "16"]),
+    "q25_think_sysprompt": ("q25_370ms",
+                            ["--thinker", "--prompt", "system bias éè",
+                             "--temperature", "0", "--max-tokens", "10"]),
+    "q25_think_text_only": (None,
+                            ["--thinker", "--text", "alpha beta gamma",
+                             "--temperature", "0", "--max-tokens", "12"]),
+    "q25_think_audio_text": ("q25_1tok",
+                             ["--thinker", "--text", "layout check",
+                              "--temperature", "0", "--max-tokens", "10"]),
+}
+
+
 # extra thinker-mode prompt-layout cases (ungated, max-tokens-bounded):
 # combined audio+text uses the AUDIO path layout in the reference
 # (qwen_asr.c:2384-2399 — user text does not change the embedding layout),
@@ -271,16 +335,43 @@ THINKER_EXTRA = {
     "think_audio_sysprompt": ("wav_370ms",
                               ["--thinker", "--prompt", "system bias éè",
                                "--temperature", "0", "--max-tokens", "8"]),
+    # audio load FAILS but --text is present: the reference degrades to
+    # the text-only thinker (main.c:242-245), it does not abort
+    "think_badaudio_text_fallback": (
+        None, ["--thinker", "--text", "fallback path",
+               "-i", "/tmp/sv_fuzz_wavs/definitely_missing.wav",
+               "--temperature", "0", "--max-tokens", "10"]),
 }
+
+
+# stdin autodetect cases (qwen_read_pcm_stdin, qwen_asr_audio.c:190-230):
+# "RIFF" prefix ALONE routes to the WAV parser (bad body = rejection, NOT
+# a raw-PCM fallback), <4 bytes is an error, raw s16le truncates an odd
+# trailing byte.  name -> bytes builder (rng, audio_cases) -> stdin bytes
+def _stdin_cases(rng, audio):
+    n = int(1.1 * 16000)
+    raw = (np.clip(_sig_tone_am(rng, n, 16000), -1, 1)
+           * 32767).astype("<i2").tobytes()
+    return {
+        "stdin_wav": audio["wav_2s1"],                  # WAV via stdin
+        "stdin_raw": raw,                               # raw s16le 16k mono
+        "stdin_raw_odd": raw[:len(raw) - 1],            # odd byte count
+        "stdin_riff_garbage": b"RIFF" + raw[:4000],     # WAV route, bad body
+        "stdin_tiny": b"ab",                            # <4 bytes: error
+    }
+
+
+STDIN_FLAGS = ["--stdin", "--thinker", "--temperature", "0",
+               "--max-tokens", "12"]
 
 
 # ---------------------------------------------------------------------------
 # runner
 # ---------------------------------------------------------------------------
 
-def ensure_model(moe: bool = False) -> dict:
-    model = MODEL_MOE if moe else MODEL
-    preset = "fuzz-moe-c" if moe else "fuzz-c"
+def ensure_model(moe: bool = False, q25: bool = False) -> dict:
+    model = MODEL_MOE if moe else MODEL_Q25 if q25 else MODEL
+    preset = "fuzz-moe-c" if moe else "fuzz-q25-c" if q25 else "fuzz-c"
     cfg_path = os.path.join(model, "config.json")
     if not os.path.exists(os.path.join(model, "model.safetensors")):
         from tools.make_tiny_model import build
@@ -291,12 +382,13 @@ def ensure_model(moe: bool = False) -> dict:
 
 
 def run_case(name: str, args_c, args_ours, bin_path, timeout=900,
-             allow_empty=False):
-    c = subprocess.run([bin_path] + args_c, capture_output=True, timeout=timeout)
+             allow_empty=False, stdin_data: bytes | None = None):
+    c = subprocess.run([bin_path] + args_c, capture_output=True,
+                       timeout=timeout, input=stdin_data)
     env = dict(os.environ, SMOLVISION_PLATFORM="cpu")
     r = subprocess.run([sys.executable, "-m", "smolvision_tpu.cli"]
                        + args_ours + ["--f32"], capture_output=True,
-                       timeout=timeout, env=env)
+                       timeout=timeout, env=env, input=stdin_data)
     div = first_divergence(c.stdout, r.stdout)
     if c.returncode == 0:
         # allow_empty: gated ASR modes can legitimately emit nothing (e.g.
@@ -327,15 +419,27 @@ def main():
                          "expert-accumulate surface); thinker cases only — "
                          "the gated-ASR host logic is family-independent "
                          "and already swept on the dense geometry")
+    ap.add_argument("--q25", action="store_true",
+                    help="run on the fuzz-q25-c Qwen2.5-Omni checkpoint: "
+                         "tokenizer text cases through the q25 prompt/"
+                         "decoder, q25 window/conv duration boundaries, "
+                         "and the ungated ASR->thinker routing")
     ap.add_argument("--json-out", default="",
                     help="write full per-case results JSON here")
     args = ap.parse_args()
+    assert not (args.moe and args.q25)
 
     rng = np.random.default_rng(0xF022)
-    audio = build_audio_cases(rng)
-    names = list(TEXT_CASES) + list(audio) + list(THINKER_EXTRA)
-    if not args.moe:
-        names += list(ASR_CASES)
+    stdin_cases = {}
+    if args.q25:
+        audio = build_q25_audio_cases(rng)
+        names = list(TEXT_CASES) + list(audio) + list(Q25_MODE_CASES)
+    else:
+        audio = build_audio_cases(rng)
+        names = list(TEXT_CASES) + list(audio) + list(THINKER_EXTRA)
+        if not args.moe:
+            stdin_cases = _stdin_cases(rng, audio)
+            names += list(ASR_CASES) + list(stdin_cases)
     if args.list:
         print("\n".join(names))
         return 0
@@ -344,10 +448,11 @@ def main():
         unknown = only - set(names)
         assert not unknown, f"unknown cases: {unknown}"
 
-    cfg = ensure_model(moe=args.moe)
+    cfg = ensure_model(moe=args.moe, q25=args.q25)
     bin_path = (ensure_binary(moe_cfg=cfg) if args.moe
+                else ensure_binary(q25_cfg=cfg) if args.q25
                 else ensure_binary(dense_cfg=cfg))
-    model_dir = MODEL_MOE if args.moe else MODEL
+    model_dir = MODEL_MOE if args.moe else MODEL_Q25 if args.q25 else MODEL
     os.makedirs(WAV_DIR, exist_ok=True)
 
     mt = str(args.max_tokens)
@@ -358,7 +463,11 @@ def main():
             continue
         allow_empty = False
         ours_extra = []
-        if name in TEXT_CASES:
+        stdin_data = None
+        if name in stdin_cases:
+            stdin_data = stdin_cases[name]
+            tail = list(STDIN_FLAGS)
+        elif name in TEXT_CASES:
             tail = ["--thinker", "--text", TEXT_CASES[name],
                     "--temperature", "0", "--max-tokens", "12"]
         elif name in ASR_CASES:
@@ -378,8 +487,9 @@ def main():
                 # Token-equivalence of the batched path itself is pinned
                 # by tests/test_batch_segments.py.
                 ours_extra = ["--no-batch-segments"]
-        elif name in THINKER_EXTRA:
-            wav_name, flags = THINKER_EXTRA[name]
+        elif name in THINKER_EXTRA or name in Q25_MODE_CASES:
+            wav_name, flags = (THINKER_EXTRA.get(name)
+                               or Q25_MODE_CASES[name])
             tail = list(flags)
             if wav_name is not None:
                 wav_path = os.path.join(WAV_DIR, wav_name + ".wav")
@@ -395,7 +505,7 @@ def main():
         common = ["-d", model_dir] + tail
         t0 = time.monotonic()
         res = run_case(name, common, common + ours_extra, bin_path,
-                       allow_empty=allow_empty)
+                       allow_empty=allow_empty, stdin_data=stdin_data)
         res["secs"] = round(time.monotonic() - t0, 1)
         status = "OK " if res["match"] else "FAIL"
         print(f"{status} {name:26s} {res['secs']:6.1f}s  c_rc={res['c_rc']} "

@@ -101,6 +101,19 @@ PRESETS = {
                        dec_heads=4, dec_kv=2, head_dim=64, dec_inter=256,
                        vocab=151936,
                        moe=dict(num_experts=16, top_k=8, moe_inter=256)),
+    # Qwen2.5-Omni twin of fuzz-c: the q25 conv stem is config-sized
+    # (conv1 128->d_model, conv2 d_model->d_model, qwen25_omni_encoder.c:
+    # 186-201 — no hardcoded-480 constraint like Qwen3), so the whole
+    # geometry shrinks; the C binary gets its q25_load constant block
+    # (qwen25_omni.c:198-215) regenerated by cross_parity_c.
+    # _q25_geometry_patch.  Exercises the q25-ONLY surfaces the dense fuzz
+    # can't: stride-2 conv token arithmetic, flat 100-token windows,
+    # global sinusoidal PE, bos/eos embedding rows, biased QKV, no
+    # qk-norm, separate lm_head, the q25 thinker prompt layout.
+    "fuzz-q25-c": dict(enc_d=256, enc_L=4, enc_heads=4, enc_ffn=512,
+                       enc_out=256, conv_hidden=0, dec_h=256, dec_L=4,
+                       dec_heads=4, dec_kv=2, head_dim=64, dec_inter=512,
+                       vocab=152064, q25=True),
 }
 
 
