@@ -352,7 +352,14 @@ def main():
         model_cfg = json.load(f)
     is_moe = "num_experts" in model_cfg.get("thinker_config", {}).get(
         "text_config", {})
-    bin_path = ensure_binary(moe_cfg=model_cfg if is_moe else None)
+    is_q25 = model_cfg.get("model_type") == "qwen2_5_omni"
+    # the full q25-7b geometry IS the C binary's hardcoded constant block —
+    # no patch needed (and the patched binary would be identical); smaller
+    # q25 checkpoints (fuzz-q25-c) need the q25_load block regenerated
+    needs_q25_patch = is_q25 and model_cfg["thinker_config"][
+        "audio_config"]["d_model"] != 1280
+    bin_path = ensure_binary(moe_cfg=model_cfg if is_moe else None,
+                             q25_cfg=model_cfg if needs_q25_patch else None)
     ensure_short_wav()
 
     results = []
