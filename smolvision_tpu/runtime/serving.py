@@ -247,6 +247,23 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
     # ---- slot state ----------------------------------------------------
     kcap = pcap + bucket(min(engine.max_tokens, 2 * DECODE_CHUNK) + 1, 64)
     kv = pbatch.make_batched_kv(cfg, S, kcap, engine.batched_kv_dtype)
+    # Optional data-parallel serving: when engine.serving_mesh is a Mesh
+    # whose "data" axis divides S, the big cache's slot axis is sharded
+    # over it and the decode/admit jits compile to GSPMD programs where
+    # each shard owns its rows (shard dec_params via parallel/mesh for
+    # TP on top).  This is the measured path past one chip's ~1500-1800
+    # s-speech/s bf16 ceiling (docs/SERVING_ROOFLINE.md); exercised on
+    # the virtual mesh by __graft_entry__.dryrun_multichip and
+    # tests/test_serving.py.  Default None: byte-identical behavior.
+    _kv_shard = None
+    smesh = getattr(engine, "serving_mesh", None)
+    if smesh is not None:
+        from smolvision_tpu.ops.quant import QuantKV
+        from smolvision_tpu.parallel import mesh as mesh_mod
+
+        _kv_shard = mesh_mod.batched_kv_sharding(
+            smesh, quant=isinstance(kv, QuantKV))
+        kv = jax.device_put(kv, _kv_shard)
     slot_clip = [-1] * S                  # clip index per slot (-1 free)
     slot_done = [True] * S
     rows: List[Optional[List[int]]] = [None] * n
@@ -425,6 +442,11 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
         if clock + steps + 1 > kcap:
             kcap = bucket64(clock + DECODE_CHUNK + 64)
             kv = grow_j(kv, kcap)
+            if _kv_shard is not None:
+                # growth pads the K axis only; re-assert the slot-axis
+                # sharding rather than trusting GSPMD propagation (no-op
+                # when propagation already kept it)
+                kv = jax.device_put(kv, _kv_shard)
         act = np.asarray([not d for d in slot_done], np.bool_)
         buf, count, tokens_dev, kv = decode(
             engine.dec_params, tokens_dev, jnp.int32(clock), kv,

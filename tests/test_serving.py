@@ -174,6 +174,44 @@ def test_continuous_latency_percentiles(srv_engine):
     assert lat["admit_ttft_p99_ms"] <= lat["ttft_p99_ms"] + 1e-6
 
 
+def test_continuous_dp_mesh_matches_single_device(moe_visible_model_dir):
+    """Data-parallel serving (engine.serving_mesh, runtime/serving.py): the
+    big cache's slot axis shards over the 8-virtual-device "data" axis and
+    every serving jit compiles to a GSPMD program — admission DUS into
+    sharded slots, shared-clock decode chunks, retirement, a partial
+    second-wave admit, and kv growth mid-wave (max_tokens > 2*DECODE_CHUNK
+    forces grow_j + the sharding re-assert).  Texts must be byte-identical
+    to the single-device run; the moe_visible checkpoint + forced language
+    make that a real token-trace comparison (and route the MoE expert
+    stacks through the mesh shardings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smolvision_tpu.parallel import mesh as mesh_mod
+    from smolvision_tpu.runtime.engine import Engine
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = Engine(moe_visible_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
+    eng.max_tokens = 200            # > 2*DECODE_CHUNK: growth path fires
+    assert eng.set_force_language("English")
+    clips = _clips(10, seed=5)      # slots=8 -> wave 2 is a partial admit
+    ref = serve_continuous(eng, clips, slots=8, encode_group=4)
+    assert any(t for t in ref), "comparison vacuous"
+
+    smesh = mesh_mod.make_mesh(8, tp=1)     # pure-DP (8, 1) mesh
+    # every engine-resident array must live on the mesh: a jit may not mix
+    # single-device-committed and mesh-committed inputs
+    eng.dec_params = mesh_mod.shard_params(
+        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
+    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
+    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
+                                  eng.enc_params)
+    eng.serving_mesh = smesh
+    got = serve_continuous(eng, clips, slots=8, encode_group=4)
+    assert got == ref
+
+
 def test_continuous_moe_matches_one_shot_nonvacuous(moe_visible_model_dir):
     """Continuous serving over the MoE decoder (slot admission + batched
     MoE decode), NON-vacuous via the shared moe_visible checkpoint +
