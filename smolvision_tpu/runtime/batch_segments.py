@@ -424,7 +424,14 @@ def transcribe_segments_batched(engine, segments: Sequence[np.ndarray],
     """Transcribe independent audio segments batched, in length-sorted
     sub-batches when durations are mixed (short clips don't pay long clips'
     prompt padding).  Returns texts in input order.  Uses engine.max_tokens
-    as the per-segment decode cap."""
+    as the per-segment decode cap.
+
+    mesh defaults to engine.serving_mesh (the DP knob runtime/serving.py and
+    runtime/multistream.py honor): an engine whose params were sharded onto
+    a mesh must also shard the batched KV, or the jits would mix
+    mesh-committed and single-device-committed inputs."""
+    if mesh is None:
+        mesh = getattr(engine, "serving_mesh", None)
     groups = _length_groups(engine, segments)
     if len(groups) == 1:
         return _transcribe_segment_group(engine, segments, mesh)

@@ -24,7 +24,10 @@ Two execution modes:
     relaxation class as bf16 decode drift, but not bit-identical to solo.
     One decode dispatch serves all N sessions, so
     aggregate throughput scales with N until the batch hits its bandwidth
-    bound instead of paying N single-stream decodes.
+    bound instead of paying N single-stream decodes.  When
+    engine.serving_mesh is set (same knob as runtime/serving.py) the row
+    axis additionally shards over the mesh "data" axis — the multi-chip
+    lever past the measured single-chip plateau (docs/MULTISTREAM.md).
   * THREADED (live sources, or SMOLVISION_BATCH_STREAMS=0): one host thread
     per session, independent device dispatches.  Correct but bounded by the
     serialized single-stream dispatch rate (jax serializes dispatch
@@ -160,7 +163,28 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
             st.nowait = True
             states.append(st)
 
-    cache = _BatchKV(len(states))
+    # Optional data-parallel coordination over a device mesh: when
+    # engine.serving_mesh is set (the same knob runtime/serving.py uses),
+    # the batched cache's row axis is sharded over the mesh "data" axis and
+    # the round's prefill/decode jits compile to GSPMD programs — the
+    # "second chip" lever docs/MULTISTREAM.md names at the N=16 plateau
+    # (rows are independent streams, so DP sharding cannot change tokens;
+    # pinned by tests/test_multistream.py and the multichip dryrun).
+    # Default None: byte-identical single-device behavior.
+    min_b = 2
+    kv_shard = None
+    smesh = getattr(engine, "serving_mesh", None)
+    if smesh is not None:
+        import jax.numpy as jnp
+
+        from smolvision_tpu.parallel import mesh as mesh_mod
+
+        min_b = max(2, int(smesh.shape[mesh_mod.DATA_AXIS]))
+        kv_shard = mesh_mod.batched_kv_sharding(
+            smesh, quant=(engine.batched_kv_dtype == jnp.int8))
+
+    cache = _BatchKV(len(states), min_b=min_b)
+    cache.kv_shard = kv_shard
     row_of = {id(st): r for r, st in enumerate(states)}
     if len(states) > 1:
         arr_lens = [len(np.asarray(s)) for s in sources
@@ -349,7 +373,7 @@ def _compact_rows(engine, cache: "_BatchKV", row_of, act_states):
     n = len(act_states)
     if n == 0 or cache.kv is None:
         return
-    new_b = max(2, 1 << (n - 1).bit_length())
+    new_b = max(cache.min_B, 1 << (n - 1).bit_length())
     if new_b >= cache.B:
         return
     import jax
@@ -364,6 +388,10 @@ def _compact_rows(engine, cache: "_BatchKV", row_of, act_states):
     from smolvision_tpu.ops.quant import kv_rows_gather
 
     cache.kv = jax.jit(lambda old: kv_rows_gather(old, tuple(keep)))(cache.kv)
+    if cache.kv_shard is not None:
+        # the gather changed the row-axis extent; re-assert the mesh
+        # sharding rather than trusting GSPMD output propagation
+        cache.kv = jax.device_put(cache.kv, cache.kv_shard)
     cache.lens = [cache.lens[r] for r in keep]
     cache.valid = [cache.valid[r] for r in keep]
     for i in range(new_b - len(act_states)):
@@ -462,11 +490,18 @@ class _BatchKV:
 
     valid[r] = row r's kept rows match its session's last prompt signature
     (cleared when the session runs solo, or skips a round — the shared block
-    write clobbers its rows — or has not participated yet)."""
+    write clobbers its rows — or has not participated yet).
 
-    def __init__(self, n_sessions: int):
-        self.B = max(2, 1 << (max(1, n_sessions) - 1).bit_length())
+    min_b > 2 (the mesh "data" axis size under DP coordination) floors the
+    batch bucket so the sharded row axis always divides; kv_shard, when set,
+    is the NamedSharding re-asserted on every fresh/grown/compacted cache."""
+
+    def __init__(self, n_sessions: int, min_b: int = 2):
+        self.min_B = max(2, min_b)
+        self.B = max(self.min_B,
+                     1 << (max(1, n_sessions) - 1).bit_length())
         self.kv = None
+        self.kv_shard = None
         self.pcap = 0
         self.kcap = 0
         self.lens = [0] * self.B
@@ -680,8 +715,13 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
     if cache.kv is None or engine.batched_kv_dtype != cache.kv.dtype:
         cache.kv = pbatch.make_batched_kv(cfg, B, kcap,
                                           engine.batched_kv_dtype)
+        if cache.kv_shard is not None:
+            cache.kv = jax.device_put(cache.kv, cache.kv_shard)
     elif kcap > cache.kcap:
         cache.kv = grow_j(cache.kv, kcap)
+        if cache.kv_shard is not None:
+            # growth pads the K axis only; re-assert the row sharding
+            cache.kv = jax.device_put(cache.kv, cache.kv_shard)
         mark("grow", cache.kv[0, 0, 0, 0, 0, 0])
 
     # ---- assemble the round's inputs (natural layout: no left pad) -----
@@ -737,7 +777,11 @@ def _run_batched_chunks(engine, works, cache: _BatchKV, row_of):
             reused_eff[r] = 0
     strat_rows: List[int] = []
     S = (min(reused_eff[r] for r in active) // 64) * 64
+    # stratification is skipped under mesh DP: its small reset-row cache
+    # has Gcap <= 4 rows (not divisible by the data axis) and the path is
+    # measured dead on the real workload anyway (docs/MULTISTREAM.md)
     if (os.environ.get("SMOLVISION_MSTREAM_STRAT") == "1"
+            and cache.kv_shard is None
             and len(active) >= MSTRAT_MIN_ACTIVE):
         lo = sorted(r for r in active if reused_eff[r] < 64)
         hi = [r for r in active if reused_eff[r] >= 64]

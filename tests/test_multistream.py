@@ -639,3 +639,59 @@ def test_singleton_batched_matches_solo_fallback(ms_engine, monkeypatch):
     ms_engine.past_text_conditioning = False
     assert any(runs[0]), "no chunks decoded: vacuous"
     assert runs[0] == runs[1]
+
+def test_batched_dp_mesh_matches_single_device(tiny_model_dir, monkeypatch):
+    """Data-parallel multistream (engine.serving_mesh — the same knob the
+    continuous-serving scheduler uses): the batched coordinator's row axis
+    shards over the 8-virtual-device "data" axis, so the round's delta
+    prefill / bounded decode / cache growth jits compile to GSPMD programs
+    with each shard owning its rows.  Streams are independent, so the raw
+    per-chunk token sequences must be IDENTICAL to the single-device run
+    (mesh floors the batch bucket to 8 — pad rows are masked and must not
+    perturb active rows).  Mixed durations cover rounds with partially
+    drained fleets; past-text conditioning makes prompts differ per chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from smolvision_tpu.parallel import mesh as mesh_mod
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    def make_engine():
+        eng = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                     kv_dtype=jnp.float32)
+        eng.stream_max_new_tokens = 6
+        eng.max_tokens = 16
+        eng.past_text_conditioning = True
+        return eng
+
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append(list(chunk_tokens))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    clips = _clips()                    # 3/4/5 s: staggered completion
+    log.clear()
+    ms.run_streams_batched(make_engine(), clips)
+    ref = list(log)
+    assert any(ref), "no chunks decoded: vacuous"
+
+    eng = make_engine()
+    smesh = mesh_mod.make_mesh(8, tp=1)          # pure-DP (8, 1) mesh
+    # every engine-resident array must live on the mesh: a jit may not mix
+    # single-device-committed and mesh-committed inputs
+    eng.dec_params = mesh_mod.shard_params(
+        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
+    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
+    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
+                                  eng.enc_params)
+    eng.serving_mesh = smesh
+    log.clear()
+    ms.run_streams_batched(eng, clips)
+    assert list(log) == ref, \
+        "DP-sharded multistream changed per-chunk tokens vs single-device"
