@@ -150,6 +150,16 @@ def batch_sharding(mesh: Mesh, rank: int):
     return _ns(mesh, DATA_AXIS, *([None] * (rank - 1)))
 
 
+def mesh_tp(mesh: Optional[Mesh]) -> int:
+    """The tensor-parallel degree a mesh implies (1 for no mesh): the
+    "model" axis size.  Schedulers key their jitted programs on this so a
+    TP-interleaved+sharded engine gets the matching tp-aware fused-weight
+    split inside the decoder."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get(MODEL_AXIS, 1))
+
+
 def shard_params(params, template):
     """device_put a params dict onto a sharding template.
 

@@ -29,27 +29,37 @@ from smolvision_tpu.runtime.buckets import bucket, bucket64, bucket128
 BATCH_DECODE_CHUNK = 64
 
 
-def _batched_jits(engine):
-    """Jitted batched entry points, built once per engine (a fresh jax.jit
-    wrapper per call would re-trace every invocation)."""
+def _batched_jits(engine, tp: int = 1, ep: bool = False):
+    """Jitted batched entry points, built once per engine and (tp, ep) key
+    (a fresh jax.jit wrapper per call would re-trace every invocation).
+
+    tp > 1: the engine's decoder weights were interleaved per TP rank
+    (parallel/mesh.interleave_decoder_for_tp) and sharded on a mesh "model"
+    axis — the decoder's tp-aware fused-weight split must match.  ep=True:
+    expert-parallel owner-compute MoE dispatch (see runtime/serving.py)."""
     cached = getattr(engine, "_batch_seg_jits", None)
-    if cached is not None:
-        return cached
+    if cached is None:
+        cached = engine._batch_seg_jits = {}
+    if (tp, ep) in cached:
+        return cached[(tp, ep)]
     from smolvision_tpu.models import qwen3_decoder as dec_mod
 
     cfg = engine.cfg
-    build = jax.jit(jax.vmap(dec_mod.build_embeds, in_axes=(None, 0, 0, 0, 0)))
+    build = (cached[(1, False)][0] if (1, False) in cached else
+             jax.jit(jax.vmap(dec_mod.build_embeds,
+                              in_axes=(None, 0, 0, 0, 0))))
     prefill = jax.jit(
         lambda p, e, k, rs, km: pbatch.batched_prefill(
-            p, cfg, e, k, rope_start=rs, kv_min=km, greedy=True),
+            p, cfg, e, k, rope_start=rs, kv_min=km, greedy=True, tp=tp,
+            ep=ep),
         donate_argnums=(2,))
     decode = jax.jit(
         lambda p, t, pos, k, off, km, ns: pbatch.batched_decode_chunk(
             p, cfg, t, pos, k, BATCH_DECODE_CHUNK, rope_offset=off, kv_min=km,
-            n_steps=ns),
+            n_steps=ns, tp=tp, ep=ep),
         donate_argnums=(3,))
-    engine._batch_seg_jits = (build, prefill, decode)
-    return engine._batch_seg_jits
+    cached[(tp, ep)] = (build, prefill, decode)
+    return cached[(tp, ep)]
 
 
 def _prompt_cap(n: int) -> int:
@@ -575,7 +585,14 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     engine.perf.encode_ms += (_time.monotonic() - enc_t0) * 1000.0
     dec_t0 = _time.monotonic()
 
-    build, prefill, decode = _batched_jits(engine)
+    if mesh is not None:
+        from smolvision_tpu.parallel.mesh import mesh_tp
+
+        _tp = mesh_tp(mesh)
+    else:
+        _tp = 1
+    _ep = bool(getattr(engine, "serving_ep", False))
+    build, prefill, decode = _batched_jits(engine, tp=_tp, ep=_ep)
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    astart, alen)
     mark("build embeds", sync=embeds)

@@ -510,10 +510,19 @@ class _BatchKV:
 
 def _mstream_jits(engine):
     """Jitted cache-grow + delta-prefill + decode for the batched
-    coordinator (natural layout)."""
+    coordinator (natural layout).  Keyed on the mesh's TP degree (a
+    TP-interleaved+sharded engine needs the decoder's matching tp-aware
+    fused-weight split; tp=1 otherwise) and engine.serving_ep (expert-
+    parallel owner-compute MoE dispatch — see runtime/serving.py)."""
+    from smolvision_tpu.parallel.mesh import mesh_tp
+
+    tp = mesh_tp(getattr(engine, "serving_mesh", None))
+    ep = bool(getattr(engine, "serving_ep", False))
     cached = getattr(engine, "_mstream_jits_cache", None)
-    if cached is not None:
-        return cached
+    if cached is None:
+        cached = engine._mstream_jits_cache = {}
+    if (tp, ep) in cached:
+        return cached[(tp, ep)]
     import jax
     import jax.numpy as jnp
 
@@ -531,17 +540,17 @@ def _mstream_jits(engine):
     prefill_delta_j = jax.jit(
         lambda p, e, s, k, rs, km, lr, pm, rg: dec_mod.batched_prefill_delta(
             p, cfg, e, s, k, rs, km, greedy=True, last_rows=lr,
-            prompt_max=pm, region_start=rg),
+            prompt_max=pm, region_start=rg, tp=tp, ep=ep),
         donate_argnums=(3,))
     decode_j = jax.jit(
         lambda p, t, pos, k, off, km, pm, rg, ns, act: (
             pbatch.batched_decode_chunk(
                 p, cfg, t, pos, k, BATCH_DECODE_CHUNK, rope_offset=off,
                 kv_min=km, n_steps=ns, prompt_max=pm, region_start=rg,
-                row_active=act)),
+                row_active=act, tp=tp, ep=ep)),
         donate_argnums=(3,))
-    engine._mstream_jits_cache = (grow_j, prefill_delta_j, decode_j)
-    return engine._mstream_jits_cache
+    cached[(tp, ep)] = (grow_j, prefill_delta_j, decode_j)
+    return cached[(tp, ep)]
 
 
 # Stratified reset-row prefill (OPT-IN: SMOLVISION_MSTREAM_STRAT=1).

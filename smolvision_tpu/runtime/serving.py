@@ -52,9 +52,21 @@ DECODE_CHUNK = 48
 
 
 def _serving_jits(engine):
+    # keyed on the mesh's TP degree (a TP-interleaved+sharded engine needs
+    # the decoder's matching tp-aware fused-weight split; tp=1 otherwise)
+    # and on engine.serving_ep (expert-parallel owner-compute+psum MoE
+    # dispatch instead of the cross-shard expert gather — the right
+    # formulation when the expert axis is sharded on "model": gather moves
+    # expert weights over ICI per token, owner-compute moves activations)
+    from smolvision_tpu.parallel.mesh import mesh_tp
+
+    tp = mesh_tp(getattr(engine, "serving_mesh", None))
+    ep = bool(getattr(engine, "serving_ep", False))
     cached = getattr(engine, "_serving_jits_cache", None)
-    if cached is not None:
-        return cached
+    if cached is None:
+        cached = engine._serving_jits_cache = {}
+    if (tp, ep) in cached:
+        return cached[(tp, ep)]
     from smolvision_tpu.models import qwen3_decoder as dec_mod
 
     cfg = engine.cfg
@@ -63,13 +75,14 @@ def _serving_jits(engine):
     group_prefill = jax.jit(
         lambda p, e, k, rs, km, lr, pm: dec_mod.batched_prefill_delta(
             p, cfg, e, jnp.int32(0), k, rs, km, greedy=True, last_rows=lr,
-            prompt_max=pm, region_start=jnp.int32(1 << 30)),
+            prompt_max=pm, region_start=jnp.int32(1 << 30), tp=tp, ep=ep),
         donate_argnums=(2,))
     decode = jax.jit(
         lambda p, t, pos, k, off, km, pm, rg, ns, act: (
             pbatch.batched_decode_chunk(
                 p, cfg, t, pos, k, DECODE_CHUNK, rope_offset=off, kv_min=km,
-                n_steps=ns, prompt_max=pm, region_start=rg, row_active=act)),
+                n_steps=ns, prompt_max=pm, region_start=rg, row_active=act,
+                tp=tp, ep=ep)),
         donate_argnums=(3,))
 
     from smolvision_tpu.ops.quant import kv_grow_k
@@ -92,9 +105,8 @@ def _serving_jits(engine):
             admit_cache[K] = fn
         return fn
 
-    engine._serving_jits_cache = (build, group_prefill, decode, grow_j,
-                                  admit_src_jit)
-    return engine._serving_jits_cache
+    cached[(tp, ep)] = (build, group_prefill, decode, grow_j, admit_src_jit)
+    return cached[(tp, ep)]
 
 
 def _prompt_len(engine, n_samples: int) -> int:

@@ -695,3 +695,21 @@ def test_batched_dp_mesh_matches_single_device(tiny_model_dir, monkeypatch):
     ms.run_streams_batched(eng, clips)
     assert list(log) == ref, \
         "DP-sharded multistream changed per-chunk tokens vs single-device"
+
+    # DP x TP (4, 2): fused QKV/gate_up interleaved per TP rank then
+    # sharded on "model"; _mstream_jits re-keys on mesh_tp so the decoder's
+    # tp-aware fused-weight split matches.  Per-chunk tokens unchanged.
+    eng_tp = make_engine()
+    tmesh = mesh_mod.make_mesh(8, tp=2)
+    eng_tp.dec_params = mesh_mod.interleave_decoder_for_tp(
+        eng_tp.dec_params, eng_tp.cfg, 2)
+    eng_tp.dec_params = mesh_mod.shard_params(
+        eng_tp.dec_params, mesh_mod.decoder_shardings(eng_tp.cfg, tmesh))
+    rep2 = jax.NamedSharding(tmesh, jax.sharding.PartitionSpec())
+    eng_tp.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep2),
+                                     eng_tp.enc_params)
+    eng_tp.serving_mesh = tmesh
+    log.clear()
+    ms.run_streams_batched(eng_tp, clips)
+    assert list(log) == ref, \
+        "DP x TP multistream changed per-chunk tokens vs single-device"

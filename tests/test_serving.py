@@ -211,6 +211,34 @@ def test_continuous_dp_mesh_matches_single_device(moe_visible_model_dir):
     got = serve_continuous(eng, clips, slots=8, encode_group=4)
     assert got == ref
 
+    # DP x TP (4, 2): fused QKV/gate_up (and the MoE expert axis)
+    # interleaved per TP rank then sharded on "model"; the serving jits
+    # re-key on mesh_tp so the decoder's tp-aware fused-weight split
+    # matches.  Texts must still be byte-identical to single-device.
+    eng2 = Engine(moe_visible_model_dir, param_dtype=jnp.float32,
+                  kv_dtype=jnp.float32)
+    eng2.max_tokens = 200
+    assert eng2.set_force_language("English")
+    tmesh = mesh_mod.make_mesh(8, tp=2)
+    eng2.dec_params = mesh_mod.interleave_decoder_for_tp(
+        eng2.dec_params, eng2.cfg, 2)
+    eng2.dec_params = mesh_mod.shard_params(
+        eng2.dec_params, mesh_mod.decoder_shardings(eng2.cfg, tmesh))
+    rep2 = jax.NamedSharding(tmesh, jax.sharding.PartitionSpec())
+    eng2.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep2),
+                                   eng2.enc_params)
+    eng2.serving_mesh = tmesh
+    got_tp = serve_continuous(eng2, clips, slots=8, encode_group=4)
+    assert got_tp == ref, "DP x TP serving changed texts vs single-device"
+
+    # + expert-parallel owner-compute (engine.serving_ep): the MoE FFN
+    # dispatches tokens to shard-resident experts and psums, instead of
+    # gathering expert weights across shards — must be token-invisible
+    # (same contract the dryrun pins at the batch_mod level)
+    eng2.serving_ep = True
+    got_ep = serve_continuous(eng2, clips, slots=8, encode_group=4)
+    assert got_ep == ref, "EP owner-compute serving changed texts"
+
 
 def test_continuous_moe_matches_one_shot_nonvacuous(moe_visible_model_dir):
     """Continuous serving over the MoE decoder (slot admission + batched
