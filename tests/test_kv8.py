@@ -193,3 +193,92 @@ def test_serving_matches_one_shot_under_kv8_moe(moe_visible_model_dir):
     one_shot = transcribe_segments_batched(eng, clips)
     assert serve_continuous(eng, clips, slots=2) == one_shot
     assert any(t for t in one_shot), "comparison vacuous"
+
+
+def test_kv8_dp_mesh_serving_matches_single_device(moe_visible_model_dir):
+    """QuantKV under the DP serving mesh: the quantized cache's int8 rows
+    AND its per-row scales shard over the 8-virtual-device "data" axis
+    (parallel/mesh.batched_kv_sharding quant=True), through admission DUS,
+    decode chunks, and kv growth.  Texts must be identical to the unsharded
+    kv8 run (kv8 vs kv8 — kv8 itself is outside the bf16 parity contract).
+    NON-vacuous via forced language + the moe_visible checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from smolvision_tpu.parallel import mesh as mesh_mod
+    from smolvision_tpu.runtime.engine import Engine
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    def mk():
+        e = Engine(moe_visible_model_dir, param_dtype=jnp.float32,
+                   kv_dtype=jnp.float32, kv8=True)
+        e.max_tokens = 8
+        assert e.set_force_language("English")
+        return e
+
+    clips = _clips(10, seed=11)      # slots=8 -> partial second wave
+    ref = serve_continuous(mk(), clips, slots=8, encode_group=4)
+    assert any(t for t in ref), "comparison vacuous"
+
+    eng = mk()
+    smesh = mesh_mod.make_mesh(8, tp=1)
+    eng.dec_params = mesh_mod.shard_params(
+        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
+    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
+    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
+                                  eng.enc_params)
+    eng.serving_mesh = smesh
+    got = serve_continuous(eng, clips, slots=8, encode_group=4)
+    assert got == ref, "DP-sharded kv8 serving changed texts"
+
+
+def test_kv8_dp_mesh_multistream_matches_single_device(tiny_model_dir,
+                                                       monkeypatch):
+    """QuantKV under the DP multistream mesh (run_streams_batched's
+    quant-aware batched_kv_sharding): raw per-chunk tokens identical to
+    the unsharded kv8 coordinator run."""
+    import jax
+    import jax.numpy as jnp
+
+    from smolvision_tpu.parallel import mesh as mesh_mod
+    from smolvision_tpu.runtime import multistream as ms
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    def mk():
+        e = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                   kv_dtype=jnp.float32, kv8=True)
+        e.stream_max_new_tokens = 6
+        e.max_tokens = 16
+        return e
+
+    log = []
+    orig = stream_mod.StreamState.finish_chunk
+
+    def spy(self, w, chunk_tokens, n_generated, decode_ms):
+        log.append(list(chunk_tokens))
+        return orig(self, w, chunk_tokens, n_generated, decode_ms)
+
+    monkeypatch.setattr(stream_mod.StreamState, "finish_chunk", spy)
+
+    rng = np.random.default_rng(13)
+    srcs = [(0.25 * np.sin(2 * np.pi * (130 + 40 * i)
+                           * np.arange((2 + i) * 16000) / 16000.0)
+             + 0.02 * rng.standard_normal((2 + i) * 16000))
+            .astype(np.float32) for i in range(3)]
+    log.clear()
+    ms.run_streams_batched(mk(), srcs)
+    ref = list(log)
+    assert any(ref), "no chunks decoded: vacuous"
+
+    eng = mk()
+    smesh = mesh_mod.make_mesh(8, tp=1)
+    eng.dec_params = mesh_mod.shard_params(
+        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
+    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
+    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
+                                  eng.enc_params)
+    eng.serving_mesh = smesh
+    log.clear()
+    ms.run_streams_batched(eng, srcs)
+    assert list(log) == ref, "DP-sharded kv8 multistream changed tokens"
