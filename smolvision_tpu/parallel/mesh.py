@@ -160,6 +160,39 @@ def mesh_tp(mesh: Optional[Mesh]) -> int:
     return int(mesh.shape.get(MODEL_AXIS, 1))
 
 
+def mesh_dp(mesh: Optional[Mesh]) -> int:
+    """The data-parallel degree a mesh implies (1 for no mesh)."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get(DATA_AXIS, 1))
+
+
+def shard_engine(engine, mesh: Mesh):
+    """Move a loaded Engine onto `mesh` and enable the DP(xTP) scheduler
+    paths (runtime/serving.py, runtime/multistream.py, batched segments):
+    interleaves the fused decoder weights for the mesh's TP degree, shards
+    them per decoder_shardings, replicates the encoder params, and sets
+    engine.serving_mesh.  Every engine-resident array must live on the
+    mesh — a jit may not mix single-device-committed and mesh-committed
+    inputs.  Returns the engine.
+
+    NOTE: only the BATCHED row-sharded paths are mesh-aware.  The solo
+    single-stream jits are tp-unaware, so a tp>1 engine must not be driven
+    through Engine.transcribe / the threaded multistream mode (the batched
+    coordinators guard this)."""
+    tp = mesh_tp(mesh)
+    if tp > 1:
+        engine.dec_params = interleave_decoder_for_tp(
+            engine.dec_params, engine.cfg, tp)
+    engine.dec_params = shard_params(
+        engine.dec_params, decoder_shardings(engine.cfg, mesh))
+    rep = _ns(mesh)
+    engine.enc_params = jax.tree.map(
+        lambda a: jax.device_put(a, rep), engine.enc_params)
+    engine.serving_mesh = mesh
+    return engine
+
+
 def shard_params(params, template):
     """device_put a params dict onto a sharding template.
 

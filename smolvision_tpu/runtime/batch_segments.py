@@ -463,6 +463,16 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     cfg = engine.cfg
     engine.prepare_prompt()
     tok = engine.tokenizer
+    n_real = len(segments)
+    if mesh is not None:
+        # the batched KV's row axis shards over "data": pad the group to a
+        # multiple of the axis size (rows are independent; pad rows
+        # duplicate the last clip and their texts are dropped below)
+        from smolvision_tpu.parallel.mesh import mesh_dp
+
+        pad_rows = (-n_real) % mesh_dp(mesh)
+        if pad_rows:
+            segments = list(segments) + [segments[-1]] * pad_rows
     B = len(segments)
 
     # SMOLVISION_BATCH_DEBUG=1: sync + print per-stage wall times (each sync
@@ -585,14 +595,11 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     engine.perf.encode_ms += (_time.monotonic() - enc_t0) * 1000.0
     dec_t0 = _time.monotonic()
 
-    if mesh is not None:
-        from smolvision_tpu.parallel.mesh import mesh_tp
+    from smolvision_tpu.parallel.mesh import mesh_tp
 
-        _tp = mesh_tp(mesh)
-    else:
-        _tp = 1
-    _ep = bool(getattr(engine, "serving_ep", False))
-    build, prefill, decode = _batched_jits(engine, tp=_tp, ep=_ep)
+    build, prefill, decode = _batched_jits(
+        engine, tp=mesh_tp(mesh),
+        ep=bool(getattr(engine, "serving_ep", False)))
     embeds = build(engine.dec_params, jnp.asarray(ids_arr), audio_stack,
                    astart, alen)
     mark("build embeds", sync=embeds)
@@ -643,7 +650,7 @@ def _transcribe_segment_group(engine, segments: Sequence[np.ndarray],
     # --- gate <asr_text> + detokenize per segment ----------------------
     texts = []
     forced_or_past = bool(engine._force_tokens)
-    for b in range(B):
+    for b in range(n_real):        # mesh pad rows: no text, no perf counts
         past_asr = forced_or_past
         pieces = []
         n_text = 0

@@ -109,6 +109,16 @@ def run_streams(engine, sources: Sequence, on_token=None) -> List[Optional[str]]
                   and os.environ.get("SMOLVISION_BATCH_STREAMS", "") != "0")
     if batched_ok:
         return run_streams_batched(engine, sources, on_token)
+    from smolvision_tpu.parallel.mesh import mesh_tp
+
+    if mesh_tp(getattr(engine, "serving_mesh", None)) > 1:
+        # the threaded mode drives the engine's tp-UNAWARE single-stream
+        # jits: a TP-interleaved engine would silently decode scrambled
+        # heads — fail loudly instead
+        raise ValueError(
+            "threaded multistream cannot run on a TP-sharded engine "
+            "(serving_mesh model axis > 1); use >1 preloaded/live sources "
+            "so the batched coordinator runs, or a tp=1 mesh")
 
     sessions = []
     for i, src in enumerate(sources):
@@ -214,8 +224,13 @@ def run_streams_batched(engine, sources: Sequence[np.ndarray],
                 time.sleep(0.005)   # live buffers filling; don't spin
             continue
         if (len(works) == 1
+                and cache.kv_shard is None
                 and os.environ.get("SMOLVISION_MSTREAM_SOLO_BATCHED",
                                    "1") == "0"):
+            # (under a mesh the env is ignored: run_solo_chunk drives the
+            # engine's tp-UNAWARE single-stream jits, which would silently
+            # scramble a TP-interleaved engine's heads — the batched
+            # singleton path below is the only mesh-supported one)
             # LEGACY solo fallback (opt-in via ...SOLO_BATCHED=0).  The
             # default routes singleton rounds through the batched
             # machinery below (one active row, pad rows masked), which
@@ -277,9 +292,13 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
     from smolvision_tpu.runtime.batch_segments import _batched_jits
     from smolvision_tpu.runtime.buckets import bucket128
 
+    from smolvision_tpu.parallel.mesh import batched_kv_sharding, mesh_tp
+
     cfg = engine.cfg
+    smesh = getattr(engine, "serving_mesh", None)
     key = (B, max_src_samples // 16000, max_new,
-           str(engine.batched_kv_dtype))
+           str(engine.batched_kv_dtype),
+           mesh_tp(smesh), bool(getattr(engine, "serving_ep", False)))
     warmed = getattr(engine, "_mstream_prewarmed", None)
     if warmed is None:
         warmed = engine._mstream_prewarmed = set()
@@ -303,8 +322,22 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
     f32 = jnp.float32
     i32 = jnp.int32
     S = jax.ShapeDtypeStruct
-    pshape = jax.tree_util.tree_map(
-        lambda x: S(x.shape, x.dtype), engine.dec_params)
+    # under a mesh, lower with the REAL shardings: the axon compile
+    # service dedupes by program, and a GSPMD program (mesh-committed
+    # params + sharded cache) is a different program from the unsharded
+    # lowering — sharding-free avals would prewarm executables the rounds
+    # never run.  Single-device: plain avals, as before (uncommitted
+    # inputs lower sharding-free).
+    if smesh is not None:
+        pshape = jax.tree_util.tree_map(
+            lambda x: S(x.shape, x.dtype, sharding=x.sharding),
+            engine.dec_params)
+        kv_shard = batched_kv_sharding(
+            smesh, quant=(engine.batched_kv_dtype == jnp.int8))
+    else:
+        pshape = jax.tree_util.tree_map(
+            lambda x: S(x.shape, x.dtype), engine.dec_params)
+        kv_shard = None
 
     from smolvision_tpu.runtime.batch_segments import BATCH_DECODE_CHUNK
     from smolvision_tpu.runtime.buckets import bucket
@@ -317,9 +350,13 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
         kv_shape = (L, 2, B, KH, kcap, D)
         if engine.batched_kv_dtype == jnp.int8:
             from smolvision_tpu.ops.quant import QuantKV
-            kv_s = QuantKV(S(kv_shape, jnp.int8), S(kv_shape[:-1], f32))
+            kv_s = QuantKV(
+                S(kv_shape, jnp.int8,
+                  sharding=kv_shard.q if kv_shard else None),
+                S(kv_shape[:-1], f32,
+                  sharding=kv_shard.s if kv_shard else None))
         else:
-            kv_s = S(kv_shape, engine.batched_kv_dtype)
+            kv_s = S(kv_shape, engine.batched_kv_dtype, sharding=kv_shard)
         if ("dec", kcap) not in seen:
             seen.add(("dec", kcap))
             lowered.append(decode_j.lower(
@@ -341,6 +378,7 @@ def _prewarm_batched(engine, B: int, max_src_samples: int, max_new: int):
         # (Gcap, pcap, kcap) — discovered mid-run otherwise.  Opt-in only:
         # dead shapes would just lengthen the warmup ladder
         if (os.environ.get("SMOLVISION_MSTREAM_STRAT") == "1"
+                and smesh is None   # strat is skipped under mesh DP
                 and B >= MSTRAT_MIN_ACTIVE and pcap >= MSTRAT_MIN_S + 64):
             sj = _strat_jit(engine)
             for gc in (1, 2, 4):

@@ -255,3 +255,31 @@ def test_batched_segments_moe_matches_sequential_nonvacuous(
     refs = [eng.transcribe_segment(s)[0] for s in segs]
     assert texts == refs
     assert any(t for t in texts), "gate never opened: comparison vacuous"
+
+
+def test_batched_segments_sharded_engine_pads_to_mesh(tiny_model_dir):
+    """A fully mesh-sharded engine (parallel/mesh.shard_engine) must run
+    one-shot batched segments at ANY group size: mesh defaults to
+    engine.serving_mesh and the group pads its row axis up to a data-axis
+    multiple (pad rows duplicate the last clip; their texts are dropped).
+    Regression: a 3-clip group on an (8,1) mesh previously crashed with
+    'dimension 2 should be divisible by 8'."""
+    import jax.numpy as jnp
+
+    from smolvision_tpu.parallel import mesh as mesh_mod
+    from smolvision_tpu.runtime.batch_segments import transcribe_segments_batched
+    from smolvision_tpu.runtime.engine import Engine
+
+    def mk():
+        e = Engine(tiny_model_dir, param_dtype=jnp.float32,
+                   kv_dtype=jnp.float32)
+        e.max_tokens = 6
+        return e
+
+    rng = np.random.default_rng(23)
+    segs = [(rng.standard_normal(16000) * 0.2).astype(np.float32)
+            for _ in range(3)]          # one group of 3: 3 % 8 != 0
+    ref = transcribe_segments_batched(mk(), segs)
+    eng = mesh_mod.shard_engine(mk(), mesh_mod.make_mesh(8, tp=1))
+    got = transcribe_segments_batched(eng, segs)   # mesh from serving_mesh
+    assert got == ref

@@ -220,14 +220,7 @@ def test_kv8_dp_mesh_serving_matches_single_device(moe_visible_model_dir):
     ref = serve_continuous(mk(), clips, slots=8, encode_group=4)
     assert any(t for t in ref), "comparison vacuous"
 
-    eng = mk()
-    smesh = mesh_mod.make_mesh(8, tp=1)
-    eng.dec_params = mesh_mod.shard_params(
-        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
-    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
-    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
-                                  eng.enc_params)
-    eng.serving_mesh = smesh
+    eng = mesh_mod.shard_engine(mk(), mesh_mod.make_mesh(8, tp=1))
     got = serve_continuous(eng, clips, slots=8, encode_group=4)
     assert got == ref, "DP-sharded kv8 serving changed texts"
 
@@ -271,14 +264,7 @@ def test_kv8_dp_mesh_multistream_matches_single_device(tiny_model_dir,
     ref = list(log)
     assert any(ref), "no chunks decoded: vacuous"
 
-    eng = mk()
-    smesh = mesh_mod.make_mesh(8, tp=1)
-    eng.dec_params = mesh_mod.shard_params(
-        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
-    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
-    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
-                                  eng.enc_params)
-    eng.serving_mesh = smesh
+    eng = mesh_mod.shard_engine(mk(), mesh_mod.make_mesh(8, tp=1))
     log.clear()
     ms.run_streams_batched(eng, srcs)
     assert list(log) == ref, "DP-sharded kv8 multistream changed tokens"

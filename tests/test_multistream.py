@@ -681,16 +681,10 @@ def test_batched_dp_mesh_matches_single_device(tiny_model_dir, monkeypatch):
     ref = list(log)
     assert any(ref), "no chunks decoded: vacuous"
 
-    eng = make_engine()
-    smesh = mesh_mod.make_mesh(8, tp=1)          # pure-DP (8, 1) mesh
-    # every engine-resident array must live on the mesh: a jit may not mix
-    # single-device-committed and mesh-committed inputs
-    eng.dec_params = mesh_mod.shard_params(
-        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
-    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
-    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
-                                  eng.enc_params)
-    eng.serving_mesh = smesh
+    # pure-DP (8, 1) mesh; shard_engine moves every engine-resident array
+    # onto the mesh (a jit may not mix single-device-committed and
+    # mesh-committed inputs)
+    eng = mesh_mod.shard_engine(make_engine(), mesh_mod.make_mesh(8, tp=1))
     log.clear()
     ms.run_streams_batched(eng, clips)
     assert list(log) == ref, \
@@ -699,16 +693,8 @@ def test_batched_dp_mesh_matches_single_device(tiny_model_dir, monkeypatch):
     # DP x TP (4, 2): fused QKV/gate_up interleaved per TP rank then
     # sharded on "model"; _mstream_jits re-keys on mesh_tp so the decoder's
     # tp-aware fused-weight split matches.  Per-chunk tokens unchanged.
-    eng_tp = make_engine()
-    tmesh = mesh_mod.make_mesh(8, tp=2)
-    eng_tp.dec_params = mesh_mod.interleave_decoder_for_tp(
-        eng_tp.dec_params, eng_tp.cfg, 2)
-    eng_tp.dec_params = mesh_mod.shard_params(
-        eng_tp.dec_params, mesh_mod.decoder_shardings(eng_tp.cfg, tmesh))
-    rep2 = jax.NamedSharding(tmesh, jax.sharding.PartitionSpec())
-    eng_tp.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep2),
-                                     eng_tp.enc_params)
-    eng_tp.serving_mesh = tmesh
+    eng_tp = mesh_mod.shard_engine(make_engine(),
+                                   mesh_mod.make_mesh(8, tp=2))
     log.clear()
     ms.run_streams_batched(eng_tp, clips)
     assert list(log) == ref, \

@@ -199,35 +199,22 @@ def test_continuous_dp_mesh_matches_single_device(moe_visible_model_dir):
     ref = serve_continuous(eng, clips, slots=8, encode_group=4)
     assert any(t for t in ref), "comparison vacuous"
 
-    smesh = mesh_mod.make_mesh(8, tp=1)     # pure-DP (8, 1) mesh
-    # every engine-resident array must live on the mesh: a jit may not mix
-    # single-device-committed and mesh-committed inputs
-    eng.dec_params = mesh_mod.shard_params(
-        eng.dec_params, mesh_mod.decoder_shardings(eng.cfg, smesh))
-    rep = jax.NamedSharding(smesh, jax.sharding.PartitionSpec())
-    eng.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep),
-                                  eng.enc_params)
-    eng.serving_mesh = smesh
+    # pure-DP (8, 1) mesh; shard_engine moves every engine-resident array
+    # onto the mesh (a jit may not mix single-device-committed and
+    # mesh-committed inputs)
+    mesh_mod.shard_engine(eng, mesh_mod.make_mesh(8, tp=1))
     got = serve_continuous(eng, clips, slots=8, encode_group=4)
     assert got == ref
 
     # DP x TP (4, 2): fused QKV/gate_up (and the MoE expert axis)
-    # interleaved per TP rank then sharded on "model"; the serving jits
-    # re-key on mesh_tp so the decoder's tp-aware fused-weight split
-    # matches.  Texts must still be byte-identical to single-device.
+    # interleaved per TP rank then sharded on "model" (shard_engine does
+    # both); the serving jits re-key on mesh_tp so the decoder's tp-aware
+    # fused-weight split matches.  Texts must still be byte-identical.
     eng2 = Engine(moe_visible_model_dir, param_dtype=jnp.float32,
                   kv_dtype=jnp.float32)
     eng2.max_tokens = 200
     assert eng2.set_force_language("English")
-    tmesh = mesh_mod.make_mesh(8, tp=2)
-    eng2.dec_params = mesh_mod.interleave_decoder_for_tp(
-        eng2.dec_params, eng2.cfg, 2)
-    eng2.dec_params = mesh_mod.shard_params(
-        eng2.dec_params, mesh_mod.decoder_shardings(eng2.cfg, tmesh))
-    rep2 = jax.NamedSharding(tmesh, jax.sharding.PartitionSpec())
-    eng2.enc_params = jax.tree.map(lambda a: jax.device_put(a, rep2),
-                                   eng2.enc_params)
-    eng2.serving_mesh = tmesh
+    mesh_mod.shard_engine(eng2, mesh_mod.make_mesh(8, tp=2))
     got_tp = serve_continuous(eng2, clips, slots=8, encode_group=4)
     assert got_tp == ref, "DP x TP serving changed texts vs single-device"
 
