@@ -364,20 +364,32 @@ class Engine:
         self._prompt_ready = False
 
     def set_force_language(self, language: Optional[str]) -> bool:
-        """Normalize + validate like qwen_set_force_language (qwen_asr.c:98-120)."""
+        """Normalize + validate like qwen_set_force_language (qwen_asr.c:98-120).
+
+        BYTE-level per the C locale (qwen_asr.c:74-96): trim = C isspace on
+        bytes, case-fold = ASCII toupper/tolower on bytes, 64-byte buffer
+        cap.  Python str.strip()/.upper() are Unicode-semantic and DIVERGE:
+        'ıtalian' upper-cases to 'Italian' (accepted) and a leading NBSP is
+        stripped (accepted) where the C engine rejects both."""
         if not language:
             self.force_language = None
             self._prompt_ready = False
             return True
-        norm = language.strip()
-        if not norm:
+        raw = language.encode("utf-8", errors="surrogateescape")
+        b = raw.strip(b" \t\n\r\x0b\x0c")
+        if not b or len(b) + 1 > 64:
             return False
-        norm = norm[0].upper() + norm[1:].lower()
-        if norm not in SUPPORTED_LANGUAGES:
-            return False
-        self.force_language = norm
-        self._prompt_ready = False
-        return True
+        def up(c):  # ASCII-only, as C-locale toupper/tolower
+            return c - 32 if 0x61 <= c <= 0x7A else c
+        def lo(c):
+            return c + 32 if 0x41 <= c <= 0x5A else c
+        norm_b = bytes([up(b[0])]) + bytes(lo(c) for c in b[1:])
+        for cand in SUPPORTED_LANGUAGES:
+            if norm_b == cand.encode("ascii"):
+                self.force_language = cand
+                self._prompt_ready = False
+                return True
+        return False
 
     def prepare_prompt(self):
         """Tokenize --prompt / --language once (qwen_asr.c:563-607)."""

@@ -60,6 +60,32 @@ def test_forced_language_prompt(opt_engine, tiny_model_dir, speech_like_audio):
     eng.prepare_prompt()
 
 
+def test_force_language_byte_semantics(opt_engine):
+    """normalize_language_name is BYTE-level per the C locale
+    (qwen_asr.c:74-96): C isspace trim + ASCII toupper/tolower only.
+    Unicode-semantic Python normalization diverges on exactly these cases
+    (cross-checked vs the C binary in tools/fuzz_parity_c.py lang cases)."""
+    eng = opt_engine
+    # ASCII whitespace trims (C isspace: space \t \n \r \v \f)
+    assert eng.set_force_language("\tenglish \t")
+    assert eng.force_language == "English"
+    assert eng.set_force_language(" \r\nCHINESE\x0b\x0c")
+    assert eng.force_language == "Chinese"
+    # Turkish dotless i: Python 'ıtalian'.upper() == 'ITALIAN' would accept;
+    # C-locale toupper leaves the 2-byte UTF-8 sequence alone -> reject
+    assert not eng.set_force_language("ıtalian")
+    # NBSP (U+00A0): str.strip() would remove it; C isspace does not -> reject
+    assert not eng.set_force_language(" English")
+    # 64-byte buffer cap (qwen_asr.c:77): 63 + NUL fits, 64 + NUL does not —
+    # both reject anyway (not a language), but must not crash; a real
+    # language padded past the cap rejects
+    assert not eng.set_force_language("English" + " " * 100 + "x")
+    assert not eng.set_force_language("x" * 64)
+    # reset
+    eng.set_force_language(None)
+    eng.prepare_prompt()
+
+
 def test_system_prompt_tokens(opt_engine, tiny_model_dir, speech_like_audio):
     eng = opt_engine
     eng.set_prompt("the theme")

@@ -124,6 +124,26 @@ def _moe_geometry_patch(src: str, cfg: dict) -> str:
     return out
 
 
+def _asr_cap_patch(src: str) -> str:
+    """GEOMETRY-PATCHED (fuzz) builds only: make the hard-coded ASR decode
+    cap (`int max_tokens = 2048;`, qwen_asr.c:778) overridable via the
+    QWEN_ASR_MAX_TOKENS env var.  Input-space fuzz trajectories on random
+    checkpoints rarely emit EOS, so offline/segmented cases otherwise run
+    the full 2048-token cap (minutes per arm; a conditioned segmented case
+    measured >15 min on the f32 arm as past text grows the prompt every
+    segment).  Our arm passes --max-tokens, which drives the same
+    every-consumed-token counter (engine.max_tokens) — cap-boundary
+    emission semantics were already proven equal by the full-cap runs.
+    The pristine parity-matrix binary is NOT patched."""
+    old = "int max_tokens = 2048;\n    int n_generated = 0;"
+    new = ("int max_tokens = 2048;\n"
+           "    { const char *mt_env = getenv(\"QWEN_ASR_MAX_TOKENS\");\n"
+           "      if (mt_env && atoi(mt_env) > 0) max_tokens = atoi(mt_env); }\n"
+           "    int n_generated = 0;")
+    assert src.count(old) == 1, "ASR decode cap site not found"
+    return src.replace(old, new)
+
+
 def _dense_geometry_patch(src: str, cfg: dict) -> str:
     """Rewrite detect_config's 0.6B fallback-branch constants to `cfg`'s
     dense geometry.  Same contract as _moe_geometry_patch: the ONLY source
@@ -234,7 +254,10 @@ def ensure_binary(moe_cfg: dict | None = None,
     bin_path = os.path.join(build_dir, "qwen_asr")
     stamp_path = os.path.join(build_dir, "geometry.json")
     patch_cfg = moe_cfg or dense_cfg or q25_cfg
-    stamp = json.dumps(patch_cfg, sort_keys=True) if patch_cfg else ""
+    # "|capv1": the _asr_cap_patch revision — bumping it invalidates cached
+    # geometry-patched binaries built before the cap patch existed
+    stamp = (json.dumps(patch_cfg, sort_keys=True) + "|capv1"
+             if patch_cfg else "")
     srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
             + glob.glob(os.path.join(REF_SRC, "*.h"))
             + [os.path.join(REF_SRC, "Makefile")])
@@ -260,6 +283,8 @@ def ensure_binary(moe_cfg: dict | None = None,
         patched = (_moe_geometry_patch(src, moe_cfg) if moe_cfg
                    else _dense_geometry_patch(src, dense_cfg) if dense_cfg
                    else _q25_geometry_patch(src, q25_cfg))
+        if q25_cfg is None:      # qwen_asr.c builds: env-overridable cap
+            patched = _asr_cap_patch(patched)
         with open(c_path, "w") as f:
             f.write(patched)
     # -march=native -ffast-math is the reference's OWN shipped default

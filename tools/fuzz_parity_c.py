@@ -243,6 +243,12 @@ def build_audio_cases(rng) -> dict:
 # resample->segment interactions, streaming chunking on odd durations.
 # ---------------------------------------------------------------------------
 
+# per-segment decode cap for the offline/segmented fuzz cases (both arms;
+# see the c_env/--max-tokens wiring in main): long enough to cross repeat
+# cycles, segment boundaries and the conditioning prompt build, short
+# enough that a case is seconds-not-minutes per arm
+ASR_FUZZ_CAP = "160"
+
 ASR_CASES = {
     # name -> (audio case, extra flags)
     "asr_off_2s1": ("wav_2s1", ["-S", "0"]),
@@ -258,6 +264,46 @@ ASR_CASES = {
     # tokens + PREFIX_TAIL, qwen_asr.c:386-420)
     "asr_off_sysprompt": ("wav_2s1", ["-S", "0", "--prompt",
                                       "Preserve spelling: CPU, CUDA, ß中文"]),
+    # encoder window-size knob (--enc-window-sec -> enc_n_window_infer,
+    # main.c:302-307): moves the hard attention-window boundaries, the
+    # per-window token arithmetic, and (streaming) the window-cache
+    # granularity + 4-window eviction point.  2 s divides the 100-frame
+    # conv chunk evenly; 3 s exercises a non-pow2 window token count.
+    "asr_off_encwin2": ("wav_2s1", ["-S", "0", "--enc-window-sec", "2"]),
+    "asr_off_encwin3": ("wav_2s1", ["-S", "0", "--enc-window-sec", "3"]),
+    "asr_strm_encwin2": ("wav_window_plus1tok",
+                         ["--stream", "--enc-window-sec", "2"]),
+    # conditioning ON across a segment boundary: the past-text prompt
+    # build (previous text + fresh <asr_text>, qwen_asr.c:746-759) and the
+    # collapse-retry heuristics become reachable — the other seg cases all
+    # run --past-text no
+    "asr_seg_pasttext": ("wav_2s1", ["-S", "1", "-W", "0.5",
+                                     "--past-text", "yes"]),
+    # per-chunk decode budget (--stream-max-new-tokens -> max_new_tokens,
+    # qwen_asr.c:1280): 8 forces chunk budgets to run out mid-thought, so
+    # the prefix-rollback/commit machinery crosses chunk boundaries on a
+    # different schedule than the default-32 stream cases
+    "asr_strm_maxnew8": ("wav_window_plus1tok",
+                         ["--stream", "--stream-max-new-tokens", "8"]),
+    # segment-cut silence search window (-W, default 3.0): 0.2 s narrows
+    # the energy-minimum scan so the cut lands on different boundaries
+    # than the 0.5 s seg cases (split arithmetic, qwen_asr.c segment cut)
+    "asr_seg_w02": ("wav_2s1", ["-S", "1", "-W", "0.2",
+                                "--past-text", "no"]),
+    # --language normalization surface (normalize_language_name,
+    # qwen_asr.c:74-96: BYTE-level C-locale trim + toupper/tolower).
+    # lowercase name -> normalized Chinese gate token (different decode
+    # trajectory than the English cases); tab/space padding -> trimmed
+    # accept; Turkish dotless-i and NBSP-prefixed names MUST reject on
+    # both engines (Python str.upper()/.strip() are Unicode-semantic and
+    # accepted both until engine.set_force_language went byte-level)
+    "asr_off_langzh": ("wav_2s1", ["-S", "0", "--language", "chinese"]),
+    "asr_off_langpad": ("wav_2s1", ["-S", "0", "--language",
+                                    "\tenglish \t"]),
+    "asr_lang_dotless_i": ("wav_2s1", ["-S", "0", "--language",
+                                       "ıtalian"]),
+    "asr_lang_nbsp": ("wav_2s1", ["-S", "0", "--language",
+                                  "\u00a0English"]),
 }
 
 # ---------------------------------------------------------------------------
@@ -382,9 +428,11 @@ def ensure_model(moe: bool = False, q25: bool = False) -> dict:
 
 
 def run_case(name: str, args_c, args_ours, bin_path, timeout=900,
-             allow_empty=False, stdin_data: bytes | None = None):
+             allow_empty=False, stdin_data: bytes | None = None,
+             c_env: dict | None = None):
     c = subprocess.run([bin_path] + args_c, capture_output=True,
-                       timeout=timeout, input=stdin_data)
+                       timeout=timeout, input=stdin_data,
+                       env=dict(os.environ, **(c_env or {})))
     env = dict(os.environ, SMOLVISION_PLATFORM="cpu")
     r = subprocess.run([sys.executable, "-m", "smolvision_tpu.cli"]
                        + args_ours + ["--f32"], capture_output=True,
@@ -464,6 +512,7 @@ def main():
         allow_empty = False
         ours_extra = []
         stdin_data = None
+        c_env = None
         if name in stdin_cases:
             stdin_data = stdin_cases[name]
             tail = list(STDIN_FLAGS)
@@ -475,8 +524,21 @@ def main():
             wav_path = os.path.join(WAV_DIR, wav_name + ".wav")
             with open(wav_path, "wb") as f:
                 f.write(audio[wav_name])
-            tail = ["-i", wav_path, "--language", "English"] + flags
+            lang_default = ([] if "--language" in flags
+                            else ["--language", "English"])
+            tail = ["-i", wav_path] + lang_default + flags
             allow_empty = True
+            if "--stream" not in flags:
+                # bound offline/segmented trajectories: random-checkpoint
+                # greedy runs rarely EOS, so uncapped cases run the full
+                # 2048-token cap (minutes/arm; conditioned segmented
+                # measured >15 min on the f32 arm — past text grows the
+                # prompt every segment).  The fuzz C binary's cap is
+                # env-overridable (cross_parity_c._asr_cap_patch); ours
+                # via --max-tokens drives the same counter.  Streaming is
+                # already bounded at 32 tokens/chunk on both engines.
+                c_env = {"QWEN_ASR_MAX_TOKENS": ASR_FUZZ_CAP}
+                ours_extra = ours_extra + ["--max-tokens", ASR_FUZZ_CAP]
             if name.startswith("asr_seg"):
                 # segmented cases decode OUR side sequentially like the C
                 # engine: the batched-segment optimization is a different
@@ -485,8 +547,10 @@ def main():
                 # argmax ties it can flip (measured: 1 flip at ~token 370
                 # of segment 2 on asr_seg_2s1; sequential = byte-exact).
                 # Token-equivalence of the batched path itself is pinned
-                # by tests/test_batch_segments.py.
-                ours_extra = ["--no-batch-segments"]
+                # by tests/test_batch_segments.py.  (Append — the decode
+                # cap added above must survive for seg cases too: C caps
+                # PER SEGMENT, so dropping ours ran 2048/seg vs 160/seg.)
+                ours_extra = ours_extra + ["--no-batch-segments"]
         elif name in THINKER_EXTRA or name in Q25_MODE_CASES:
             wav_name, flags = (THINKER_EXTRA.get(name)
                                or Q25_MODE_CASES[name])
@@ -505,7 +569,8 @@ def main():
         common = ["-d", model_dir] + tail
         t0 = time.monotonic()
         res = run_case(name, common, common + ours_extra, bin_path,
-                       allow_empty=allow_empty, stdin_data=stdin_data)
+                       allow_empty=allow_empty, stdin_data=stdin_data,
+                       c_env=c_env)
         res["secs"] = round(time.monotonic() - t0, 1)
         status = "OK " if res["match"] else "FAIL"
         print(f"{status} {name:26s} {res['secs']:6.1f}s  c_rc={res['c_rc']} "
