@@ -216,3 +216,17 @@ SV_EXPORT void sv_silence_mask(const float *samples, long n, uint8_t *keep) {
 done:
     free(rms); free(sorted); free(voice); free(padded);
 }
+
+/* ------------------------------------------------------------------------
+ * sv_expf_vec — elementwise libc expf, in place.
+ *
+ * Exists for the sampled-mode C-parity arm (runtime/sampling.CRefSampler):
+ * the reference's qwen_softmax (qwen_asr_kernels.c:1012-1029) calls scalar
+ * expf per element, and glibc's expf is NOT correctly rounded (~1 ULP off
+ * on ~0.05% of inputs vs round-to-f32-of-f64-exp), so bit-exact parity
+ * must route through the very same libc symbol.  Built WITHOUT -ffast-math
+ * (see Makefile) so the loop stays scalar expf calls, not libmvec.
+ */
+SV_EXPORT void sv_expf_vec(float *x, long n) {
+    for (long i = 0; i < n; i++) x[i] = expf(x[i]);
+}

@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repeat-penalty", type=float, default=-1.0)
     p.add_argument("--top-k", type=int, default=-1)
     p.add_argument("--seed", type=int, default=0, help="sampling seed (thinker)")
+    p.add_argument("--sampler", choices=["device", "cref"], default="device",
+                   help="thinker sampling arm: device = sampled chunks on "
+                        "device (fast, np-seeded); cref = per-token host "
+                        "loop replaying the reference C engine's exact "
+                        "drand48 sampler (cross-engine sampled parity)")
     p.add_argument("--moe-preload", action="store_true",
                    help="accepted for compatibility (weights are device-resident; "
                         "with --moe-offload: touch all expert pages up front)")
@@ -192,6 +197,8 @@ def main(argv=None) -> int:
     if args.top_k >= 0:
         eng.top_k = args.top_k
     eng.seed = args.seed
+    if args.sampler == "cref":
+        eng.sampler_mode = "cref"
     if args.no_batch_segments:
         eng.batch_segments = False
     if args.moe_preload:

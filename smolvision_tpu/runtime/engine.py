@@ -41,7 +41,7 @@ from smolvision_tpu.models import qwen3_encoder as enc_mod
 from smolvision_tpu.ops.mel import log_mel
 from smolvision_tpu.runtime import prompt as prompt_mod
 from smolvision_tpu.runtime.buckets import bucket, window_bucket
-from smolvision_tpu.runtime.sampling import Sampler
+from smolvision_tpu.runtime.sampling import CRefSampler, Sampler
 from smolvision_tpu.text.tokenizer import Tokenizer, load_tokenizer
 
 # Tokens per device decode dispatch.  Each chunk costs one host<->device
@@ -212,6 +212,12 @@ class Engine:
         self.repetition_penalty = 1.1
         self.top_k = 40
         self.seed = 0
+        # "np": reproducible default (np RNG host first-token + device
+        # sampled chunks).  "cref": replay the reference C engine's exact
+        # sampled stream (drand48 + its -ffast-math sampler arithmetic,
+        # runtime/sampling.CRefSampler) in a per-token host loop — the
+        # SAMPLED-mode cross-engine parity arm (CLI --sampler cref).
+        self.sampler_mode = "np"
         self.max_tokens = 2048
         # batch independent -S segments on device (offload engines decode
         # through the host-streaming path, which has no batched formulation)
@@ -878,8 +884,9 @@ class Engine:
             ids = prompt_mod.build_thinker_text_prompt(cfg, user_tokens,
                                                        self._prompt_tokens)
 
-        sampler = Sampler(self.temperature, self.repetition_penalty,
-                          self.top_k, self.seed)
+        sampler_cls = CRefSampler if self.sampler_mode == "cref" else Sampler
+        sampler = sampler_cls(self.temperature, self.repetition_penalty,
+                              self.top_k, self.seed)
         use_sampling = not sampler.greedy
 
         t0 = _now_ms()
@@ -911,6 +918,29 @@ class Engine:
                         self.token_cb(piece)
                 sampler.observe(token)
                 logits = self._offload_step(token, pos, greedy=False)
+                pos += 1
+                token = sampler.sample(np.asarray(logits))
+        elif use_sampling and self.sampler_mode == "cref":
+            # Parity arm: per-token host loop — every logits vector comes to
+            # host and CRefSampler replays the C engine's sample_token
+            # arithmetic + drand48 stream exactly (the device chunk below is
+            # a different family: power-form penalty, XLA softmax, PRNGKey).
+            token = sampler.sample(np.asarray(out))
+            n = 0
+            while n < max_tokens:
+                n += 1
+                if token in EOS_TOKEN_IDS:
+                    break
+                piece = tok.decode_piece(token)
+                if piece:
+                    pieces.append(piece)
+                    n_text += 1
+                    if self.token_cb:
+                        self.token_cb(piece)
+                sampler.observe(token)
+                kv = self._ensure_kv(pos + 2)
+                logits, self._kv = self._step_logits(
+                    self.dec_params, jnp.int32(token), jnp.int32(pos), kv)
                 pos += 1
                 token = sampler.sample(np.asarray(logits))
         elif use_sampling:

@@ -51,6 +51,10 @@ def load() -> Optional[ctypes.CDLL]:
             lib.sv_silence_mask.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_long,
                 ctypes.POINTER(ctypes.c_uint8)]
+            if hasattr(lib, "sv_expf_vec"):  # absent in pre-round-3 builds
+                lib.sv_expf_vec.restype = None
+                lib.sv_expf_vec.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_long]
             _LIB = lib
             break
     return _LIB

@@ -125,3 +125,38 @@ def test_q25_fuzz_case_byte_exact(q25_env, name):
         f"div@{res['divergence_byte']} C={res['c_stdout'][:100]!r} "
         f"ours={res['our_stdout'][:100]!r}\n"
         f"our stderr: {res['our_stderr_tail']}")
+
+
+# --- SAMPLED-mode subset ----------------------------------------------------
+# temperature > 0: the one decode mode greedy parity cannot cover.  The C
+# arm's srand48 is pinned via QWEN_SEED (cross_parity_c._seed_patch in the
+# geometry-patched build); our arm replays the same drand48 stream through
+# the compiled sample_token's exact arithmetic (--sampler cref,
+# runtime/sampling.CRefSampler — sampler-level exactness pinned separately
+# in tests/test_sampling_c_exact.py + tools/fuzz_sampler_c.py).  A single
+# flipped multinomial draw diverges every later byte, so byte-exact stdout
+# pins the whole stochastic trajectory.  Full corpus: fuzz_parity_c.py
+# SAMPLED_CASES / SAMPLED_Q25_CASES.
+
+SAMPLED_PIN = ["samp_text_default", "samp_audio_default"]
+
+
+@pytest.mark.parametrize("name", SAMPLED_PIN)
+def test_sampled_case_byte_exact(fuzz_env, name):
+    fz, bin_path, audio = fuzz_env
+    wav_name, flags, seed48 = fz.SAMPLED_CASES[name]
+    tail = list(flags)
+    if wav_name is not None:
+        wav_path = os.path.join(fz.WAV_DIR, wav_name + ".wav")
+        with open(wav_path, "wb") as f:
+            f.write(audio[wav_name])
+        tail += ["-i", wav_path]
+    args = ["-d", fz.MODEL] + tail
+    res = fz.run_case(
+        name, args, args + ["--sampler", "cref", "--seed", str(seed48)],
+        bin_path, c_env={"QWEN_SEED": str(seed48)})
+    assert res["match"], (
+        f"{name}: c_rc={res['c_rc']} our_rc={res['our_rc']} "
+        f"div@{res['divergence_byte']} C={res['c_stdout'][:100]!r} "
+        f"ours={res['our_stdout'][:100]!r}\n"
+        f"our stderr: {res['our_stderr_tail']}")

@@ -124,6 +124,21 @@ def _moe_geometry_patch(src: str, cfg: dict) -> str:
     return out
 
 
+def _seed_patch(src: str) -> str:
+    """GEOMETRY-PATCHED (fuzz) builds only: make the wall-clock sampler seed
+    (`srand48((long)get_time_ms())`, qwen_asr.c:2510 / qwen25_omni.c:484)
+    overridable via the QWEN_SEED env var so SAMPLED-mode (temperature > 0)
+    trajectories are reproducible and cross-checkable.  Our arm replays the
+    identical drand48 stream (runtime/sampling.Drand48 + CRefSampler).
+    Without the env var the patched binary behaves exactly as shipped.
+    The pristine parity-matrix binary is NOT patched."""
+    old = "srand48((long)get_time_ms());"
+    new = ("{ const char *se = getenv(\"QWEN_SEED\");\n"
+           "        srand48(se ? atol(se) : (long)get_time_ms()); }")
+    assert src.count(old) == 1, "sampler seed site not found"
+    return src.replace(old, new)
+
+
 def _asr_cap_patch(src: str) -> str:
     """GEOMETRY-PATCHED (fuzz) builds only: make the hard-coded ASR decode
     cap (`int max_tokens = 2048;`, qwen_asr.c:778) overridable via the
@@ -254,9 +269,9 @@ def ensure_binary(moe_cfg: dict | None = None,
     bin_path = os.path.join(build_dir, "qwen_asr")
     stamp_path = os.path.join(build_dir, "geometry.json")
     patch_cfg = moe_cfg or dense_cfg or q25_cfg
-    # "|capv1": the _asr_cap_patch revision — bumping it invalidates cached
-    # geometry-patched binaries built before the cap patch existed
-    stamp = (json.dumps(patch_cfg, sort_keys=True) + "|capv1"
+    # "|capv1|seedv1": the _asr_cap_patch/_seed_patch revisions — bumping
+    # invalidates cached geometry-patched binaries built before a patch
+    stamp = (json.dumps(patch_cfg, sort_keys=True) + "|capv1|seedv1"
              if patch_cfg else "")
     srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
             + glob.glob(os.path.join(REF_SRC, "*.h"))
@@ -287,6 +302,14 @@ def ensure_binary(moe_cfg: dict | None = None,
             patched = _asr_cap_patch(patched)
         with open(c_path, "w") as f:
             f.write(patched)
+        # every patched build gets the reproducible-sampling seed hook, in
+        # BOTH families' thinker loops (one srand48 site each)
+        for fname in ("qwen_asr.c", "qwen25_omni.c"):
+            sp = os.path.join(build_dir, fname)
+            with open(sp) as f:
+                src = f.read()
+            with open(sp, "w") as f:
+                f.write(_seed_patch(src))
     # -march=native -ffast-math is the reference's OWN shipped default
     # (its Makefile: CFLAGS_BASE = -Wall -Wextra -O3 -march=native
     # -ffast-math), so this is the arithmetic family the parity target
@@ -298,6 +321,50 @@ def ensure_binary(moe_cfg: dict | None = None,
     with open(stamp_path, "w") as f:
         f.write(stamp)
     return bin_path
+
+
+def ensure_sample_oracle() -> str:
+    """Build a shared library exposing the reference's COMPILED sampler
+    (sample_token, qwen_asr.c:2250-2313 — a static function, so a generated
+    shim TU #includes the scratch copy of qwen_asr.c and wraps it) plus its
+    drand48 stream, with the binary's own CFLAGS (-O2 -march=native
+    -ffast-math).  This is the ground truth tools/fuzz_sampler_c.py checks
+    runtime/sampling.CRefSampler against: not the C SOURCE semantics but
+    the shipped CODEGEN (fast-math may e.g. reassociate the softmax sum or
+    turn the temperature divide into a reciprocal multiply).  Returns the
+    .so path; cached like ensure_binary."""
+    build_dir = BUILD_DIR + "_oracle"
+    so_path = os.path.join(build_dir, "sample_oracle.so")
+    srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
+            + glob.glob(os.path.join(REF_SRC, "*.h")))
+    if os.path.exists(so_path) and all(
+            os.path.getmtime(s) <= os.path.getmtime(so_path) for s in srcs):
+        return so_path
+    os.makedirs(build_dir, exist_ok=True)
+    for s in srcs:
+        shutil.copy2(s, build_dir)
+    shim = os.path.join(build_dir, "oracle_shim.c")
+    with open(shim, "w") as f:
+        f.write(
+            '#include "qwen_asr.c"\n'
+            "int sample_oracle(float *logits, int vocab, const int *recent,\n"
+            "                  int n_recent, float temp, float rep, int top_k)\n"
+            "{ return sample_token(logits, vocab, recent, n_recent,\n"
+            "                      temp, rep, top_k); }\n"
+            "void oracle_srand48(long s) { srand48(s); }\n"
+            "double oracle_drand48(void) { return drand48(); }\n"
+            "float oracle_expf(float x) { return expf(x); }\n"
+            "void oracle_softmax(float *x, int rows, int cols)\n"
+            "{ qwen_softmax(x, rows, cols); }\n")
+    others = [os.path.basename(s) for s in glob.glob(
+        os.path.join(build_dir, "*.c"))
+        if os.path.basename(s) not in ("qwen_asr.c", "main.c",
+                                       "oracle_shim.c")]
+    subprocess.run(
+        ["gcc", "-O2", "-march=native", "-ffast-math", "-fPIC", "-shared",
+         "-o", so_path, "oracle_shim.c", *others, "-lm", "-lpthread"],
+        cwd=build_dir, check=True, capture_output=True)
+    return so_path
 
 
 def ensure_short_wav(path: str = SHORT_WAV, dur: float = 2.0) -> str:

@@ -390,6 +390,65 @@ THINKER_EXTRA = {
 }
 
 
+# SAMPLED-mode thinker cases (temperature > 0 — the reference samples only
+# in thinker mode; ASR transcribe is always greedy on both engines).  The
+# C arm's wall-clock srand48 is pinned via QWEN_SEED (the _seed_patch in
+# every geometry-patched build); our arm replays the identical drand48
+# stream with --sampler cref --seed N (runtime/sampling.CRefSampler — the
+# compiled sample_token's exact -ffast-math arithmetic, fuzzed to 0
+# mismatches in tools/fuzz_sampler_c.py).  Byte-exact stdout is REQUIRED:
+# one flipped multinomial draw changes every subsequent token.
+# name -> (wav_name_or_None, flags, drand48_seed)
+SAMPLED_CASES = {
+    "samp_text_default": (None, ["--thinker", "--text",
+                                 "stochastic parity check",
+                                 "--max-tokens", "24"], 42),
+    "samp_text_hot": (None, ["--thinker", "--text", "high temperature run",
+                             "--temperature", "1.3", "--top-k", "0",
+                             "--max-tokens", "24"], 7),
+    "samp_text_cold_k5": (None, ["--thinker", "--text", "near greedy",
+                                 "--temperature", "0.2", "--top-k", "5",
+                                 "--max-tokens", "24"], 12345),
+    "samp_text_nopenalty": (None, ["--thinker", "--text", "penalty off",
+                                   "--repeat-penalty", "1.0",
+                                   "--temperature", "1.0",
+                                   "--max-tokens", "24"], 99),
+    "samp_text_strong_pen": (None, ["--thinker", "--text",
+                                    "buffalo " * 12,
+                                    "--repeat-penalty", "1.5",
+                                    "--max-tokens", "32"], 2**31 - 1),
+    "samp_audio_default": ("wav_370ms", ["--thinker",
+                                         "--max-tokens", "20"], 42),
+    # NOTE the hot audio case keeps top-k bounded: at temp 1.0 / top-k 0 a
+    # random checkpoint's softmax is near-uniform over the FULL 151936
+    # vocab, so multinomial draw margins (~1/vocab ~ 7e-6) sit BELOW the
+    # inherent cross-engine f32 logit wiggle of the audio path (different
+    # matmul summation orders) and a draw straddles a bin boundary almost
+    # every run — measured: adjacent token ids at draw 3 (tok136824 vs
+    # tok136825).  Greedy/argmax parity is immune to this; sampled parity
+    # requires margins >> logit noise, which top-k 256 (~4e-3) restores.
+    # Full-vocab sampled softmax is still covered by samp_text_hot (the
+    # text path's prefill agrees far more tightly).
+    "samp_audio_hot": ("wav_1s_exact", ["--thinker", "--temperature", "1.0",
+                                        "--top-k", "256",
+                                        "--max-tokens", "20"], 31337),
+}
+
+# q25 twins (the q25 thinker loop has its own sample_token copy,
+# qwen25_omni.c:114-174, and its own srand48 site — both patched)
+SAMPLED_Q25_CASES = {
+    "samp_q25_text": (None, ["--thinker", "--text", "stochastic q25",
+                             "--max-tokens", "20"], 42),
+    # top-k bounded for the same reason as samp_audio_hot: hot full-vocab
+    # softmax margins (~1/152064) sit below the audio path's cross-engine
+    # f32 summation-order wiggle (measured: tok40238 vs tok40239, adjacent
+    # cumsum bins, at draw 2)
+    "samp_q25_audio": ("q25_370ms", ["--thinker", "--temperature", "1.3",
+                                     "--top-k", "256",
+                                     "--max-tokens", "16"], 7),
+}
+
+
 # stdin autodetect cases (qwen_read_pcm_stdin, qwen_asr_audio.c:190-230):
 # "RIFF" prefix ALONE routes to the WAV parser (bad body = rejection, NOT
 # a raw-PCM fallback), <4 bytes is an error, raw s16le truncates an odd
@@ -481,10 +540,12 @@ def main():
     stdin_cases = {}
     if args.q25:
         audio = build_q25_audio_cases(rng)
-        names = list(TEXT_CASES) + list(audio) + list(Q25_MODE_CASES)
+        names = (list(TEXT_CASES) + list(audio) + list(Q25_MODE_CASES)
+                 + list(SAMPLED_Q25_CASES))
     else:
         audio = build_audio_cases(rng)
-        names = list(TEXT_CASES) + list(audio) + list(THINKER_EXTRA)
+        names = (list(TEXT_CASES) + list(audio) + list(THINKER_EXTRA)
+                 + list(SAMPLED_CASES))
         if not args.moe:
             stdin_cases = _stdin_cases(rng, audio)
             names += list(ASR_CASES) + list(stdin_cases)
@@ -551,6 +612,17 @@ def main():
                 # cap added above must survive for seg cases too: C caps
                 # PER SEGMENT, so dropping ours ran 2048/seg vs 160/seg.)
                 ours_extra = ours_extra + ["--no-batch-segments"]
+        elif name in SAMPLED_CASES or name in SAMPLED_Q25_CASES:
+            wav_name, flags, seed48 = (SAMPLED_CASES.get(name)
+                                       or SAMPLED_Q25_CASES[name])
+            tail = list(flags)
+            if wav_name is not None:
+                wav_path = os.path.join(WAV_DIR, wav_name + ".wav")
+                with open(wav_path, "wb") as f:
+                    f.write(audio[wav_name])
+                tail += ["-i", wav_path]
+            c_env = {"QWEN_SEED": str(seed48)}
+            ours_extra = ["--sampler", "cref", "--seed", str(seed48)]
         elif name in THINKER_EXTRA or name in Q25_MODE_CASES:
             wav_name, flags = (THINKER_EXTRA.get(name)
                                or Q25_MODE_CASES[name])
