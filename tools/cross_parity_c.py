@@ -396,7 +396,19 @@ MODES = {
     "offline": ["-i", JFK],
     "segmented": ["-i", JFK, "-S", "5", "-W", "1", "--past-text", "no"],
     "stream": ["-i", SHORT_WAV, "--stream"],
+    # SAMPLED thinker modes (temperature > 0) at REAL geometry: the C arm
+    # gets QWEN_SEED (requires the seed-hooked build — main() switches to a
+    # geometry-patched binary when these modes are requested), ours replays
+    # the drand48 stream with --sampler cref.  CPU-f32 contract only: a
+    # multinomial draw's margin can sit below bf16-vs-f32 drift, so the TPU
+    # arm is skipped for these modes (see docs/PARITY_C.md sampled section).
+    "sampled": ["--thinker", "--text", "the English language and",
+                "--temperature", "0.7", "--max-tokens", "24"],
+    "sampled_audio": ["--thinker", "-i", SHORT_WAV,
+                      "--temperature", "0.7", "--max-tokens", "16"],
 }
+SAMPLED_SEED = 42
+SAMPLED_MODES = {"sampled", "sampled_audio"}
 # segmented runs against checkpoint B (per-segment chains, --seg-model);
 # the full-clip chain and the segment chains cannot coexist on one
 # checkpoint (see tools/engineer_checkpoint.py module docstring)
@@ -450,8 +462,16 @@ def main():
     # q25 checkpoints (fuzz-q25-c) need the q25_load block regenerated
     needs_q25_patch = is_q25 and model_cfg["thinker_config"][
         "audio_config"]["d_model"] != 1280
-    bin_path = ensure_binary(moe_cfg=model_cfg if is_moe else None,
-                             q25_cfg=model_cfg if needs_q25_patch else None)
+    # sampled modes need the QWEN_SEED hook, which only geometry-patched
+    # builds carry — route through the identity-geometry patched build
+    # (same constants as the hardcoded ones, plus the cap/seed hooks)
+    needs_seed = bool(SAMPLED_MODES & set(args.modes.split(",")))
+    bin_path = ensure_binary(
+        moe_cfg=model_cfg if is_moe else None,
+        q25_cfg=model_cfg if (needs_q25_patch
+                              or (is_q25 and needs_seed)) else None,
+        dense_cfg=model_cfg if (needs_seed and not is_moe
+                                and not is_q25) else None)
     ensure_short_wav()
 
     results = []
@@ -461,12 +481,17 @@ def main():
         model = args.seg_model if mode == "segmented" else args.model
         print(f"== {mode}: {' '.join(extra)}  [model {os.path.basename(model)}]",
               flush=True)
-        c = run_engine([bin_path, "-d", model] + extra)
+        sampled = mode in SAMPLED_MODES
+        c_env = (dict(os.environ, QWEN_SEED=str(SAMPLED_SEED))
+                 if sampled else None)
+        c = run_engine([bin_path, "-d", model] + extra, env=c_env)
         print(f"  C: rc={c['rc']} {len(c['stdout'])} B stdout "
               f"({c['secs']:.0f}s)", flush=True)
 
+        ours_mode = (["--sampler", "cref", "--seed", str(SAMPLED_SEED)]
+                     if sampled else [])
         runs = [("cpu-f32", {"SMOLVISION_PLATFORM": "cpu"}, ["--f32"])]
-        if not args.skip_tpu:
+        if not args.skip_tpu and not sampled:
             runs.append(("tpu-bf16", {}, []))
         entry = {"mode": mode, "model": os.path.basename(model),
                  "flags": " ".join(extra), "c_rc": c["rc"],
@@ -475,7 +500,8 @@ def main():
         for label, env_extra, flags in runs:
             env = dict(os.environ, **env_extra)
             r = run_engine([sys.executable, "-m", "smolvision_tpu.cli",
-                            "-d", model] + extra + flags, env=env)
+                            "-d", model] + extra + flags + ours_mode,
+                           env=env)
             div = first_divergence(c["stdout"], r["stdout"])
             # a MATCH must be a real token comparison: both engines exited
             # cleanly and the C side produced output — two identical
