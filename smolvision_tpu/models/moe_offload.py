@@ -51,13 +51,23 @@ class HostExpertStore:
     def __init__(self, reader, cfg: ModelConfig, prefix: str = DEC_PREFIX):
         L, E = cfg.dec_layers, cfg.num_experts
         self.cfg = cfg
+        # per-layer expert presence, like the reference's per-layer routing
+        # probe (qwen_asr_decoder.c:91-125): mixed decoder_sparse_step > 1
+        # checkpoints interleave dense FFN layers, which have no experts —
+        # their rows stay None and offload_forward takes the resident
+        # dense-FFN branch instead
+        self.is_moe = [reader.has(
+            f"{prefix}.layers.{l}.mlp.gate.weight") for l in range(L)]
         t = f"{prefix}.layers.{{l}}.mlp.experts.{{e}}.{{m}}.weight"
-        self._g = [[reader.get(t.format(l=l, e=e, m="gate_proj")) for e in range(E)]
-                   for l in range(L)]
-        self._u = [[reader.get(t.format(l=l, e=e, m="up_proj")) for e in range(E)]
-                   for l in range(L)]
-        self._d = [[reader.get(t.format(l=l, e=e, m="down_proj")) for e in range(E)]
-                   for l in range(L)]
+
+        def _row(l, m):
+            if not self.is_moe[l]:
+                return None
+            return [reader.get(t.format(l=l, e=e, m=m)) for e in range(E)]
+
+        self._g = [_row(l, "gate_proj") for l in range(L)]
+        self._u = [_row(l, "up_proj") for l in range(L)]
+        self._d = [_row(l, "down_proj") for l in range(L)]
 
     def gather(self, layer: int, idx: np.ndarray):
         """idx [T, K] -> (gate [T,K,MI,H], up [T,K,MI,H], down [T,K,H,MI])
@@ -81,7 +91,7 @@ class HostExpertStore:
         total = 0
         for rows in (self._g, self._u, self._d):
             for layer in rows:
-                for v in layer:
+                for v in layer or ():
                     _ = v.reshape(-1)[:: max(1, 4096 // v.itemsize)].sum()
                     total += v.nbytes
         return total
@@ -137,7 +147,17 @@ def build_offload_fns(cfg: ModelConfig, tp: int = 1):
         lp = {"router": router, "e_gate": g, "e_up": u, "e_down": d}
         return h_attn + dec_mod._moe_ffn(xn, lp, cfg, valid=valid)
 
-    return part1, part2_gathered, part2_full
+    @jax.jit
+    def part2_dense(h_attn, xn, w_gate_up, w_down):
+        # mixed sparse_step > 1: dense interleave layers keep their FFN
+        # weights RESIDENT (params.py w_gate_up/w_down) — same fused-SwiGLU
+        # math as the resident decoder's dense branch
+        lp = {"w_gate_up": w_gate_up, "w_down": w_down}
+        ffn = dec_mod._dense_ffn(xn, lp, tp, wdtype(w_gate_up),
+                                 "th,ih->ti", "ti,hi->th")
+        return h_attn + ffn
+
+    return part1, part2_gathered, part2_full, part2_dense
 
 
 def offload_forward(layers_list: List[Dict[str, Any]], store: HostExpertStore,
@@ -149,10 +169,13 @@ def offload_forward(layers_list: List[Dict[str, Any]], store: HostExpertStore,
     embeds [Tcap, H]; kv_list: per-layer [2, Kcap, KH, D] caches (updated in
     place via donation).  Decode (Tcap == 1) fetches each layer's router
     scores to the host, gathers only the top-k experts' blocks and streams
-    them up; prefill streams the full stack per layer.  Returns (hidden
-    [Tcap, H] f32 pre-final-norm, kv_list).
+    them up; prefill streams the full stack per layer.  Mixed
+    decoder_sparse_step checkpoints dispatch per layer on store.is_moe:
+    dense interleave layers run their RESIDENT fused-SwiGLU FFN (no host
+    traffic, router scores ignored — the stacked router is zero there).
+    Returns (hidden [Tcap, H] f32 pre-final-norm, kv_list).
     """
-    part1, part2_gathered, part2_full = fns
+    part1, part2_gathered, part2_full, part2_dense = fns
     Tcap = embeds.shape[0]
     K = cfg.num_experts_per_tok
     decode = Tcap == 1
@@ -163,7 +186,9 @@ def offload_forward(layers_list: List[Dict[str, Any]], store: HostExpertStore,
     h = embeds
     for li, lp in enumerate(layers_list):
         h_attn, xn, scores, kv_list[li] = part1(lp, h, kv_list[li], pos, vlen)
-        if decode:
+        if not store.is_moe[li]:
+            h = part2_dense(h_attn, xn, lp["w_gate_up"], lp["w_down"])
+        elif decode:
             s = np.asarray(jax.device_get(scores))[0]          # [E]
             idx = _topk_desc(s, K)[None, :]                    # [1, K]
             g, u, d = store.gather(li, idx)

@@ -165,9 +165,11 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16,
         is_moe_l = [reader.has(f"{p}.layers.{i}.mlp.gate.weight")
                     for i in range(L)]
         mixed = not all(is_moe_l)
-        if mixed and experts_on_host:
-            raise NotImplementedError(
-                "--moe-offload with mixed dense/MoE layers (sparse_step > 1)")
+        # mixed + experts_on_host composes: MoE layers stream experts from
+        # the host store while the dense interleave weights below stay
+        # resident (models/moe_offload.offload_forward dispatches per layer
+        # on the host-side moe flag, like the reference's per-layer routing
+        # presence, qwen_asr_decoder.c:91-125)
         E = cfg.num_experts
         H = cfg.dec_hidden
         MI = cfg.moe_intermediate

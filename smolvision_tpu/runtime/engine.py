@@ -181,8 +181,11 @@ class Engine:
 
             self.expert_store = HostExpertStore(self.reader, cfg)
             layers = self.dec_params["layers"]
+            # w_gate_up/w_down present only for mixed sparse_step
+            # checkpoints: dense interleave layers keep their FFN resident
             keys = [k for k in ("input_ln", "post_ln", "wqkv", "bqkv",
-                                "q_norm", "k_norm", "wo", "router")
+                                "q_norm", "k_norm", "wo", "router",
+                                "w_gate_up", "w_down")
                     if layers.get(k) is not None]
             self._dec_layers_list = [
                 {k: qtake(layers[k], l) for k in keys}

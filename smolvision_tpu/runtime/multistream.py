@@ -28,10 +28,12 @@ Two execution modes:
     engine.serving_mesh is set (same knob as runtime/serving.py) the row
     axis additionally shards over the mesh "data" axis — the multi-chip
     lever past the measured single-chip plateau (docs/MULTISTREAM.md).
-  * THREADED (live sources, or SMOLVISION_BATCH_STREAMS=0): one host thread
-    per session, independent device dispatches.  Correct but bounded by the
-    serialized single-stream dispatch rate (jax serializes dispatch
-    internally) — kept for live audio whose sessions cannot share a clock.
+  * THREADED (single source, or SMOLVISION_BATCH_STREAMS=0): one host
+    thread per session, independent device dispatches.  Correct but bounded
+    by the serialized single-stream dispatch rate (jax serializes dispatch
+    internally).  Live sources run on the BATCHED coordinator too since
+    round 3 (NOT_READY polling on the shared clock, token traces identical
+    to preloaded audio); threaded survives only as the opt-out fallback.
 """
 
 from __future__ import annotations
@@ -91,9 +93,10 @@ def run_streams(engine, sources: Sequence, on_token=None) -> List[Optional[str]]
     """Run one streaming session per source concurrently; returns final
     texts in source order.
 
-    Preloaded audio arrays go through the BATCHED coordinator (per-chunk
-    model calls batched across sessions); live sources, single sources, or
-    SMOLVISION_BATCH_STREAMS=0 use one host thread per session.
+    Preloaded audio arrays AND live sources (io/live.py protocol) go
+    through the BATCHED coordinator (per-chunk model calls batched across
+    sessions); single sources or SMOLVISION_BATCH_STREAMS=0 use one host
+    thread per session.
 
     on_token: optional callable (session_index, piece_bytes) invoked as
     text commits (from session threads in threaded mode).

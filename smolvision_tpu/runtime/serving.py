@@ -71,19 +71,27 @@ def _serving_jits(engine):
 
     cfg = engine.cfg
 
-    build = jax.jit(jax.vmap(dec_mod.build_embeds, in_axes=(None, 0, 0, 0, 0)))
-    group_prefill = jax.jit(
-        lambda p, e, k, rs, km, lr, pm: dec_mod.batched_prefill_delta(
+    # named (not lambdas) so profiler traces attribute device time per stage
+    # (tools/probe_serving_stages.py aggregates ops by jit program name)
+    def serving_build_embeds(p, ids, audio, astart, alen):
+        return jax.vmap(dec_mod.build_embeds,
+                        in_axes=(None, 0, 0, 0, 0))(p, ids, audio,
+                                                    astart, alen)
+
+    def serving_group_prefill(p, e, k, rs, km, lr, pm):
+        return dec_mod.batched_prefill_delta(
             p, cfg, e, jnp.int32(0), k, rs, km, greedy=True, last_rows=lr,
-            prompt_max=pm, region_start=jnp.int32(1 << 30), tp=tp, ep=ep),
-        donate_argnums=(2,))
-    decode = jax.jit(
-        lambda p, t, pos, k, off, km, pm, rg, ns, act: (
-            pbatch.batched_decode_chunk(
-                p, cfg, t, pos, k, DECODE_CHUNK, rope_offset=off, kv_min=km,
-                n_steps=ns, prompt_max=pm, region_start=rg, row_active=act,
-                tp=tp, ep=ep)),
-        donate_argnums=(3,))
+            prompt_max=pm, region_start=jnp.int32(1 << 30), tp=tp, ep=ep)
+
+    def serving_decode_chunk(p, t, pos, k, off, km, pm, rg, ns, act):
+        return pbatch.batched_decode_chunk(
+            p, cfg, t, pos, k, DECODE_CHUNK, rope_offset=off, kv_min=km,
+            n_steps=ns, prompt_max=pm, region_start=rg, row_active=act,
+            tp=tp, ep=ep)
+
+    build = jax.jit(serving_build_embeds)
+    group_prefill = jax.jit(serving_group_prefill, donate_argnums=(2,))
+    decode = jax.jit(serving_decode_chunk, donate_argnums=(3,))
 
     from smolvision_tpu.ops.quant import kv_grow_k
 
@@ -98,10 +106,10 @@ def _serving_jits(engine):
     def admit_src_jit(K: int):
         fn = admit_cache.get(K)
         if fn is None:
-            fn = jax.jit(
-                lambda big, small, slots, src: pbatch.admit_rows(
-                    big, small, slots, K, src=src),
-                donate_argnums=(0,))
+            def serving_admit(big, small, slots, src):
+                return pbatch.admit_rows(big, small, slots, K, src=src)
+
+            fn = jax.jit(serving_admit, donate_argnums=(0,))
             admit_cache[K] = fn
         return fn
 

@@ -25,16 +25,30 @@ from smolvision_tpu.config import (
 from smolvision_tpu.runtime import prompt as prompt_mod
 
 
+# Referee mode (docs/PARITY_C.md): float64 weights + activations adjudicate
+# thin-argmax divergences between arithmetic families (C f32 vs TPU bf16) —
+# whichever engine the f64 trajectory sides with holds the "true" argmax;
+# the other arm's flip is rounding noise of its family.  Checkpoint weights
+# are bf16/f32 on disk, so the f32->f64 upcast is exact.
+ORACLE_DTYPE = torch.float32
+
+
+def set_dtype(dt):
+    """torch.float32 (default) or torch.float64 (the referee)."""
+    global ORACLE_DTYPE
+    ORACLE_DTYPE = dt
+
+
 def _get(reader, name):
     arr = np.asarray(reader.get(name))
-    return torch.tensor(arr.astype(np.float32))
+    return torch.tensor(arr.astype(np.float32)).to(ORACLE_DTYPE)
 
 
 def sinusoidal_pe(length, channels):
     half = channels // 2
     inc = math.log(10000.0) / (half - 1)
-    inv = torch.exp(-inc * torch.arange(half).float())
-    t = torch.arange(length).float()[:, None] * inv[None, :]
+    inv = torch.exp(-inc * torch.arange(half).to(ORACLE_DTYPE))
+    t = torch.arange(length).to(ORACLE_DTYPE)[:, None] * inv[None, :]
     return torch.cat([torch.sin(t), torch.cos(t)], dim=1)
 
 
@@ -43,7 +57,7 @@ def oracle_encoder(reader, cfg: ModelConfig, mel: np.ndarray) -> torch.Tensor:
     p = "thinker.audio_tower"
     x_chunks = []
     chunk = cfg.enc_chunk_size
-    melt = torch.tensor(mel.astype(np.float32))
+    melt = torch.tensor(mel.astype(np.float32)).to(ORACLE_DTYPE)
     w1 = _get(reader, f"{p}.conv2d1.weight")
     b1 = _get(reader, f"{p}.conv2d1.bias")
     w2 = _get(reader, f"{p}.conv2d2.weight")
@@ -109,8 +123,8 @@ def _rms(x, w, eps=1e-6):
 
 def _rope(x, positions, theta):
     hd = x.shape[-1]
-    inv = 1.0 / (theta ** (torch.arange(0, hd, 2).float() / hd))
-    ang = positions.float()[:, None] * inv[None, :]
+    inv = 1.0 / (theta ** (torch.arange(0, hd, 2).to(ORACLE_DTYPE) / hd))
+    ang = positions.to(ORACLE_DTYPE)[:, None] * inv[None, :]
     emb = torch.cat([ang, ang], dim=-1)
     cos, sin = emb.cos()[:, None, :], emb.sin()[:, None, :]
     half = hd // 2

@@ -144,3 +144,81 @@ def test_offload_with_q8(tiny_moe_model_dir, speech_like_audio):
     assert isinstance(eng.dec_params["lm_head"], QuantW)
     text, _ = eng.transcribe_segment(speech_like_audio)
     assert isinstance(text, str)
+
+
+@pytest.fixture(scope="module")
+def mixed_engines(tiny_moe_mixed_model_dir):
+    import jax.numpy as jnp
+
+    from smolvision_tpu.runtime.engine import Engine
+
+    res = Engine(tiny_moe_mixed_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
+    off = Engine(tiny_moe_mixed_model_dir, param_dtype=jnp.float32,
+                 kv_dtype=jnp.float32, moe_offload=True)
+    return res, off
+
+
+def test_mixed_offload_setup(mixed_engines):
+    """Mixed decoder_sparse_step composes with --moe-offload (round-3
+    VERDICT Next #5): MoE layers stream from the host store, dense
+    interleave layers keep a RESIDENT fused FFN."""
+    _, off = mixed_engines
+    assert off.moe_offload
+    store = off.expert_store
+    assert any(store.is_moe) and not all(store.is_moe)
+    # dense layers have no host expert rows; MoE layers do
+    for li, moe in enumerate(store.is_moe):
+        assert (store._g[li] is not None) == moe
+    # resident per-layer slices carry the dense interleave weights
+    assert "w_gate_up" in off._dec_layers_list[0]
+    assert off.dec_params["layers"]["e_gate"] is None
+    assert store.preload() > 0
+
+
+def test_mixed_offload_greedy_decode_matches(mixed_engines, speech_like_audio):
+    """Offload-vs-resident token identity on the mixed checkpoint: covers
+    the host gather path (MoE layers) AND the resident dense branch
+    (interleave layers) in one decode."""
+    from smolvision_tpu.runtime import prompt as prompt_mod
+
+    res, off = mixed_engines
+    seqs = []
+    for eng in (res, off):
+        audio, n_audio = eng.encode(speech_like_audio)
+        ids, astart = prompt_mod.build_asr_prompt(eng.cfg, n_audio, [], [], None)
+        eng.reset_kv()
+        first, pos = eng.prefill_ids(ids, audio, astart, n_audio)
+        got = []
+
+        def on_token(tid, got=got):
+            got.append(tid)
+            return len(got) < 12
+
+        eng.decode_greedy(first, pos, 16, on_token)
+        seqs.append(got)
+    assert seqs[0] == seqs[1], seqs
+
+
+def test_mixed_offload_prefill_logits_match(mixed_engines, speech_like_audio):
+    from smolvision_tpu.runtime import prompt as prompt_mod
+
+    res, off = mixed_engines
+    audio, n_audio = res.encode(speech_like_audio)
+    ids, astart = prompt_mod.build_asr_prompt(res.cfg, n_audio, [], [], None)
+    res.reset_kv()
+    l0, _ = res.prefill_ids(ids, audio, astart, n_audio, greedy=False)
+    off.reset_kv()
+    l1, _ = off.prefill_ids(ids, audio, astart, n_audio, greedy=False)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mixed_offload_thinker_greedy_matches(mixed_engines):
+    res, off = mixed_engines
+    texts = []
+    for eng in (res, off):
+        eng.temperature = 0.0
+        eng.thinker_max_tokens = 10
+        texts.append(eng.thinker_generate(None, "hello there"))
+    assert texts[0] == texts[1]

@@ -158,11 +158,16 @@ def test_mixed_greedy_tokens_match_oracle(mixed_engine,
     assert got[:7] == ref[:7]
 
 
-def test_mixed_offload_guard(tiny_moe_mixed_model_dir):
+def test_mixed_offload_supported(tiny_moe_mixed_model_dir):
+    """Round 4 closed the round-3 guard: mixed sparse_step composes with
+    --moe-offload (MoE layers stream from host, dense layers resident).
+    Full offload-vs-resident equivalence: tests/test_moe_offload.py
+    test_mixed_offload_*."""
     from smolvision_tpu.runtime.engine import Engine
 
-    with pytest.raises(NotImplementedError):
-        Engine(tiny_moe_mixed_model_dir, moe_offload=True)
+    eng = Engine(tiny_moe_mixed_model_dir, moe_offload=True)
+    assert eng.moe_offload
+    assert any(eng.expert_store.is_moe) and not all(eng.expert_store.is_moe)
 
 
 # ---------------------------------------------------------------------------

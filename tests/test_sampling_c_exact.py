@@ -66,9 +66,17 @@ def test_libc_expf_helper_bit_matches_libm():
                     dtype=np.float32)
     got = sp._libc_expf(xs)
     assert np.array_equal(got, want)
-    # f64-exp detour really does differ (the helper is not redundant)
+    # On glibc the f64-exp detour differs from expf on ~0.05% of inputs —
+    # the discovery that motivated _libc_expf.  That is a property of the
+    # HOST libm, not of repo code (a correctly-rounded expf, e.g. musl,
+    # would make them equal), so it is informational, not an assert.
     detour = np.exp(xs.astype(np.float64)).astype(np.float32)
-    assert not np.array_equal(detour, want)
+    if np.array_equal(detour, want):
+        import warnings
+
+        warnings.warn("host expf == f32(exp_f64) on all probed inputs — "
+                      "_libc_expf is redundant on this libm (parity still "
+                      "holds)", stacklevel=1)
     if native_mod.load() is not None and hasattr(native_mod.load(),
                                                  "sv_expf_vec"):
         # exercise the ctypes fallback too

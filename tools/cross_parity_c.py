@@ -335,35 +335,48 @@ def ensure_sample_oracle() -> str:
     .so path; cached like ensure_binary."""
     build_dir = BUILD_DIR + "_oracle"
     so_path = os.path.join(build_dir, "sample_oracle.so")
+    stamp_path = os.path.join(build_dir, "oracle_stamp.txt")
     srcs = (glob.glob(os.path.join(REF_SRC, "*.c"))
             + glob.glob(os.path.join(REF_SRC, "*.h")))
-    if os.path.exists(so_path) and all(
-            os.path.getmtime(s) <= os.path.getmtime(so_path) for s in srcs):
+    shim_text = (
+        '#include "qwen_asr.c"\n'
+        "int sample_oracle(float *logits, int vocab, const int *recent,\n"
+        "                  int n_recent, float temp, float rep, int top_k)\n"
+        "{ return sample_token(logits, vocab, recent, n_recent,\n"
+        "                      temp, rep, top_k); }\n"
+        "void oracle_srand48(long s) { srand48(s); }\n"
+        "double oracle_drand48(void) { return drand48(); }\n"
+        "float oracle_expf(float x) { return expf(x); }\n"
+        "void oracle_softmax(float *x, int rows, int cols)\n"
+        "{ qwen_softmax(x, rows, cols); }\n")
+    cflags = ["-O2", "-march=native", "-ffast-math", "-fPIC", "-shared"]
+    # cache key includes the shim content + CFLAGS (mirrors ensure_binary's
+    # "|capv1|seedv1" stamping): source mtimes alone would silently reuse a
+    # stale oracle after a shim or flags edit
+    stamp = shim_text + "|" + " ".join(cflags)
+    cached_stamp = ""
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            cached_stamp = f.read()
+    if (os.path.exists(so_path) and cached_stamp == stamp and all(
+            os.path.getmtime(s) <= os.path.getmtime(so_path) for s in srcs)):
         return so_path
     os.makedirs(build_dir, exist_ok=True)
     for s in srcs:
         shutil.copy2(s, build_dir)
     shim = os.path.join(build_dir, "oracle_shim.c")
     with open(shim, "w") as f:
-        f.write(
-            '#include "qwen_asr.c"\n'
-            "int sample_oracle(float *logits, int vocab, const int *recent,\n"
-            "                  int n_recent, float temp, float rep, int top_k)\n"
-            "{ return sample_token(logits, vocab, recent, n_recent,\n"
-            "                      temp, rep, top_k); }\n"
-            "void oracle_srand48(long s) { srand48(s); }\n"
-            "double oracle_drand48(void) { return drand48(); }\n"
-            "float oracle_expf(float x) { return expf(x); }\n"
-            "void oracle_softmax(float *x, int rows, int cols)\n"
-            "{ qwen_softmax(x, rows, cols); }\n")
+        f.write(shim_text)
     others = [os.path.basename(s) for s in glob.glob(
         os.path.join(build_dir, "*.c"))
         if os.path.basename(s) not in ("qwen_asr.c", "main.c",
                                        "oracle_shim.c")]
     subprocess.run(
-        ["gcc", "-O2", "-march=native", "-ffast-math", "-fPIC", "-shared",
-         "-o", so_path, "oracle_shim.c", *others, "-lm", "-lpthread"],
+        ["gcc", *cflags, "-o", so_path, "oracle_shim.c", *others,
+         "-lm", "-lpthread"],
         cwd=build_dir, check=True, capture_output=True)
+    with open(stamp_path, "w") as f:
+        f.write(stamp)
     return so_path
 
 
