@@ -123,6 +123,7 @@ class Bench:
         self.eng = None            # shared 0.6B engine
         self.eng17 = None          # shared 1.7B engine
         self._eng_kv8 = None
+        self._eng_q8kv8 = None
         self._model_dir = None
 
     def emit(self, r, headline=False):
@@ -178,6 +179,16 @@ class Bench:
             self._eng_kv8.max_tokens = MAX_TOKENS
             self._eng_kv8.segment_sec = 0.0
         return self._eng_kv8
+
+    def engine_q8kv8(self):
+        if self._eng_q8kv8 is None:
+            from smolvision_tpu.runtime.engine import Engine
+
+            self._eng_q8kv8 = Engine(self.model_dir(), verbose=0, q8=True,
+                                     kv8=True)
+            self._eng_q8kv8.max_tokens = MAX_TOKENS
+            self._eng_q8kv8.segment_sec = 0.0
+        return self._eng_q8kv8
 
     def ckpt17_cached(self) -> bool:
         from tools.engineer_checkpoint import OUT_17, _cached_report
@@ -487,6 +498,43 @@ def row_serving_devres_kv8():
     })
 
 
+def row_serving_devres_q8kv8():
+    """Pre-staged + int8 weights + int8 KV: the round-4 single-chip
+    ceiling config.  Round 3 rejected q8 for serving from B=32 one-shot
+    bf16-KV evidence; at B=64 continuous devres the decode share is ~40%
+    of device time and the interleaved A/B reads q8kv8 med 979 / best
+    1088 vs kv8 med 892 / best 1007 (4/5 pairs, +10% —
+    docs/SERVING_ROOFLINE.md round 4).  Includes the int8-activation
+    prefill GEMM (SMOLVISION_Q8_ACTQ, default on)."""
+    from smolvision_tpu.io.wav import load_wav
+
+    rng = B.rng
+    base = load_wav(JFK)
+    audio_s = len(base) / 16000.0
+    eng = B.engine_q8kv8()
+    # warmup (fresh q8 program set)
+    clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
+    from smolvision_tpu.runtime.serving import prestage_uploads, serve_continuous
+
+    pre = prestage_uploads(eng, clips, encode_group=EGRP)
+    t0 = time.monotonic()
+    serve_continuous(eng, clips, slots=SLOTS, encode_group=EGRP,
+                     prestaged=pre)
+    log(f"bench: serving-devres-q8kv8 warmup {time.monotonic() - t0:.1f} s")
+    best = _serve_loop("serving-devres-q8kv8", eng, N_QUEUE, SLOTS, EGRP,
+                       base, rng, prestage=True)
+    tput = N_QUEUE * audio_s / (best / 1000.0)
+    B.emit({
+        "metric": f"serving throughput, {N_QUEUE} x jfk.wav queued, "
+                  f"continuous slots={SLOTS}, int8 weights + int8 KV + "
+                  "audio pre-staged on device (on-chip ceiling config — "
+                  "Qwen3-ASR-0.6B geometry, --q8 --kv8, 1 v5e chip)",
+        "value": round(tput, 1),
+        "unit": "s_speech_per_s",
+        "vs_baseline": round(tput / BASE_SERVING, 3),
+    })
+
+
 def row_offline_q8():
     """Offline with int8 decoder weights (--q8).  Outside the bf16
     token-parity contract (ops/quant.py): reported as an extra line."""
@@ -755,6 +803,7 @@ ROWS = [
     ("serving_kv8", True, 200, row_serving_kv8),
     ("serving_devres", True, 90, row_serving_devres),
     ("serving_devres_kv8", True, 90, row_serving_devres_kv8),
+    ("serving_devres_q8kv8", True, 240, row_serving_devres_q8kv8),
     ("offline_q8", True, 60, row_offline_q8),
     ("offline_spec", True, 90, row_offline_spec),
     ("offline_17_spec", True, 120, row_offline_17_spec),
@@ -766,7 +815,8 @@ ROWS = [
 
 # legacy SMOLVISION_BENCH_ONLY group name
 GROUPS = {"serving": ["serving", "serving_cont", "serving_kv8",
-                      "serving_devres", "serving_devres_kv8"]}
+                      "serving_devres", "serving_devres_kv8",
+                      "serving_devres_q8kv8"]}
 
 
 def main() -> int:

@@ -69,14 +69,59 @@ def quantize_weight(w) -> QuantW:
     return QuantW(q, s)
 
 
+# einsum equations with the plain GEMM structure x [T, C] @ w [O, C] ->
+# [T, O] (contraction LAST on both operands) — the int8xint8 fast path
+# below only fires for these
+_GEMM_EQS = frozenset({"th,oh->to", "ta,oa->to", "th,ih->ti", "ti,hi->th"})
+# batched variants: x [B, T, C] collapses to [B*T, C] around the same GEMM
+_GEMM_EQS_B = frozenset({"bth,oh->bto", "bta,oa->bto"})
+
+# int8 activations pay off only for COMPUTE-bound blocks: measured on v5e
+# (tools/probe_int8_prefill.py, M=12288 prefill shapes) int8xint8 runs
+# 1.3-1.65x bf16 INCLUDING the per-token quant cost, while decode matvecs
+# (M <= slots) stay bandwidth-bound where the dequant-in-fetch path is
+# already optimal (tools/probe_int8.py).  Threshold = collapsed token
+# count; tiny-model tests and all decode steps sit far below it.
+_ACTQ_MIN_M = 1024
+
+
+def _actq_enabled():
+    import os
+
+    return os.environ.get("SMOLVISION_Q8_ACTQ", "") != "0"
+
+
 def proj(eq: str, x, w):
     """einsum(eq, x, w) with f32 accumulate; w may be a QuantW.
 
     Requires (and every decoder call site satisfies) that the quantized
     weight's non-contraction axes are the TRAILING output axes, so the
     scale broadcasts right-aligned onto the f32 result.
+
+    QuantW GEMMs over >= _ACTQ_MIN_M collapsed tokens (q8 PREFILL blocks)
+    additionally quantize the activations per token and run the MXU's
+    int8xint8 mode — ~1.3-1.65x the bf16 dot at those shapes.  Decode
+    matvecs and small blocks keep the exact-activation dequant path.
+    SMOLVISION_Q8_ACTQ=0 reverts (measurement/debug).
     """
     if isinstance(w, QuantW):
+        batched = eq in _GEMM_EQS_B and x.ndim == 3
+        if ((eq in _GEMM_EQS and x.ndim == 2 or batched) and w.q.ndim == 2
+                and _actq_enabled()):
+            x2 = x.reshape(-1, x.shape[-1]) if batched else x
+            if x2.shape[0] >= _ACTQ_MIN_M:
+                xs = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=1,
+                             keepdims=True) / 127.0
+                xs = jnp.maximum(xs, 1e-12)
+                xq = jnp.round(x2.astype(jnp.float32) / xs)
+                xq = jnp.clip(xq, -127, 127).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    xq, w.q, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * xs * w.s[None, :]
+                if batched:
+                    y = y.reshape(*x.shape[:2], w.q.shape[0])
+                return y
         y = jnp.einsum(eq, x.astype(jnp.bfloat16), w.q.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         return y * w.s

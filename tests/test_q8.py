@@ -169,3 +169,48 @@ def test_q8_batched_path():
         qparams, cfg, toks, jnp.int32(T), kv, 4, rope_start, kv_min)
     assert buf.shape == (B, 4)
     assert int(cnt) >= 0
+
+
+def test_proj_int8_activation_gemm_path():
+    """The q8 PREFILL fast path (int8 activations -> MXU int8xint8,
+    ops/quant.proj): fires only at >= _ACTQ_MIN_M collapsed tokens, and
+    is exact when both operands are already integer-valued (xs folds to
+    1, pow2 weight scales are lossless)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smolvision_tpu.ops import quant as q
+
+    rng = np.random.default_rng(5)
+    M, C, O = q._ACTQ_MIN_M, 64, 32
+    # integer activations with EVERY row's max exactly 127 -> xs == 1
+    # per row -> xq == x (the quant round-trip is the identity)
+    x = rng.integers(-127, 128, (M, C)).astype(np.float32)
+    x[:, 0] = 127.0
+    # pow2-scaled integer weights quantize losslessly
+    wq = rng.integers(-127, 128, (O, C)).astype(np.float32)
+    w = q.QuantW(jnp.asarray(wq, jnp.int8), jnp.full((O,), 2.0, jnp.float32))
+
+    got = np.asarray(q.proj("th,oh->to", jnp.asarray(x), w))
+    want = (x @ wq.T) * 2.0
+    np.testing.assert_array_equal(got, want)
+
+    # below the threshold the dequant path runs (bf16 rounding differs
+    # from the exact-int path almost surely on random inputs)
+    small = np.asarray(q.proj("th,oh->to", jnp.asarray(x[: M // 2]), w))
+    np.testing.assert_allclose(small, want[: M // 2], rtol=1e-2, atol=1e-2)
+
+    # batched eq collapses and reshapes back
+    xb = x.reshape(4, M // 4, C)
+    got_b = np.asarray(q.proj("bth,oh->bto", jnp.asarray(xb), w))
+    np.testing.assert_array_equal(got_b.reshape(M, O), want)
+
+    # kill switch reverts to the dequant path
+    import os
+
+    os.environ["SMOLVISION_Q8_ACTQ"] = "0"
+    try:
+        off = np.asarray(q.proj("th,oh->to", jnp.asarray(x), w))
+        np.testing.assert_allclose(off, want, rtol=1e-2, atol=1e-2)
+    finally:
+        os.environ.pop("SMOLVISION_Q8_ACTQ")

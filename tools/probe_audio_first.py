@@ -114,12 +114,17 @@ def main():
             continue                    # warm-in chunks, reuse 0 expected
         if reused < 64:
             # a reset fires in finish_chunk of chunk ec (affects ec+1's
-            # reuse); an evict-shift fires in begin_chunk of ec (affects ec)
+            # reuse, and keeps the row at reuse<=9 for up to 4 MORE chunks:
+            # the cleared window cache has no completed window until
+            # enc_window/chunk = 4 chunks later, so all audio is the
+            # fresh-uid partial tail); an evict-shift fires in begin_chunk
+            # of ec (affects ec)
             cause = "unattributed"
             for (ec, name) in events.get(sid, []):
-                if (name == "reset" and ec == c - 1) or \
+                if (name == "reset" and c - 5 <= ec <= c - 1) or \
                         (name == "evict-shift" and ec == c):
-                    cause = name
+                    cause = ("reset-tail" if name == "reset" and ec < c - 1
+                             else name)
             counts[cause] += 1
         else:
             counts["reuse>=64"] += 1
@@ -137,7 +142,8 @@ def main():
           "(<64 tokens):")
     print(json.dumps(dict(counts), indent=1))
     low = {k: v for k, v in counts.items() if k != "reuse>=64"}
-    attributed = low.get("reset", 0) + low.get("evict-shift", 0)
+    attributed = (low.get("reset", 0) + low.get("reset-tail", 0)
+                  + low.get("evict-shift", 0))
     n_low = sum(low.values())
     if n_low:
         print(f"\n=> {attributed}/{n_low} low-reuse rows attributed to "
