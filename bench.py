@@ -22,7 +22,8 @@ non-headline row as the round's metric, VERDICT.md Weak #1):
     128 concurrency, MODEL.md:466-468),
   * extra offline variants: --q8, --spec, 1.7B --spec.
 
-Budget guard: SMOLVISION_BENCH_BUDGET_S (default 3300 s) is a wall-clock
+Budget guard: SMOLVISION_BENCH_BUDGET_S (default 2600 s — the driver's
+observed external kill is ~3000 s, BENCH_r03) is a wall-clock
 budget for the whole run.  Before each row an optimistic cost estimate is
 checked against the remaining budget; rows that don't fit are recorded in
 `"skipped"` and the bench EXITS 0 — a truncated-but-valid artifact beats a
@@ -81,7 +82,10 @@ BASE_STREAM_17 = 2.54   # 45 s, 1.7B (README.md:411)
 BASE_STREAM135 = 0.96   # 135 s file, --stream, 0.6B (README.md:419-424)
 BASE_SERVING = 2000.0   # upstream vendor stack, 128 concurrency (MODEL.md:466)
 
-BUDGET_S = float(os.environ.get("SMOLVISION_BENCH_BUDGET_S", "3300"))
+# default sized to the DRIVER's observed ~3000 s kill (BENCH_r03 rc=124
+# landed 50 min after the round-3 snapshot commit): shed rows at 2600 s so
+# the cumulative final line always beats the external timeout
+BUDGET_S = float(os.environ.get("SMOLVISION_BENCH_BUDGET_S", "2600"))
 T_START = time.monotonic()
 
 
