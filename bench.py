@@ -86,6 +86,10 @@ BASE_SERVING = 2000.0   # upstream vendor stack, 128 concurrency (MODEL.md:466)
 # landed 50 min after the round-3 snapshot commit): shed rows at 2600 s so
 # the cumulative final line always beats the external timeout
 BUDGET_S = float(os.environ.get("SMOLVISION_BENCH_BUDGET_S", "2600"))
+# per-row cap on the TIMED-REP phase: a pathological axon server period
+# can stretch one row's reps by 5-10x (a q8kv8 serving row once ate
+# 1370 s of budget) — keep the best rep so far and move on
+ROW_CAP_S = float(os.environ.get("SMOLVISION_BENCH_ROW_CAP_S", "420"))
 T_START = time.monotonic()
 
 
@@ -103,9 +107,18 @@ def _perturb(samples, rng):
     return (samples + rng.normal(0.0, NOISE, len(samples))).astype(np.float32)
 
 
+def _cap_reached(t_row, label):
+    if time.monotonic() - t_row > ROW_CAP_S:
+        log(f"bench: {label}: row cap {ROW_CAP_S:.0f}s reached — "
+            "keeping best rep so far")
+        return True
+    return False
+
+
 def _timed_runs(label, fn, samples, rng, runs=RUNS):
     """Best wall-clock ms over `runs` perturbed-input repetitions."""
     best = float("inf")
+    t_row = time.monotonic()
     for i in range(runs):
         clip = _perturb(samples, rng)
         t0 = time.monotonic()
@@ -113,6 +126,8 @@ def _timed_runs(label, fn, samples, rng, runs=RUNS):
         ms = (time.monotonic() - t0) * 1000.0
         log(f"bench: {label} run {i + 1}: {ms:.0f} ms")
         best = min(best, ms)
+        if _cap_reached(t_row, label):
+            break
     return best
 
 
@@ -234,12 +249,15 @@ def row_offline():
     log(f"bench: offline warmup {time.monotonic() - t0:.1f} s; "
         f"decoded {eng.perf.text_tokens} text tokens")
     best_ms = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS + 2):
         segment_mod.transcribe_audio(eng, _perturb(samples, rng))
         ms = eng.perf.total_ms
         log(f"bench: offline run {i + 1}: {ms:.0f} ms "
             f"(mel+enc {eng.perf.encode_ms:.0f}, dec {eng.perf.decode_ms:.0f})")
         best_ms = min(best_ms, ms)
+        if _cap_reached(t_row, "offline"):
+            break
     rtf = audio_s / (best_ms / 1000.0)
     B.emit({
         "metric": "jfk.wav offline realtime factor "
@@ -265,6 +283,7 @@ def row_offline_17():
     log(f"bench: offline-1.7b warmup {time.monotonic() - t0:.1f} s; "
         f"decoded {eng17.perf.text_tokens} text tokens")
     best_ms = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS + 2):
         segment_mod.transcribe_audio(eng17, _perturb(samples, rng))
         ms = eng17.perf.total_ms
@@ -272,6 +291,8 @@ def row_offline_17():
             f"(mel+enc {eng17.perf.encode_ms:.0f}, "
             f"dec {eng17.perf.decode_ms:.0f})")
         best_ms = min(best_ms, ms)
+        if _cap_reached(t_row, "offline-1.7b"):
+            break
     rtf = audio_s / (best_ms / 1000.0)
     B.emit({
         "metric": "jfk.wav offline realtime factor "
@@ -352,6 +373,7 @@ def _serve_loop(label, eng, n_queue, slots, egrp, base_clip, rng,
                                                 serve_continuous)
 
     best = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS):
         clips = [_perturb(base_clip, rng) for _ in range(n_queue)]
         pre = (prestage_uploads(eng, clips, encode_group=egrp)
@@ -362,6 +384,8 @@ def _serve_loop(label, eng, n_queue, slots, egrp, base_clip, rng,
         ms = (time.monotonic() - t0) * 1000.0
         log(f"bench: {label} run {i + 1}: {ms:.0f} ms")
         best = min(best, ms)
+        if _cap_reached(t_row, label):
+            break
     return best
 
 
@@ -384,6 +408,7 @@ def row_serving():
     bs_mod.transcribe_segments_batched(eng, clips)
     log(f"bench: serving warmup {time.monotonic() - t0:.1f} s")
     best = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS):
         clips = [_perturb(base, rng) for _ in range(Bsz)]
         t0 = time.monotonic()
@@ -391,6 +416,8 @@ def row_serving():
         ms = (time.monotonic() - t0) * 1000.0
         log(f"bench: serving run {i + 1}: {ms:.0f} ms")
         best = min(best, ms)
+        if _cap_reached(t_row, "serving"):
+            break
     tput = Bsz * audio_s / (best / 1000.0)
     B.emit({
         "metric": f"serving throughput, {Bsz} x jfk.wav one batch "
@@ -572,12 +599,15 @@ def row_offline_q8():
     segment_mod.transcribe_audio(eng_q8, _perturb(samples, rng))
     log(f"bench: offline-q8 warmup {time.monotonic() - t0:.1f} s")
     best_ms = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS + 2):
         segment_mod.transcribe_audio(eng_q8, _perturb(samples, rng))
         ms = eng_q8.perf.total_ms
         log(f"bench: offline-q8 run {i + 1}: {ms:.0f} ms "
             f"(mel+enc {eng_q8.perf.encode_ms:.0f}, dec {eng_q8.perf.decode_ms:.0f})")
         best_ms = min(best_ms, ms)
+        if _cap_reached(t_row, "offline-q8"):
+            break
     del eng_q8
     rtf = audio_s / (best_ms / 1000.0)
     B.emit({
@@ -607,12 +637,15 @@ def row_offline_spec():
     segment_mod.transcribe_audio(eng_spec, _perturb(samples, rng))
     log(f"bench: offline-spec warmup {time.monotonic() - t0:.1f} s")
     best_ms = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS + 2):
         segment_mod.transcribe_audio(eng_spec, _perturb(samples, rng))
         ms = eng_spec.perf.total_ms
         log(f"bench: offline-spec run {i + 1}: {ms:.0f} ms "
             f"(mel+enc {eng_spec.perf.encode_ms:.0f}, dec {eng_spec.perf.decode_ms:.0f})")
         best_ms = min(best_ms, ms)
+        if _cap_reached(t_row, "offline-spec"):
+            break
     if eng_spec.perf.spec_iters:
         p = eng_spec.perf
         log(f"bench: offline-spec acceptance {p.spec_tokens}/{p.spec_iters}"
@@ -650,6 +683,7 @@ def row_offline_17_spec():
     segment_mod.transcribe_audio(eng17s, _perturb(samples, rng))
     log(f"bench: offline-1.7b-spec warmup {time.monotonic() - t0:.1f} s")
     best_ms = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS + 2):
         segment_mod.transcribe_audio(eng17s, _perturb(samples, rng))
         ms = eng17s.perf.total_ms
@@ -657,6 +691,8 @@ def row_offline_17_spec():
             f"(mel+enc {eng17s.perf.encode_ms:.0f}, "
             f"dec {eng17s.perf.decode_ms:.0f})")
         best_ms = min(best_ms, ms)
+        if _cap_reached(t_row, "offline-1.7b-spec"):
+            break
     if eng17s.perf.spec_iters:
         p = eng17s.perf
         log(f"bench: offline-1.7b-spec acceptance "
@@ -791,6 +827,7 @@ def row_multistream():
     ms_mod.run_streams(eng, sessions)
     log(f"bench: multistream warmup {time.monotonic() - t0:.1f} s")
     best = float("inf")
+    t_row = time.monotonic()
     for i in range(RUNS):
         sessions = [_perturb(s45, rng) for _ in range(N)]
         t0 = time.monotonic()
@@ -798,6 +835,8 @@ def row_multistream():
         s = time.monotonic() - t0
         log(f"bench: multistream run {i + 1}: {s:.1f} s")
         best = min(best, s)
+        if _cap_reached(t_row, "multistream"):
+            break
     eng.past_text_conditioning = False
     tput = N * audio_s / best
     B.emit({
