@@ -51,11 +51,13 @@ class HostExpertStore:
     def __init__(self, reader, cfg: ModelConfig, prefix: str = DEC_PREFIX):
         L, E = cfg.dec_layers, cfg.num_experts
         self.cfg = cfg
-        # per-layer expert presence, like the reference's per-layer routing
-        # probe (qwen_asr_decoder.c:91-125): mixed decoder_sparse_step > 1
-        # checkpoints interleave dense FFN layers, which have no experts —
-        # their rows stay None and offload_forward takes the resident
-        # dense-FFN branch instead
+        # Per-layer expert presence via a tensor-name probe.  This EXTENDS
+        # the reference's all-or-nothing cfg->is_moe dispatch (its layer
+        # loop gates on the global flag, qwen_asr_decoder.c:91-125; it has
+        # no decoder_sparse_step support) to mixed checkpoints that
+        # interleave dense FFN layers: those layers have no experts, their
+        # rows stay None, and offload_forward takes the resident dense-FFN
+        # branch instead
         self.is_moe = [reader.has(
             f"{prefix}.layers.{l}.mlp.gate.weight") for l in range(L)]
         t = f"{prefix}.layers.{{l}}.mlp.experts.{{e}}.{{m}}.weight"

@@ -158,18 +158,19 @@ def load_decoder(reader, cfg: ModelConfig, param_dtype=jnp.bfloat16,
         layers["q_norm"] = layers["k_norm"] = None
 
     if cfg.is_moe:
-        # Per-layer expert presence is resolved from tensor names, like the
-        # reference (qwen_asr_decoder.c:91-125): a layer is MoE iff its
-        # router tensor exists.  decoder_sparse_step > 1 checkpoints
-        # interleave dense FFN layers between MoE layers.
+        # Per-layer expert presence is resolved from tensor names: a layer
+        # is MoE iff its router tensor exists.  This is a repo EXTENSION of
+        # the reference's all-or-nothing cfg->is_moe dispatch (its layer
+        # loop gates on the global flag, qwen_asr_decoder.c:91-125) to
+        # decoder_sparse_step > 1 checkpoints that interleave dense FFN
+        # layers between MoE layers.
         is_moe_l = [reader.has(f"{p}.layers.{i}.mlp.gate.weight")
                     for i in range(L)]
         mixed = not all(is_moe_l)
         # mixed + experts_on_host composes: MoE layers stream experts from
         # the host store while the dense interleave weights below stay
         # resident (models/moe_offload.offload_forward dispatches per layer
-        # on the host-side moe flag, like the reference's per-layer routing
-        # presence, qwen_asr_decoder.c:91-125)
+        # on the host-side moe flag)
         E = cfg.num_experts
         H = cfg.dec_hidden
         MI = cfg.moe_intermediate

@@ -102,7 +102,12 @@ def proj(eq: str, x, w):
     additionally quantize the activations per token and run the MXU's
     int8xint8 mode — ~1.3-1.65x the bf16 dot at those shapes.  Decode
     matvecs and small blocks keep the exact-activation dequant path.
-    SMOLVISION_Q8_ACTQ=0 reverts (measurement/debug).
+    SMOLVISION_Q8_ACTQ=0 reverts (measurement/debug) — but the flag is
+    read at TRACE time: it must be set before the engine's q8 jits are
+    first traced (i.e. before warmup); flipping it later in the same
+    process does nothing for already-traced programs (ADVICE r4;
+    tools/probe_serving_q8kv8.py runs each arm in a fresh trace for this
+    reason).
     """
     if isinstance(w, QuantW):
         batched = eq in _GEMM_EQS_B and x.ndim == 3

@@ -47,3 +47,17 @@ def test_chunk_count_divergence():
     a = _tr([([1], [5]), ([1, 5], [6])])
     b = _tr([([1], [5])])
     assert first_divergence(a, b) == (1, -1)
+
+
+def test_judge_chunk_count_divergence_is_structural():
+    """A chunk-count divergence indexes ci == len(shorter chunks); the
+    judge must emit the structural verdict, not IndexError (ADVICE r4 —
+    the structural return used to sit after the chunk lookups)."""
+    from referee_stream import judge
+
+    a = _tr([([1], [5]), ([1, 5], [6])])
+    b = _tr([([1], [5])])
+    # model_dir/wav are never touched on the structural path
+    v = judge(a, b, "/nonexistent", "/nonexistent.wav")
+    assert v["verdict"] == "structural"
+    assert v["divergence"] == {"chunk": 1, "step": None}

@@ -156,6 +156,20 @@ def stage_quality(d: Drill, model_dir: str, samples: str, stand_in: bool,
                  + r.stdout[-400:].replace("\n", " | "))
 
 
+def _has_checkpoint(model_dir: str) -> bool:
+    """Mirror io.safetensors.MultiSafetensors' resolution order: a sharded
+    real checkpoint (index.json + model-XXXXX-of-YYYYY.safetensors — how
+    real Qwen checkpoints above ~0.6B ship) must pass acquire, not just the
+    single-file layout (ADVICE r4, medium)."""
+    import glob
+
+    return (os.path.exists(os.path.join(model_dir,
+                                        "model.safetensors.index.json"))
+            or os.path.exists(os.path.join(model_dir, "model.safetensors"))
+            or bool(glob.glob(os.path.join(model_dir,
+                                           "model-*.safetensors"))))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default=None,
@@ -175,8 +189,7 @@ def main() -> int:
 
     d = Drill()
     model_dir = args.model_dir
-    if model_dir and os.path.exists(os.path.join(model_dir,
-                                                 "model.safetensors")):
+    if model_dir and _has_checkpoint(model_dir):
         d.record("acquire", "PASS", f"using {model_dir}")
     elif args.download:
         r = subprocess.run(

@@ -169,14 +169,17 @@ def judge(trace_a: dict, trace_b: dict, model_dir: str, wav: str) -> dict:
         return {"divergence": None, "verdict": "identical",
                 "detail": "both arms produced identical raw chunk tokens"}
     ci, step = div
-    ca = trace_a["chunks"][ci]
-    cb = trace_b["chunks"][ci]
-    if step < 0:
+    # The structural verdict must precede the chunk lookups: a chunk-COUNT
+    # divergence returns ci == len(shorter trace's chunks), which would
+    # IndexError below (ADVICE r4).
+    if step < 0 or ci >= len(trace_a["chunks"]) or ci >= len(trace_b["chunks"]):
         return {"divergence": {"chunk": ci, "step": None},
                 "verdict": "structural",
                 "detail": "prompt state diverged before any token did "
                           "(chunk count / ids mismatch) — not a rounding "
                           "class, investigate"}
+    ca = trace_a["chunks"][ci]
+    cb = trace_b["chunks"][ci]
 
     tok_a = ca["chunk_tokens"][step] if step < len(ca["chunk_tokens"]) else None
     tok_b = cb["chunk_tokens"][step] if step < len(cb["chunk_tokens"]) else None
