@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Benchmark: all BASELINE.md speed configs on one TPU v5e chip.
 
-Emits one JSON line per config on stdout as rows complete, and a FINAL
-cumulative line that is the HEADLINE offline metric augmented with
-`"rows": [...]` (every completed row) and `"skipped": [...]` — so a
-consumer that takes the last JSON line gets the headline, and no completed
-row is ever lost to tail truncation.  Rows run in PRIORITY order (headline
-offline first — round 3 printed it last and a driver timeout recorded a
-non-headline row as the round's metric, VERDICT.md Weak #1):
+Emits one JSON line per config on stdout as rows complete, then TWO final
+lines: a cumulative record (headline + every completed row object), and
+LAST a COMPACT summary (headline incl. `value_runs` spread + a
+`{slug: value}` map + skipped/error slugs, kept <= 1500 bytes) — the
+driver stores only the final 2000 chars of stdout and parses the last
+JSON line, and round 4's several-KB cumulative line was truncated there,
+losing the official headline (VERDICT r4 Weak #1).  The headline value is
+the MEDIAN over its measurement passes (server-period variance is
+±10-20%; Weak #2).  Rows run in PRIORITY order (headline offline first —
+round 3 printed it last and a driver timeout recorded a non-headline row
+as the round's metric):
 
   * offline (headline): jfk.wav (11.0 s), -S 0, vs the C engine's 7.99x
     realtime on an Apple M3 Max (README.md:398-402).
@@ -44,12 +48,19 @@ input with -80 dB noise so the axon tunnel's dispatch memoization can never
 serve a cached result; runs are strictly serial in one process.
 
 Set SMOLVISION_BENCH_ONLY=offline[,offline_17,segmented,streaming,serving,
-serving_cont,serving_kv8,serving_devres,serving_devres_kv8,
-serving_devres_q8kv8,offline_q8,offline_spec,offline_17_spec,multistream,
-seg17,stream17,stream135] to restrict ("serving" alone expands to all six
-serving rows); multistream is default-but-LAST (its coordinator warmup is
-the most variance-exposed ladder — the budget guard sheds it first);
-seg17 / stream17 / stream135 run ONLY when explicitly named.
+serving_cont,serving_latency,serving_kv8,serving_devres,
+serving_devres_kv8,serving_devres_q8kv8,offline_q8,offline_spec,
+offline_17_spec,multistream,seg17,stream17,stream135] to restrict
+("serving" alone expands to all seven serving rows); multistream is
+default-but-LAST (its coordinator warmup is the most variance-exposed
+ladder — the budget guard sheds it first); seg17 / stream17 / stream135
+run ONLY when explicitly named.
+
+Checkpoint preflight: every required .bench_cache engineered checkpoint is
+stamped against tools/engineer_checkpoint.VERSION before the first timed
+row — stale/missing ones rebuild up front if the budget allows, else their
+rows are skipped with reason "stale-checkpoint" (a VERSION bump used to
+trigger a silent mid-run rebuild that ate the budget — the r03 timeout).
 """
 
 from __future__ import annotations
@@ -139,6 +150,8 @@ class Bench:
         self.skipped = []
         self.errors = []
         self.headline = None
+        self.row_values = {}       # {row slug: value} for the compact line
+        self.current = None        # row slug being executed (set by main)
         self.rng = None
         self.eng = None            # shared 0.6B engine
         self.eng17 = None          # shared 1.7B engine
@@ -148,6 +161,8 @@ class Bench:
 
     def emit(self, r, headline=False):
         self.results.append(r)
+        if self.current is not None:
+            self.row_values[self.current] = r.get("value")
         if headline:
             self.headline = r
         print(json.dumps(r), flush=True)
@@ -223,11 +238,6 @@ class Bench:
                 setattr(self, a, None)
         gc.collect()
 
-    def ckpt17_cached(self) -> bool:
-        from tools.engineer_checkpoint import OUT_17, _cached_report
-
-        return _cached_report(OUT_17, "1.7b") is not None
-
 
 B = Bench()
 
@@ -248,23 +258,30 @@ def row_offline():
     segment_mod.transcribe_audio(eng, _perturb(samples, rng))
     log(f"bench: offline warmup {time.monotonic() - t0:.1f} s; "
         f"decoded {eng.perf.text_tokens} text tokens")
-    best_ms = float("inf")
+    runs_rtf = []
     t_row = time.monotonic()
     for i in range(RUNS + 2):
         segment_mod.transcribe_audio(eng, _perturb(samples, rng))
         ms = eng.perf.total_ms
         log(f"bench: offline run {i + 1}: {ms:.0f} ms "
             f"(mel+enc {eng.perf.encode_ms:.0f}, dec {eng.perf.decode_ms:.0f})")
-        best_ms = min(best_ms, ms)
+        runs_rtf.append(audio_s / (ms / 1000.0))
         if _cap_reached(t_row, "offline"):
             break
-    rtf = audio_s / (best_ms / 1000.0)
+    # Headline = MEDIAN over the passes, spread in value_runs: the axon
+    # server period swings identical-code runs ±10-20% and the record is
+    # the round's one sample (VERDICT r4 Weak #2).
+    import statistics
+
+    rtf = statistics.median(runs_rtf)
     B.emit({
         "metric": "jfk.wav offline realtime factor "
                   "(Qwen3-ASR-0.6B geometry, -S 0)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / BASE_OFFLINE, 2),
+        "value_runs": [round(r, 2) for r in runs_rtf],
+        "value_best": round(max(runs_rtf), 2),
     }, headline=True)
 
 
@@ -460,6 +477,53 @@ def row_serving_cont():
         "unit": "s_speech_per_s",
         "vs_baseline": round(tput / BASE_SERVING, 3),
         **({"latency": lat} if lat else {}),
+    })
+
+
+def row_serving_latency():
+    """Latency-optimized serving config (VERDICT r4 Next #3): bounded
+    admission waves (`--serve-admit` cap=16) trade throughput for
+    admission->first-token — round-3 interleaved probe measured admit
+    TTFT p50 ~90-110 ms (the upstream stack's 92 ms TTFT class,
+    MODEL.md:466-468) at ~0.53x the full-wave rate.  Recording it as a
+    bench row makes the claim regression-guarded; same compiled programs
+    as serving_cont (the cap only shrinks host-side waves), so this row
+    rides the warm engine."""
+    from smolvision_tpu.io.wav import load_wav
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng, rng = B.engine(), B.rng
+    base = load_wav(JFK)
+    audio_s = len(base) / 16000.0
+    eng.segment_sec = 0.0
+    best = float("inf")
+    lat_best = None
+    t_row = time.monotonic()
+    for i in range(RUNS):
+        clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
+        t0 = time.monotonic()
+        serve_continuous(eng, clips, slots=SLOTS, encode_group=EGRP,
+                         admit_cap=16)
+        ms = (time.monotonic() - t0) * 1000.0
+        lat = eng.perf.serving_latency
+        log(f"bench: serving-latency run {i + 1}: {ms:.0f} ms "
+            f"admit_ttft_p50={lat['admit_ttft_p50_ms']:.0f} ms")
+        if ms < best:
+            best, lat_best = ms, lat
+        if _cap_reached(t_row, "serving-latency"):
+            break
+    tput = N_QUEUE * audio_s / (best / 1000.0)
+    B.emit({
+        "metric": f"serving latency mode, {N_QUEUE} x jfk.wav queued, "
+                  f"continuous slots={SLOTS}, --serve-admit 16 "
+                  "(Qwen3-ASR-0.6B geometry, 1 v5e chip; upstream TTFT "
+                  "baseline 92 ms, MODEL.md:466-468)",
+        "value": round(tput, 1),
+        "unit": "s_speech_per_s",
+        "vs_baseline": round(tput / BASE_SERVING, 3),
+        "admit_ttft_p50_ms": lat_best["admit_ttft_p50_ms"],
+        "admit_ttft_p99_ms": lat_best["admit_ttft_p99_ms"],
+        "latency": lat_best,
     })
 
 
@@ -864,6 +928,8 @@ ROWS = [
     ("streaming", True, 90, row_streaming),
     ("serving", True, 150, row_serving),
     ("serving_cont", True, 150, row_serving_cont),
+    # rides serving_cont's warm programs (admit_cap is host-side only)
+    ("serving_latency", True, 90, row_serving_latency),
     ("serving_kv8", True, 200, row_serving_kv8),
     ("serving_devres", True, 90, row_serving_devres),
     ("serving_devres_kv8", True, 90, row_serving_devres_kv8),
@@ -880,9 +946,16 @@ ROWS = [
     ("stream135", False, 150, row_stream135),
 ]
 
+# rows that depend on the 1.7B engineered checkpoint; everything else
+# needs the 0.6B one (the seg parity checkpoints are test-only)
+GEOM_17_ROWS = {"offline_17", "offline_17_spec", "seg17", "stream17"}
+# optimistic from-scratch engineered-build costs (the 1.7B full-vocab
+# build measured ~25 min once; 0.6B is several-fold cheaper)
+REBUILD_EST = {"0.6b": 700, "1.7b": 1600}
+
 # legacy SMOLVISION_BENCH_ONLY group name
-GROUPS = {"serving": ["serving", "serving_cont", "serving_kv8",
-                      "serving_devres", "serving_devres_kv8",
+GROUPS = {"serving": ["serving", "serving_cont", "serving_latency",
+                      "serving_kv8", "serving_devres", "serving_devres_kv8",
                       "serving_devres_q8kv8"]}
 
 
@@ -911,25 +984,61 @@ def main() -> int:
 
     B.rng = np.random.default_rng(0x5EED)
 
-    for name, default, est, fn in ROWS:
-        if only:
-            if name not in only:
-                continue
-        elif not default:
+    selected = [(name, est, fn) for name, default, est, fn in ROWS
+                if (name in only if only else default)]
+
+    # ---- checkpoint-cache preflight (VERDICT r4 Next #6) ----------------
+    # A VERSION bump silently invalidates the engineered checkpoints; the
+    # lazy ensure_engineered rebuild used to eat the budget MID-RUN (the
+    # r03 timeout).  Stamp every required checkpoint now: rebuild up front
+    # if the budget allows, else skip dependent rows explicitly.
+    from tools.engineer_checkpoint import OUT_17, _cached_report, \
+        ensure_engineered
+
+    stale_geoms = set()
+    geom_rows = {}
+    for name, est, fn in selected:
+        geom = "1.7b" if name in GEOM_17_ROWS else "0.6b"
+        geom_rows.setdefault(geom, []).append(name)
+    for geom in sorted(geom_rows):
+        out = OUT_17 if geom == "1.7b" else BENCH_DIR
+        if _cached_report(out, geom) is not None:
             continue
-        est_eff = est
-        if name in ("offline_17", "offline_17_spec", "seg17", "stream17") \
-                and not B.ckpt17_cached():
-            est_eff += 900   # full-vocab 1.7B engineered build from scratch
-        if remaining() < est_eff:
-            log(f"bench: SKIP {name} (est {est_eff}s > "
+        est_rebuild = REBUILD_EST[geom]
+        min_row = min(e for n, e, f in selected if n in geom_rows[geom])
+        if remaining() > est_rebuild + min_row:
+            log(f"bench: checkpoint {geom} stale/missing — rebuilding "
+                f"(~{est_rebuild}s, remaining {remaining():.0f}s)")
+            try:
+                rep = ensure_engineered(out, geom=geom)
+                if not rep.get("ok"):
+                    log(f"bench: WARNING {geom} rebuild probe failed")
+            except Exception as e:  # noqa: BLE001
+                log(f"bench: {geom} rebuild FAILED ({e}) — skipping rows")
+                stale_geoms.add(geom)
+        else:
+            log(f"bench: checkpoint {geom} stale and no budget to rebuild "
+                f"(est {est_rebuild}s) — skipping {geom_rows[geom]}")
+            stale_geoms.add(geom)
+
+    for name, est, fn in selected:
+        geom = "1.7b" if name in GEOM_17_ROWS else "0.6b"
+        if geom in stale_geoms:
+            self_skip = {"row": name, "reason": "stale-checkpoint",
+                         "geom": geom}
+            B.skipped.append(self_skip)
+            print(json.dumps({"skipped_row": self_skip}), flush=True)
+            continue
+        if remaining() < est:
+            log(f"bench: SKIP {name} (est {est}s > "
                 f"remaining {remaining():.0f}s)")
-            self_skip = {"row": name, "est_s": est_eff,
+            self_skip = {"row": name, "reason": "budget", "est_s": est,
                          "remaining_s": round(remaining(), 1)}
             B.skipped.append(self_skip)
             print(json.dumps({"skipped_row": self_skip}), flush=True)
             continue
         log(f"bench: ROW {name} (remaining {remaining():.0f}s)")
+        B.current = name
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — record, keep the artifact whole
@@ -937,19 +1046,43 @@ def main() -> int:
 
             traceback.print_exc(file=sys.stderr)
             B.errors.append({"row": name, "error": f"{type(e).__name__}: {e}"})
+        B.current = None
 
-    # FINAL cumulative line: headline metric + every completed row, so the
-    # last JSON line is both the headline and a loss-proof record.
-    final = dict(B.headline) if B.headline else (
-        dict(B.results[-1]) if B.results else
-        {"metric": "bench produced no rows", "value": 0.0, "unit": "none",
-         "vs_baseline": 0.0})
+    # SECOND-TO-LAST: cumulative line (full row objects — the loss-proof
+    # detailed record for anyone reading complete stdout).
+    head = B.headline or (B.results[-1] if B.results else None)
+    final = dict(head) if head else {
+        "metric": "bench produced no rows", "value": 0.0, "unit": "none",
+        "vs_baseline": 0.0}
     final["rows"] = B.results
     if B.skipped:
         final["skipped"] = B.skipped
     if B.errors:
         final["errors"] = B.errors
     print(json.dumps(final), flush=True)
+
+    # LAST: COMPACT summary guaranteed to fit the driver's 2000-char stdout
+    # tail (VERDICT r4 Weak #1: round 4's several-KB cumulative line was
+    # truncated mid-object and the official headline was lost).  Headline +
+    # {slug: value} for every completed row + skipped/error slugs.
+    compact = dict(head) if head else {
+        "metric": "bench produced no rows", "value": 0.0, "unit": "none",
+        "vs_baseline": 0.0}
+    compact.pop("latency", None)
+    compact["rows"] = dict(B.row_values)
+    if B.skipped:
+        compact["skipped"] = [s["row"] for s in B.skipped]
+    if B.errors:
+        compact["errors"] = [e["row"] for e in B.errors]
+    s = json.dumps(compact)
+    if len(s) > 1500:
+        compact.pop("value_runs", None)
+        s = json.dumps(compact)
+    while len(s) > 1500 and compact["rows"]:
+        compact["rows"].popitem()
+        compact["rows_truncated"] = True
+        s = json.dumps(compact)
+    print(s, flush=True)
     return 0
 
 
