@@ -72,7 +72,8 @@ def quantize_weight(w) -> QuantW:
 # einsum equations with the plain GEMM structure x [T, C] @ w [O, C] ->
 # [T, O] (contraction LAST on both operands) — the int8xint8 fast path
 # below only fires for these
-_GEMM_EQS = frozenset({"th,oh->to", "ta,oa->to", "th,ih->ti", "ti,hi->th"})
+_GEMM_EQS = frozenset({"th,oh->to", "ta,oa->to", "th,ih->ti", "ti,hi->th",
+                       "bh,vh->bv"})
 # batched variants: x [B, T, C] collapses to [B*T, C] around the same GEMM
 _GEMM_EQS_B = frozenset({"bth,oh->bto", "bta,oa->bto"})
 
@@ -89,6 +90,18 @@ def _actq_enabled():
     import os
 
     return os.environ.get("SMOLVISION_Q8_ACTQ", "") != "0"
+
+
+def _actq_min() -> int:
+    """SMOLVISION_Q8_ACTQ_MIN overrides the collapsed-token threshold
+    (trace-time, like SMOLVISION_Q8_ACTQ).  Sweep knob for the serving
+    ceiling: at B=64 continuous decode M=64, far below the default 1024 —
+    lowering the floor routes the decode-chunk GEMMs through the MXU's
+    int8xint8 mode with per-token activation quant instead of the
+    dequant-to-bf16 weight path (VERDICT r4 Next #2 experiment)."""
+    import os
+
+    return int(os.environ.get("SMOLVISION_Q8_ACTQ_MIN", "") or _ACTQ_MIN_M)
 
 
 def proj(eq: str, x, w):
@@ -114,7 +127,7 @@ def proj(eq: str, x, w):
         if ((eq in _GEMM_EQS and x.ndim == 2 or batched) and w.q.ndim == 2
                 and _actq_enabled()):
             x2 = x.reshape(-1, x.shape[-1]) if batched else x
-            if x2.shape[0] >= _ACTQ_MIN_M:
+            if x2.shape[0] >= _actq_min():
                 xs = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=1,
                              keepdims=True) / 127.0
                 xs = jnp.maximum(xs, 1e-12)

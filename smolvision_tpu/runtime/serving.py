@@ -51,22 +51,36 @@ from smolvision_tpu.runtime.buckets import bucket, bucket64
 DECODE_CHUNK = 48
 
 
+def _serve_chunk(engine) -> int:
+    """Decode-chunk depth: engine.serve_chunk > 0 wins, else
+    SMOLVISION_SERVE_CHUNK, else DECODE_CHUNK (48).  A sweep knob for the
+    ceiling search (VERDICT r4 Next #2): deeper chunks amortize the
+    per-chunk tunnel RTT + host bookkeeping across more steps but overrun
+    further past EOS rows; consulted when the serving jits are built."""
+    v = int(getattr(engine, "serve_chunk", 0) or 0)
+    if v > 0:
+        return v
+    return int(os.environ.get("SMOLVISION_SERVE_CHUNK", "") or DECODE_CHUNK)
+
+
 def _serving_jits(engine):
     # keyed on the mesh's TP degree (a TP-interleaved+sharded engine needs
-    # the decoder's matching tp-aware fused-weight split; tp=1 otherwise)
-    # and on engine.serving_ep (expert-parallel owner-compute+psum MoE
+    # the decoder's matching tp-aware fused-weight split; tp=1 otherwise),
+    # on engine.serving_ep (expert-parallel owner-compute+psum MoE
     # dispatch instead of the cross-shard expert gather — the right
     # formulation when the expert axis is sharded on "model": gather moves
-    # expert weights over ICI per token, owner-compute moves activations)
+    # expert weights over ICI per token, owner-compute moves activations),
+    # and on the decode-chunk depth
     from smolvision_tpu.parallel.mesh import mesh_tp
 
     tp = mesh_tp(getattr(engine, "serving_mesh", None))
     ep = bool(getattr(engine, "serving_ep", False))
+    chunk = _serve_chunk(engine)
     cached = getattr(engine, "_serving_jits_cache", None)
     if cached is None:
         cached = engine._serving_jits_cache = {}
-    if (tp, ep) in cached:
-        return cached[(tp, ep)]
+    if (tp, ep, chunk) in cached:
+        return cached[(tp, ep, chunk)]
     from smolvision_tpu.models import qwen3_decoder as dec_mod
 
     cfg = engine.cfg
@@ -85,7 +99,7 @@ def _serving_jits(engine):
 
     def serving_decode_chunk(p, t, pos, k, off, km, pm, rg, ns, act):
         return pbatch.batched_decode_chunk(
-            p, cfg, t, pos, k, DECODE_CHUNK, rope_offset=off, kv_min=km,
+            p, cfg, t, pos, k, chunk, rope_offset=off, kv_min=km,
             n_steps=ns, prompt_max=pm, region_start=rg, row_active=act,
             tp=tp, ep=ep)
 
@@ -113,8 +127,9 @@ def _serving_jits(engine):
             admit_cache[K] = fn
         return fn
 
-    cached[(tp, ep)] = (build, group_prefill, decode, grow_j, admit_src_jit)
-    return cached[(tp, ep)]
+    cached[(tp, ep, chunk)] = (build, group_prefill, decode, grow_j,
+                               admit_src_jit)
+    return cached[(tp, ep, chunk)]
 
 
 def _prompt_len(engine, n_samples: int) -> int:
@@ -265,7 +280,8 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             enc_ready[i] = (stack[j], n_toks[j])
 
     # ---- slot state ----------------------------------------------------
-    kcap = pcap + bucket(min(engine.max_tokens, 2 * DECODE_CHUNK) + 1, 64)
+    chunk = _serve_chunk(engine)
+    kcap = pcap + bucket(min(engine.max_tokens, 2 * chunk) + 1, 64)
     kv = pbatch.make_batched_kv(cfg, S, kcap, engine.batched_kv_dtype)
     # Optional data-parallel serving: when engine.serving_mesh is a Mesh
     # whose "data" axis divides S, the big cache's slot axis is sharded
@@ -456,11 +472,11 @@ def serve_continuous(engine, clips: Sequence[np.ndarray], slots: int = 32,
             continue
 
         # ---- one decode chunk on the shared clock ---------------------
-        steps = min(DECODE_CHUNK,
+        steps = min(chunk,
                     int(max(engine.max_tokens - produced[s]
                             for s in range(S) if not slot_done[s])))
         if clock + steps + 1 > kcap:
-            kcap = bucket64(clock + DECODE_CHUNK + 64)
+            kcap = bucket64(clock + chunk + 64)
             kv = grow_j(kv, kcap)
             if _kv_shard is not None:
                 # growth pads the K axis only; re-assert the slot-axis

@@ -214,3 +214,35 @@ def test_proj_int8_activation_gemm_path():
         np.testing.assert_allclose(off, want, rtol=1e-2, atol=1e-2)
     finally:
         os.environ.pop("SMOLVISION_Q8_ACTQ")
+
+
+def test_proj_actq_min_override_and_lm_head_eq():
+    """SMOLVISION_Q8_ACTQ_MIN lowers the int8-activation floor (the
+    serving-ceiling decode experiment): at MIN=1 even an M=8 GEMM takes
+    the int8xint8 path, and the "bh,vh->bv" lm_head eq is eligible."""
+    import os
+
+    import jax.numpy as jnp
+
+    from smolvision_tpu.ops import quant as q
+
+    rng = np.random.default_rng(9)
+    M, C, O = 8, 64, 32
+    x = rng.integers(-127, 128, (M, C)).astype(np.float32)
+    x[:, 0] = 127.0
+    wq = rng.integers(-127, 128, (O, C)).astype(np.float32)
+    w = q.QuantW(jnp.asarray(wq, jnp.int8), jnp.full((O,), 2.0, jnp.float32))
+    want = (x @ wq.T) * 2.0
+
+    os.environ["SMOLVISION_Q8_ACTQ_MIN"] = "1"
+    try:
+        got = np.asarray(q.proj("th,oh->to", jnp.asarray(x), w))
+        np.testing.assert_array_equal(got, want)   # exact on the int grid
+        got_lm = np.asarray(q.proj("bh,vh->bv", jnp.asarray(x), w))
+        np.testing.assert_array_equal(got_lm, want)
+    finally:
+        os.environ.pop("SMOLVISION_Q8_ACTQ_MIN")
+
+    # default floor: both fall back to the dequant path at M=8
+    small = np.asarray(q.proj("bh,vh->bv", jnp.asarray(x), w))
+    np.testing.assert_allclose(small, want, rtol=1e-2, atol=1e-2)

@@ -246,3 +246,20 @@ def test_continuous_moe_matches_one_shot_nonvacuous(moe_visible_model_dir):
     cont = serve_continuous(eng, clips, slots=2)
     assert cont == one_shot
     assert any(t for t in cont), "comparison vacuous"
+
+
+def test_serve_chunk_depth_token_invariant(srv_engine):
+    """engine.serve_chunk (the ceiling-sweep decode-chunk knob) changes
+    scheduling granularity only — greedy tokens must be identical at any
+    depth, and the jit cache must key on the depth."""
+    from smolvision_tpu.runtime.serving import serve_continuous
+
+    eng = srv_engine
+    clips = _clips(5, seed=11)
+    ref = serve_continuous(eng, clips, slots=2)
+    try:
+        eng.serve_chunk = 3   # forces several chunks per row at max_tokens=8
+        got = serve_continuous(eng, clips, slots=2)
+    finally:
+        eng.serve_chunk = 0
+    assert got == ref
