@@ -223,6 +223,12 @@ class Bench:
                                      kv8=True)
             self._eng_q8kv8.max_tokens = MAX_TOKENS
             self._eng_q8kv8.segment_sec = 0.0
+            # uniform-EOS workload: one 64-step chunk covers the whole row
+            # (early-exit ~41) — won 5/6 interleaved pairs vs 48 (round 5,
+            # tools/probe_serving_ceiling.py --ab chunk).  Mixed-length
+            # workloads keep the default 48 (deeper chunks delay slot
+            # retirement when EOS staggers).
+            self._eng_q8kv8.serve_chunk = 64
         return self._eng_q8kv8
 
     def release(self, *attrs):
@@ -609,21 +615,25 @@ def row_serving_devres_kv8():
 
 
 def row_serving_devres_q8kv8():
-    """Pre-staged + int8 weights + int8 KV: the round-4 single-chip
-    ceiling config.  Round 3 rejected q8 for serving from B=32 one-shot
-    bf16-KV evidence; at B=64 continuous devres the decode share is ~40%
-    of device time and the interleaved A/B reads q8kv8 med 979 / best
-    1088 vs kv8 med 892 / best 1007 (4/5 pairs, +10% —
-    docs/SERVING_ROOFLINE.md round 4).  Includes the int8-activation
-    prefill GEMM (SMOLVISION_Q8_ACTQ, default on)."""
+    """Pre-staged + int8 weights + int8 KV: the single-chip ceiling
+    config.  Round 3 rejected q8 for serving from B=32 one-shot bf16-KV
+    evidence; at B=64 continuous devres the decode share is ~40% of
+    device time and the round-4 interleaved A/B read q8kv8 +10% (4/5
+    pairs).  Round 5 swept the remaining knobs pairwise
+    (tools/probe_serving_ceiling.py): slots 64 beat 128 8/8 (the round-3
+    choice holds under q8+kv8), queue 256 beat 128 8/8 (+4% — boundary
+    amortization), decode-ACTQ lost 4/5 — so this row runs
+    queue=256/slots=64.  Includes the int8-activation prefill GEMM
+    (SMOLVISION_Q8_ACTQ, default on)."""
     from smolvision_tpu.io.wav import load_wav
 
     rng = B.rng
     base = load_wav(JFK)
     audio_s = len(base) / 16000.0
+    nq = 2 * N_QUEUE   # 256: won 8/8 interleaved pairs vs 128 (round 5)
     eng = B.engine_q8kv8()
     # warmup (fresh q8 program set)
-    clips = [_perturb(base, rng) for _ in range(N_QUEUE)]
+    clips = [_perturb(base, rng) for _ in range(nq)]
     from smolvision_tpu.runtime.serving import prestage_uploads, serve_continuous
 
     pre = prestage_uploads(eng, clips, encode_group=EGRP)
@@ -631,11 +641,11 @@ def row_serving_devres_q8kv8():
     serve_continuous(eng, clips, slots=SLOTS, encode_group=EGRP,
                      prestaged=pre)
     log(f"bench: serving-devres-q8kv8 warmup {time.monotonic() - t0:.1f} s")
-    best = _serve_loop("serving-devres-q8kv8", eng, N_QUEUE, SLOTS, EGRP,
+    best = _serve_loop("serving-devres-q8kv8", eng, nq, SLOTS, EGRP,
                        base, rng, prestage=True)
-    tput = N_QUEUE * audio_s / (best / 1000.0)
+    tput = nq * audio_s / (best / 1000.0)
     B.emit({
-        "metric": f"serving throughput, {N_QUEUE} x jfk.wav queued, "
+        "metric": f"serving throughput, {nq} x jfk.wav queued, "
                   f"continuous slots={SLOTS}, int8 weights + int8 KV + "
                   "audio pre-staged on device (on-chip ceiling config — "
                   "Qwen3-ASR-0.6B geometry, --q8 --kv8, 1 v5e chip)",

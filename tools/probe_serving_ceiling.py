@@ -50,7 +50,7 @@ def main():
                     "non-chunk sweeps (0 = default 48)")
     ap.add_argument("--model", default=BENCH_DIR)
     ap.add_argument("--ab", default="slots",
-                    choices=["slots", "chunk", "queue", "actq"])
+                    choices=["slots", "s128", "chunk", "queue", "actq"])
     args = ap.parse_args()
 
     import jax
@@ -78,6 +78,11 @@ def main():
     if args.ab == "slots":
         eng = mkeng()
         arms = {f"s{s}": (eng, s, args.queue, 0, None) for s in (64, 96, 128)}
+    elif args.ab == "s128":
+        # two-arm pairwise form: the 3-way sweep's per-arm medians drown in
+        # server-period variance; paired reps give a sign test
+        eng = mkeng()
+        arms = {f"s{s}": (eng, s, args.queue, 0, None) for s in (64, 128)}
     elif args.ab == "chunk":
         eng = mkeng()
         arms = {f"c{c}": (eng, args.slots, args.queue, c, None)
