@@ -47,10 +47,10 @@ Measurement discipline (CLAUDE.md landmines): every timed run perturbs its
 input with -80 dB noise so the axon tunnel's dispatch memoization can never
 serve a cached result; runs are strictly serial in one process.
 
-Set SMOLVISION_BENCH_ONLY=offline[,offline_17,segmented,streaming,serving,
-serving_cont,serving_latency,serving_kv8,serving_devres,
-serving_devres_kv8,serving_devres_q8kv8,offline_q8,offline_spec,
-offline_17_spec,multistream,seg17,stream17,stream135] to restrict
+Set SMOLVISION_BENCH_ONLY=offline[,offline_17,stream17_q8,segmented,
+streaming,serving,serving_cont,serving_latency,serving_kv8,
+serving_devres,serving_devres_kv8,serving_devres_q8kv8,offline_q8,
+offline_spec,offline_17_spec,multistream,seg17,stream17,stream135] to restrict
 ("serving" alone expands to all seven serving rows); multistream is
 default-but-LAST (its coordinator warmup is the most variance-exposed
 ladder — the budget guard sheds it first); seg17 / stream17 / stream135
@@ -784,6 +784,47 @@ def row_offline_17_spec():
     })
 
 
+def row_stream17_q8():
+    """1.7B streaming with int8 decoder weights — the measured lever on
+    the repo's weakest recorded win (VERDICT r4 Next #5).  Attribution
+    (tools/probe_stream17.py, round 5): the 45 s stream at 1.7B is ~94%
+    single-stream DECODE (6.1 s of 6.5 s wall; 8.37 ms/token = the
+    3.4 GB/token bf16 weight stream at the measured ~480 GB/s effective —
+    bf16 speed-of-light, same class as docs/DECODE_PROFILE.md), encode
+    0.23 s, prefill 0.09 s, residual 0.06 s.  So bf16 ~7x is structural;
+    --q8 cuts decode to 5.23 ms/token: clean-period 10.75-11.12x vs bf16
+    6.88-7.02x interleaved blocks (+55%).  Extra line outside the bf16
+    parity contract, like offline_q8."""
+    from smolvision_tpu.io.wav import load_wav
+    from smolvision_tpu.runtime import stream as stream_mod
+    from smolvision_tpu.runtime.engine import Engine
+
+    rng = B.rng
+    s45 = load_wav(CLIP_45S)
+    audio_s = len(s45) / 16000.0
+    eng17q = Engine(B.model_dir_17(), verbose=0, q8=True)
+    eng17q.max_tokens = MAX_TOKENS
+    eng17q.segment_sec = 0.0
+    eng17q.past_text_conditioning = True
+    eng17q.token_cb = lambda piece: None
+    t0 = time.monotonic()
+    stream_mod.transcribe_stream(eng17q, _perturb(s45, rng))
+    log(f"bench: streaming-1.7b-q8 warmup {time.monotonic() - t0:.1f} s")
+    best_ms = _timed_runs(
+        "streaming-1.7b-q8",
+        lambda c: stream_mod.transcribe_stream(eng17q, c), s45, rng)
+    del eng17q
+    rtf = audio_s / (best_ms / 1000.0)
+    B.emit({
+        "metric": "45 s clip streaming realtime factor, int8 decoder "
+                  "weights (Qwen3-ASR-1.7B geometry, --stream --q8, "
+                  "enc cache ON)",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / BASE_STREAM_17, 2),
+    })
+
+
 def row_seg17():
     """1.7B segmented (opt-in: fresh 1.7B shape ladder warmup)."""
     from smolvision_tpu.io.wav import load_wav
@@ -933,6 +974,7 @@ ROWS = [
     # the two 1.7B rows run back-to-back so the ~4 GB engine(s) can be
     # released before the serving block (HBM hygiene, Bench.release)
     ("offline_17", True, 120, row_offline_17),
+    ("stream17_q8", True, 150, row_stream17_q8),
     ("offline_17_spec", True, 120, row_offline_17_spec),
     ("segmented", True, 60, row_segmented),
     ("streaming", True, 90, row_streaming),
@@ -958,7 +1000,8 @@ ROWS = [
 
 # rows that depend on the 1.7B engineered checkpoint; everything else
 # needs the 0.6B one (the seg parity checkpoints are test-only)
-GEOM_17_ROWS = {"offline_17", "offline_17_spec", "seg17", "stream17"}
+GEOM_17_ROWS = {"offline_17", "offline_17_spec", "stream17_q8", "seg17",
+                "stream17"}
 # optimistic from-scratch engineered-build costs (the 1.7B full-vocab
 # build measured ~25 min once; 0.6B is several-fold cheaper)
 REBUILD_EST = {"0.6b": 700, "1.7b": 1600}

@@ -40,7 +40,9 @@ def log(m):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="reps per block (block-cycled arms, see below)")
+    ap.add_argument("--cycles", type=int, default=2)
     ap.add_argument("--geom", default="1.7b", choices=["0.6b", "1.7b", "both"])
     args = ap.parse_args()
 
@@ -111,42 +113,44 @@ def main():
             "prefill_reused": reused,
         }
 
+    # Block-cycled arms: a 1.7B bf16 engine + a 1.7B q8 engine do NOT fit
+    # HBM together (two full encoder+decoder uploads + streaming ladders —
+    # both-resident interleaving OOMed), so each cycle builds one arm,
+    # warms it, runs its reps, and frees it before the other arm loads.
+    # Two cycles per arm retain coarse period pairing (block A/B/A/B).
+    import gc
+
     summary = {}
     for g in geoms:
-        arms = {}
-        for name, q8 in (("bf16", False), ("q8", True)):
-            eng = Engine(dirs[g], verbose=0, q8=q8)
-            eng.max_tokens = 48
-            eng.segment_sec = 0.0
-            eng.past_text_conditioning = True
-            eng.token_cb = lambda piece: None
-            arms[name] = eng
-        for name, eng in arms.items():
-            t0 = time.monotonic()
-            run(eng)
-            log(f"warm {g}/{name}: {time.monotonic() - t0:.1f} s")
-        res = {n: [] for n in arms}
+        res = {"bf16": [], "q8": []}
         detail = {}
-        for rep in range(args.reps):
-            for name, eng in arms.items():
-                r = run(eng)
-                res[name].append(r["rtf"])
-                detail[name] = r
-                log(f"rep {rep + 1} {g}/{name}: {r['rtf']:.2f}x "
-                    f"(enc {r['encode_ms']:.0f} pf {r['prefill_ms']:.0f} "
-                    f"dec {r['decode_ms']:.0f} resid {r['residual_ms']:.0f})")
+        for cycle in range(args.cycles):
+            for name, q8 in (("bf16", False), ("q8", True)):
+                eng = Engine(dirs[g], verbose=0, q8=q8)
+                eng.max_tokens = 48
+                eng.segment_sec = 0.0
+                eng.past_text_conditioning = True
+                eng.token_cb = lambda piece: None
+                t0 = time.monotonic()
+                run(eng)
+                log(f"warm c{cycle + 1} {g}/{name}: "
+                    f"{time.monotonic() - t0:.1f} s")
+                for rep in range(args.reps):
+                    r = run(eng)
+                    res[name].append(r["rtf"])
+                    detail[name] = r
+                    log(f"c{cycle + 1} rep {rep + 1} {g}/{name}: "
+                        f"{r['rtf']:.2f}x "
+                        f"(enc {r['encode_ms']:.0f} pf {r['prefill_ms']:.0f} "
+                        f"dec {r['decode_ms']:.0f} "
+                        f"resid {r['residual_ms']:.0f})")
+                del eng
+                gc.collect()
         summary[g] = {
             n: {"med_rtf": round(statistics.median(v), 2),
                 "best_rtf": round(max(v), 2),
                 "all": [round(x, 2) for x in v],
                 "last_detail": detail[n]} for n, v in res.items()}
-        q8_won = sum(1 for a, b in zip(res["q8"], res["bf16"]) if a > b)
-        summary[g]["q8_pairs_won"] = f"{q8_won}/{args.reps}"
-        # free this geometry's engines before the next one loads (HBM)
-        arms.clear()
-        import gc
-
-        gc.collect()
 
     print(json.dumps(summary, indent=1))
 
