@@ -825,6 +825,53 @@ def row_stream17_q8():
     })
 
 
+def row_moe_offload():
+    """Opt-in (never default: warmup alone is ~20 min over the tunnel):
+    MoE host-offload (Plan B) decode rate.  Measured round 5
+    (tools/probe_moe_offload.py, docs/MOE_30B_PLAN.md table): 0.453 GB
+    streamed per token (exactly the plan arithmetic), 0.052 tok/s over
+    the ~0.032 GB/s effective tunnel — PCIe-class links put the same
+    measured per-layer term at ~28 ms/token (this geometry) / ~113 ms
+    (30B).  vs_baseline = fraction of the RESIDENT engine's rate on the
+    same checkpoint (the streaming tax this link imposes)."""
+    import gc
+
+    from smolvision_tpu.runtime.engine import Engine
+
+    moe_dir = os.path.join(REPO, ".bench_cache", "qwen3-moe-synth")
+    if not os.path.isdir(moe_dir):
+        raise RuntimeError("qwen3-moe-synth checkpoint missing (built by "
+                           "tools/cross_parity_c.py / the MoE parity tests)")
+    n_tok = 4
+
+    def rate(offload: bool) -> float:
+        eng = Engine(moe_dir, verbose=0, moe_offload=offload)
+        eng.temperature = 0.8
+        eng.thinker_max_tokens = n_tok
+        eng.thinker_generate(None, "count to ten")   # warm (compiles+streams)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            eng.thinker_generate(None, "count to ten")
+            best = min(best, time.monotonic() - t0)
+        del eng
+        gc.collect()
+        return n_tok / best
+
+    r_off = rate(True)
+    r_res = rate(False)
+    log(f"bench: moe-offload {r_off:.3f} tok/s vs resident {r_res:.1f}")
+    B.emit({
+        "metric": "MoE host-offload decode rate, experts streamed from "
+                  "host mmap per token (qwen3-moe-synth geometry, "
+                  "--moe-offload, tunnel-attached v5e; "
+                  "docs/MOE_30B_PLAN.md r5 table)",
+        "value": round(r_off, 3),
+        "unit": "tok_per_s",
+        "vs_baseline": round(r_off / max(r_res, 1e-9), 5),
+    })
+
+
 def row_seg17():
     """1.7B segmented (opt-in: fresh 1.7B shape ladder warmup)."""
     from smolvision_tpu.io.wav import load_wav
@@ -993,6 +1040,7 @@ ROWS = [
     # is the bench's most variance-exposed compile ladder, and the budget
     # guard skips it (explicitly recorded) rather than risk the artifact
     ("multistream", True, 400, row_multistream),
+    ("moe_offload", False, 1600, row_moe_offload),
     ("seg17", False, 120, row_seg17),
     ("stream17", False, 150, row_stream17),
     ("stream135", False, 150, row_stream135),
