@@ -799,6 +799,10 @@ def row_stream17_q8():
     from smolvision_tpu.runtime import stream as stream_mod
     from smolvision_tpu.runtime.engine import Engine
 
+    # HBM: 0.6B + 1.7B bf16 + 1.7B q8 do NOT fit together (first
+    # validation OOMed here) — nothing after this row needs the shared
+    # 1.7B engine, so release it before building the q8 one
+    B.release("eng17")
     rng = B.rng
     s45 = load_wav(CLIP_45S)
     audio_s = len(s45) / 16000.0
@@ -1148,6 +1152,13 @@ def main() -> int:
             traceback.print_exc(file=sys.stderr)
             B.errors.append({"row": name, "error": f"{type(e).__name__}: {e}"})
         B.current = None
+        # engines die in reference cycles (jit closures point back at the
+        # engine); without an explicit collection a failed row's buffers
+        # linger in HBM and every later row inherits the OOM — the first
+        # round-5 validation lost 14 rows to exactly that cascade
+        import gc
+
+        gc.collect()
 
     # SECOND-TO-LAST: cumulative line (full row objects — the loss-proof
     # detailed record for anyone reading complete stdout).
