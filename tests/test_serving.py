@@ -172,6 +172,10 @@ def test_continuous_latency_percentiles(srv_engine):
     # the queue-wait-inclusive TTFT
     assert 0 <= lat["admit_ttft_p50_ms"] <= lat["admit_ttft_p99_ms"]
     assert lat["admit_ttft_p99_ms"] <= lat["ttft_p99_ms"] + 1e-6
+    # steady-state variant (first admission wave excluded): present,
+    # monotone, and computed over the expected population
+    assert 0 <= lat["admit_ttft_steady_p50_ms"] <= lat["admit_ttft_steady_p99_ms"]
+    assert lat["first_wave_clips"] == 2   # slots=2, 6 clips -> 2 in wave 1
 
 
 def test_continuous_dp_mesh_matches_single_device(moe_visible_model_dir):

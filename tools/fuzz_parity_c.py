@@ -29,6 +29,7 @@ Usage:
   python tools/fuzz_parity_c.py --only text_cjk,wav_rate8k
   python tools/fuzz_parity_c.py --moe           # router/top-8 surface
   python tools/fuzz_parity_c.py --q25           # Qwen2.5-Omni family
+  python tools/fuzz_parity_c.py --random 16 --seed 99   # + seeded randoms
   python tools/fuzz_parity_c.py --list
 """
 
@@ -471,6 +472,148 @@ STDIN_FLAGS = ["--stdin", "--thinker", "--temperature", "0",
 
 
 # ---------------------------------------------------------------------------
+# randomized case generation (--random N --seed S)
+#
+# The curated corpus above targets KNOWN boundaries; the generator sweeps
+# the space BETWEEN them — random unicode-pool text, random WAV geometry
+# (rate x channels x duration x container extras x signal mix), random
+# ASR-mode knob combinations, and random sampled-decode configurations.
+# Fully deterministic for a given --seed: a failing case reproduces with
+# `--seed S --only NAME`, and the generated inputs land in /tmp/sv_fuzz_wavs
+# like every curated case.
+# ---------------------------------------------------------------------------
+
+# codepoint pools for random text: assigned, tokenizer-hostile ranges (the
+# byte-level BPE accepts any UTF-8; surrogates are unencodable and excluded)
+_TEXT_POOLS = [
+    (0x20, 0x7E),        # printable ascii
+    (0xA0, 0x2FF),       # latin-1 + extended
+    (0x300, 0x36F),      # combining marks
+    (0x590, 0x5FF),      # hebrew (RTL)
+    (0x600, 0x6FF),      # arabic (RTL + joining)
+    (0xE00, 0xE7F),      # thai (no word spaces)
+    (0x2000, 0x206F),    # general punctuation (nbsp/zwsp/bidi marks)
+    (0x3040, 0x30FF),    # kana
+    (0x4E00, 0x9FFF),    # CJK
+    (0xAC00, 0xD7A3),    # hangul syllables
+    (0x1D400, 0x1D7FF),  # math alphanumerics (astral)
+    (0x1F300, 0x1F6FF),  # emoji (astral)
+]
+
+
+def _rand_text(rng) -> str:
+    """Random mixed-pool string, 1-~120 chars, occasionally whitespace/
+    control-seasoned.  Never starts with '-' (argv value, not a flag)."""
+    target = int(rng.integers(1, 120))
+    out = []
+    while len(out) < target:
+        lo, hi = _TEXT_POOLS[int(rng.integers(len(_TEXT_POOLS)))]
+        for _ in range(int(rng.integers(1, 8))):
+            out.append(chr(int(rng.integers(lo, hi + 1))))
+        r = rng.random()
+        if r < 0.35:
+            out.append(" ")
+        elif r < 0.42:
+            out.append(["\t", "\n", "  ", "\x7f", "\x07"][int(rng.integers(5))])
+    s = "".join(out)
+    if not s.strip() or s.lstrip()[0] == "-":
+        s = "x" + s
+    return s
+
+
+_SIG_FNS = [_sig_tone_am, _sig_noise, _sig_bursts, _sig_near_silent,
+            _sig_clipped_square, _sig_dc_chirp]
+_RAND_RATES = [8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000]
+
+
+def _rand_wav(rng, snap_bases, max_dur: float = 9.0) -> bytes:
+    """Random WAV: rate x channels x duration (boundary-snapped or
+    log-uniform) x signal mix x optional container extras."""
+    sr = int(_RAND_RATES[int(rng.integers(len(_RAND_RATES)))])
+    if rng.random() < 0.4:
+        base = float(snap_bases[int(rng.integers(len(snap_bases)))])
+        dur = base * int(rng.integers(1, 4)) \
+            + float(rng.integers(-1, 2)) / 16000.0   # +-1 16 kHz sample
+    else:
+        dur = float(np.exp(rng.uniform(np.log(0.02), np.log(max_dur))))
+    dur = float(min(max(dur, 0.02), max_dur))
+    n = max(4, int(round(dur * sr)))
+
+    def mix(m):
+        sig = np.zeros(m)
+        for _ in range(int(rng.integers(1, 3))):
+            fn = _SIG_FNS[int(rng.integers(len(_SIG_FNS)))]
+            sig = sig + float(rng.uniform(0.2, 1.0)) * fn(rng, m, sr)
+        return sig
+
+    sig = mix(n)
+    channels = int([1, 1, 1, 2, 2, 3, 4][int(rng.integers(7))])
+    if channels > 1 and rng.random() < 0.6:   # distinct per-channel content
+        sig = np.stack([sig] + [mix(n) for _ in range(channels - 1)], axis=1)
+    kw = {}
+    if rng.random() < 0.25:
+        kw["mid_chunks"] = [(b"junk", bytes(rng.integers(
+            0, 256, int(rng.integers(1, 64)), dtype=np.uint8)))]
+    if rng.random() < 0.15:
+        kw["trailing"] = b"\xa5" * int(rng.integers(1, 32))
+    if rng.random() < 0.10:   # second data chunk: last one wins
+        kw["extra_data"] = 0.2 * rng.standard_normal(int(rng.integers(200, 4000)))
+    return make_wav(sig, sr, channels=channels, **kw)
+
+
+def inject_random_cases(rng, n, audio, q25=False, moe=False):
+    """Append n seeded-random cases per category to the corpus dicts
+    (before the runner builds its name lists).  ASR-mode and sampled
+    randoms are dense-only: the gated-ASR host logic is family-independent
+    (same rationale as the curated --moe subset) and hot sampled parity is
+    measurement-limited on the audio path (see SAMPLED_CASES note)."""
+    snap = [0.02, 1.0, 2.0] if q25 else [0.08, 1.0, 8.32]
+    pre = "q25_" if q25 else "wav_"
+    for k in range(n):
+        TEXT_CASES[f"text_rnd{k}"] = _rand_text(rng)
+    for k in range(n):
+        audio[f"{pre}rnd{k}"] = _rand_wav(rng, snap)
+    if q25 or moe:
+        return
+    for k in range(n):
+        # ASR-mode randoms ride shorter clips: segmented/streaming decode
+        # cost scales with duration on both engines
+        wname = f"wav_rndasr{k}"
+        audio[wname] = _rand_wav(rng, snap, max_dur=5.0)
+        mode = ["off", "seg", "strm"][int(rng.integers(3))]
+        if mode == "off":
+            flags = ["-S", "0"]
+            if rng.random() < 0.3:
+                flags.append("--skip-silence")
+        elif mode == "seg":
+            flags = ["-S", str(float([0.5, 1.0, 2.0][int(rng.integers(3))])),
+                     "-W", str(float([0.2, 0.5, 1.0][int(rng.integers(3))])),
+                     "--past-text", ["yes", "no"][int(rng.integers(2))]]
+        else:
+            flags = ["--stream"]
+            if rng.random() < 0.4:
+                flags += ["--stream-max-new-tokens",
+                          str([8, 16][int(rng.integers(2))])]
+        if rng.random() < 0.3:
+            flags += ["--enc-window-sec", str([2, 3][int(rng.integers(2))])]
+        if rng.random() < 0.25:
+            flags += ["--language", "chinese"]
+        # seg names MUST start with asr_seg: the runner keys the
+        # sequential-decode (--no-batch-segments) wiring on that prefix
+        ASR_CASES[f"asr_{mode}_rnd{k}"] = (wname, flags)
+    for k in range(n):
+        SAMPLED_CASES[f"samp_text_rnd{k}"] = (
+            None,
+            ["--thinker", "--text", _rand_text(rng),
+             "--temperature", str(round(float(rng.uniform(0.2, 1.4)), 2)),
+             "--top-k", str([0, 5, 50, 256][int(rng.integers(4))]),
+             "--repeat-penalty",
+             str([1.0, 1.1, 1.5][int(rng.integers(3))]),
+             "--max-tokens", "24"],
+            int(rng.integers(0, 2 ** 31)))
+
+
+# ---------------------------------------------------------------------------
 # runner
 # ---------------------------------------------------------------------------
 
@@ -533,6 +676,13 @@ def main():
                          "and the ungated ASR->thinker routing")
     ap.add_argument("--json-out", default="",
                     help="write full per-case results JSON here")
+    ap.add_argument("--random", type=int, default=0, metavar="N",
+                    help="inject N seeded-random cases per category "
+                         "(text / wav / asr-mode / sampled) on top of the "
+                         "curated corpus")
+    ap.add_argument("--seed", type=int, default=0xF5EED,
+                    help="rng seed for --random (a failing random case "
+                         "reproduces with the same --seed + --only NAME)")
     args = ap.parse_args()
     assert not (args.moe and args.q25)
 
@@ -540,10 +690,15 @@ def main():
     stdin_cases = {}
     if args.q25:
         audio = build_q25_audio_cases(rng)
+    else:
+        audio = build_audio_cases(rng)
+    if args.random:
+        inject_random_cases(np.random.default_rng(args.seed), args.random,
+                            audio, q25=args.q25, moe=args.moe)
+    if args.q25:
         names = (list(TEXT_CASES) + list(audio) + list(Q25_MODE_CASES)
                  + list(SAMPLED_Q25_CASES))
     else:
-        audio = build_audio_cases(rng)
         names = (list(TEXT_CASES) + list(audio) + list(THINKER_EXTRA)
                  + list(SAMPLED_CASES))
         if not args.moe:
