@@ -78,10 +78,15 @@ def _windowed_attention_batched(q, k, v, kv_valid):
 
 
 def transformer_stack(layers_params, x, valid_len, window_tokens: int,
-                      n_heads: int, head_dim: int):
+                      n_heads: int, head_dim: int, flash=None):
     """Shared windowed-attention transformer stack (Qwen3 AuT and Q25 tower).
 
     x: [Tcap, d_model] f32 with Tcap % window_tokens == 0.
+    flash: None = use_pallas() backend default; False forces the fused-XLA
+    window attention (the encoder-SP mesh path sets this: GSPMD cannot
+    partition a pallas_call over the sharded window axis — it would
+    all-gather the operands and run the kernel replicated — while the XLA
+    formulation shards collective-free).
     Returns [Tcap, d_model] f32 pre-ln_post hidden states.
     """
     Tcap, d = x.shape
@@ -98,7 +103,8 @@ def transformer_stack(layers_params, x, valid_len, window_tokens: int,
     from smolvision_tpu.kernels import use_pallas
     from smolvision_tpu.kernels.flash_attention import window_flash_attention
 
-    flash = use_pallas()
+    if flash is None:
+        flash = use_pallas()
 
     def layer(h, lp):
         xn = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"], eps=1e-5)
@@ -126,16 +132,18 @@ def transformer_stack(layers_params, x, valid_len, window_tokens: int,
     return h
 
 
-def encoder_transformer(params, x, valid_len, cfg: ModelConfig, window_tokens: int):
+def encoder_transformer(params, x, valid_len, cfg: ModelConfig, window_tokens: int,
+                        flash=None):
     """Transformer stack + ln_post + proj1/proj2.
 
     x: [Tcap, d_model] f32 with Tcap % window_tokens == 0.
     valid_len: scalar int32.
+    flash: see transformer_stack (None = backend default).
     Returns [Tcap, enc_output_dim] f32 (rows >= valid_len are garbage).
     """
     wdt = params["layers"]["wq"].dtype
     h = transformer_stack(params["layers"], x, valid_len, window_tokens,
-                          cfg.enc_heads, cfg.enc_head_dim)
+                          cfg.enc_heads, cfg.enc_head_dim, flash=flash)
     h = layer_norm(h, params["ln_post_w"], params["ln_post_b"], eps=1e-5)
     h = gelu_tanh(jnp.einsum("td,od->to", h.astype(wdt), params["proj1_w"],
                              preferred_element_type=jnp.float32) + params["proj1_b"])

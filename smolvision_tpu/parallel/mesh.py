@@ -190,6 +190,28 @@ def shard_engine(engine, mesh: Mesh):
     engine.enc_params = jax.tree.map(
         lambda a: jax.device_put(a, rep), engine.enc_params)
     engine.serving_mesh = mesh
+    # Encoder sequence parallelism (SURVEY §2.3 SP — the "optional
+    # cross-chip window sharding"): encoder windows are HARD (no
+    # cross-window attention, models/qwen3_encoder.py), so the batched
+    # group encode shards its CLIP axis and the conv stem its chunk-block
+    # axis over "data", partitioning the encoder collective-free — without
+    # this a dp mesh computes the full encoder REPLICATED on every device.
+    # Both shardings keep every per-clip/per-block shape identical, so
+    # they are BITWISE-exact (tests/test_enc_sp.py); the solo flat-token
+    # transformer is deliberately left replicated (sharding its token axis
+    # changes GEMM tiling = f32 summation order, runtime/engine._build_jits
+    # note).  dp>1 qwen3-family only: under a pure-TP mesh the constraint
+    # is a no-op that would just trade the Pallas window kernel for the
+    # XLA formulation (the batched SP path forces flash=False — GSPMD
+    # cannot partition a pallas_call, it would all-gather and run it
+    # replicated).
+    engine._enc_sp_mesh = (mesh if mesh_dp(mesh) > 1
+                           and engine.cfg.family != "q25" else None)
+    # the batched-encode jit is cached on the engine without a mesh key;
+    # drop it so the next group encode retraces with the SP constraint
+    # (the _build_jits encoder jits retrace on their own: the resharded
+    # params change their jit cache key)
+    engine._batched_enc_jit = None
     return engine
 
 

@@ -234,6 +234,20 @@ def _pool_and_encode(engine, B, full_tok, n_pool_blocks, full_starts,
 
         def gather_encode(p, pool, idx, vlens):
             x_stack = pool[idx]                   # [B, tcap, d]
+            # encoder SP under a dp mesh (parallel/mesh.shard_engine):
+            # shard the clip axis over "data" so the group encode
+            # partitions instead of running replicated per device; the
+            # pool gather stays local (pool is replicated).  flash=False:
+            # GSPMD cannot partition a pallas_call.  shard_engine clears
+            # this cached jit, so the flag is fixed at (re)trace time.
+            m = getattr(engine, "_enc_sp_mesh", None)
+            if m is not None:
+                from smolvision_tpu.parallel.mesh import batch_sharding
+
+                x_stack = jax.lax.with_sharding_constraint(
+                    x_stack, batch_sharding(m, 3))
+                return jax.vmap(lambda x, v: encoder_transformer(
+                    p, x, v, cfg, wts, flash=False))(x_stack, vlens)
             return jax.vmap(
                 lambda x, v: encoder_transformer(p, x, v, cfg, wts))(x_stack, vlens)
 

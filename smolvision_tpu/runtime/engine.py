@@ -262,7 +262,34 @@ class Engine:
             self._final_logits = jax.jit(
                 lambda p, hidden, row: dec_mod.logits_at(p, cfg, hidden, row))
 
-        self._conv_stem = jax.jit(lambda p, chunks: enc_mod.conv_stem(p, chunks, cfg))
+        # The conv stem reads the encoder-SP mesh (parallel/mesh.shard_engine
+        # sets engine._enc_sp_mesh for dp>1 meshes) at TRACE time: sharding
+        # the chunk-block axis over "data" partitions the conv collective-
+        # free AND bitwise-exactly — each block's conv has a fixed shape
+        # regardless of how many blocks a device holds, so no f32 order
+        # changes (pinned in tests/test_enc_sp.py).  A pre-mesh trace never
+        # goes stale: shard_engine re-device_puts the params, and the new
+        # input shardings force a retrace.
+        #
+        # The solo windowed transformer (_enc_tf) is deliberately NOT
+        # sharded: partitioning the flat [Tcap, d] token axis changes the
+        # GEMM tiling and therefore the f32 summation order (measured
+        # ~1e-7 drift on the CPU mesh), which would break the byte-equality
+        # DP contract for solo runs.  The BATCHED group encode
+        # (runtime/batch_segments._pool_and_encode) — the front end all
+        # three mesh schedulers actually use — shards the clip axis
+        # instead, which keeps every per-clip shape identical and stays
+        # bitwise (see that file).
+        def conv_stem_fn(p, chunks):
+            m = getattr(self, "_enc_sp_mesh", None)
+            if m is not None:
+                from smolvision_tpu.parallel.mesh import batch_sharding
+
+                chunks = jax.lax.with_sharding_constraint(
+                    chunks, batch_sharding(m, chunks.ndim))
+            return enc_mod.conv_stem(p, chunks, cfg)
+
+        self._conv_stem = jax.jit(conv_stem_fn)
         self._enc_tf = jax.jit(
             lambda p, x, vlen: enc_mod.encoder_transformer(p, x, vlen, cfg, wts))
         if cfg.family == "q25":

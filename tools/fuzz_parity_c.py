@@ -602,11 +602,22 @@ def inject_random_cases(rng, n, audio, q25=False, moe=False):
         # sequential-decode (--no-batch-segments) wiring on that prefix
         ASR_CASES[f"asr_{mode}_rnd{k}"] = (wname, flags)
     for k in range(n):
+        text = _rand_text(rng)
+        temp = round(float(rng.uniform(0.2, 1.4)), 2)
+        topk = int([0, 5, 50, 256][int(rng.integers(4))])
+        if temp >= 1.0 and topk == 0:
+            # Full-vocab hot multinomial margins (~1/vocab) sit below the
+            # cross-engine f32 summation-order wiggle even on the TEXT
+            # path at random-prompt scale: the first round-5 campaign
+            # straddled a cumsum bin on 2/16 seeded hot-text cases
+            # (adjacent token ids at the divergent draw; byte-exact again
+            # at k=256).  Same measurement-limit bound as the curated hot
+            # audio cases (SAMPLED_CASES note above).
+            topk = 256
         SAMPLED_CASES[f"samp_text_rnd{k}"] = (
             None,
-            ["--thinker", "--text", _rand_text(rng),
-             "--temperature", str(round(float(rng.uniform(0.2, 1.4)), 2)),
-             "--top-k", str([0, 5, 50, 256][int(rng.integers(4))]),
+            ["--thinker", "--text", text,
+             "--temperature", str(temp), "--top-k", str(topk),
              "--repeat-penalty",
              str([1.0, 1.1, 1.5][int(rng.integers(3))]),
              "--max-tokens", "24"],
