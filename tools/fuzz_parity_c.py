@@ -128,13 +128,18 @@ def _sig_dc_chirp(rng, n, sr):
 def make_wav(sig: np.ndarray, sr: int, channels: int = 1,
              pre_chunks: list | None = None, mid_chunks: list | None = None,
              trailing: bytes = b"", data_size_override: int | None = None,
-             extra_data: np.ndarray | None = None) -> bytes:
+             extra_data: np.ndarray | None = None, fmt_tag: int = 1,
+             bits: int = 16, hdr_channels: int | None = None) -> bytes:
     """Build a WAV byte buffer with controllable chunk layout.
 
     pre_chunks / mid_chunks: [(id4, payload)] inserted before fmt / between
     fmt and data.  data_size_override: lie in the data chunk header.
     extra_data: a SECOND data chunk appended after the first (the reference
-    walks all chunks and the last one wins, qwen_asr_audio.c:51-69)."""
+    walks all chunks and the last one wins, qwen_asr_audio.c:51-69).
+    fmt_tag / bits / hdr_channels: lie in the FMT header (the data stays
+    s16) — the reference accepts ONLY fmt=1/bits=16/channels>=1
+    (qwen_asr_audio.c:71-75); anything else must be a rejection on BOTH
+    engines."""
     if channels > 1 and sig.ndim == 1:
         sig = np.stack([sig] * channels, axis=1)
     pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
@@ -145,8 +150,9 @@ def make_wav(sig: np.ndarray, sr: int, channels: int = 1,
             b += b"\x00"  # word alignment padding
         return b
 
-    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * 2 * channels,
-                      2 * channels, 16)
+    fmt = struct.pack("<HHIIHH", fmt_tag,
+                      channels if hdr_channels is None else hdr_channels,
+                      sr, sr * 2 * channels, 2 * channels, bits)
     body = b""
     for cid, payload in (pre_chunks or []):
         body += chunk(cid, payload)
@@ -573,6 +579,23 @@ def inject_random_cases(rng, n, audio, q25=False, moe=False):
         TEXT_CASES[f"text_rnd{k}"] = _rand_text(rng)
     for k in range(n):
         audio[f"{pre}rnd{k}"] = _rand_wav(rng, snap)
+    # fmt-header rejection parity: every non-(fmt=1, bits=16, ch>=1) header
+    # must be REJECTED by both engines (qwen_asr_audio.c:71-75).  The one
+    # deliberate acceptance divergence — our io/wav.py takes fmt=3/bits=32
+    # IEEE-float WAVs as a documented convenience extension the reference
+    # errors on (docs/PARITY_C.md) — is excluded here.
+    reject_fmts = [
+        {"fmt_tag": 0}, {"fmt_tag": 3}, {"fmt_tag": 0xFFFE},
+        {"bits": 8}, {"bits": 24}, {"bits": 32}, {"hdr_channels": 0},
+    ]
+    # independent child rng: consuming the main stream here would shift
+    # every later asr/sampled draw and break reproducibility of earlier
+    # campaigns' case names (the CI pins reference seed-20260821 names)
+    rng_fmt = np.random.default_rng(0xF3F7)
+    for k in range(min(n, len(reject_fmts))):
+        m = max(4, int(0.3 * 16000))
+        audio[f"{pre}rndfmt{k}"] = make_wav(
+            _sig_tone_am(rng_fmt, m, 16000), 16000, **reject_fmts[k])
     if q25 or moe:
         return
     for k in range(n):
