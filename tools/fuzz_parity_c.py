@@ -477,6 +477,40 @@ STDIN_FLAGS = ["--stdin", "--thinker", "--temperature", "0",
                "--max-tokens", "12"]
 
 
+def _rand_stdin_cases(rng, n, audio) -> dict:
+    """Random stdin-autodetect streams (qwen_read_pcm_stdin,
+    qwen_asr_audio.c:190-230 + the RIFF-prefix routing rule): valid-WAV
+    truncations biased to header/chunk boundaries, raw s16le noise (odd
+    lengths truncate a byte), almost-RIFF magics (case-sensitive routing:
+    lowercase 'riff' is RAW PCM), and valid WAV + trailing garbage.  Both
+    engines must agree on accept/reject AND on the decoded trajectory.
+    Uses its own rng stream (independent of the text/wav/asr draws)."""
+    base = audio["wav_2s1"]
+    cases = {}
+    for k in range(n):
+        r = rng.random()
+        if r < 0.45:
+            edges = [1, 3, 4, 8, 11, 12, 13, 20, 36, 43, 44, 45]
+            off = (int(edges[int(rng.integers(len(edges)))])
+                   if rng.random() < 0.6 else int(rng.integers(1, len(base))))
+            cases[f"stdin_rnd{k}"] = base[:off]
+        elif r < 0.70:
+            m = int(rng.integers(4, 48000))
+            cases[f"stdin_rnd{k}"] = bytes(
+                rng.integers(0, 256, m, dtype=np.uint8))
+        elif r < 0.85:
+            magic = [b"RIFf", b"RIF\x00", b"riff",
+                     b"RIFFWAVE"][int(rng.integers(4))]
+            m = int(rng.integers(0, 4000))
+            cases[f"stdin_rnd{k}"] = magic + bytes(
+                rng.integers(0, 256, m, dtype=np.uint8))
+        else:
+            cases[f"stdin_rnd{k}"] = base + bytes(
+                rng.integers(0, 256, int(rng.integers(1, 64)),
+                             dtype=np.uint8))
+    return cases
+
+
 # ---------------------------------------------------------------------------
 # randomized case generation (--random N --seed S)
 #
@@ -737,6 +771,10 @@ def main():
                  + list(SAMPLED_CASES))
         if not args.moe:
             stdin_cases = _stdin_cases(rng, audio)
+            if args.random:
+                stdin_cases.update(_rand_stdin_cases(
+                    np.random.default_rng(args.seed ^ 0x51D1),
+                    min(args.random, 12), audio))
             names += list(ASR_CASES) + list(stdin_cases)
     if args.list:
         print("\n".join(names))
